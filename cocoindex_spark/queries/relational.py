@@ -1,0 +1,342 @@
+"""Relational operator coverage (SURVEY.md §2.6–2.9, §2.12).
+
+Each query is the Spark-first realization of an operator shape the
+reference computes (group-by scoring, ranked windows, set diffs,
+keep-latest coalescing, FK joins), expressed over the TPC-H-ish
+testdata so the DuckDB oracle can hash-match.
+
+Numeric policy: sums over DOUBLE columns are computed over
+DECIMAL-cast values (exact, order-independent) and cast back to
+DOUBLE at the end, so Spark's parallel aggregation and DuckDB's
+sequential aggregation produce bit-identical results. Averages are
+derived as exact-sum / count in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cocoindex_spark.queries.registry import register, table
+
+
+def _dec(col, scale=4):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# --- q01: pricing summary (scan → filter → partial-agg groupBy; TPC-H Q1 shape)
+# Reference shape: group-by scoring, examples/hn_trending_topics/main.py:326-333.
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8)) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    # Pin the intermediate to scale 8 (values have ≤8 decimals, so this is
+    # exact) to keep the triple product inside decimal(38) in both engines.
+    charge = disc_price.cast("decimal(18,8)") * (F.lit(1) + _dec("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            # Round the exact decimal sum to scale 4 before the double cast:
+            # a ≤14-significant-digit decimal converts to double identically
+            # in every engine, while a scale-12 sum may differ by 1 ulp.
+            F.sum(disc_price).cast("decimal(28,4)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(28,4)").cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- q02: recency/top-k ordering (§2.7; hn_trending main.py:357-361)
+@register(
+    "q02_topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+)
+def q02_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --- q03: multi-way FK join + agg (graph endpoint refs §2.12.5; broadcast dims)
+@register(
+    "q03_revenue_by_nation",
+    oracle="""
+SELECT r_name AS region_name, n_name AS nation_name,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+  COUNT(*) AS order_count
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+            F.count("*").alias("order_count"),
+        )
+    )
+
+
+# --- q04: EXISTS semi-join + count (TPC-H Q4 shape; memo-lookup join §2.12.2)
+@register(
+    "q04_priority_semijoin",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q04_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    joined = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --- q05: ranked lists per partition (§2.7 row_number; sec_edgar search.py:47-55)
+@register(
+    "q05_top3_orders_per_customer",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rk
+FROM (
+  SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rk <= 3
+""",
+)
+def q05_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "rk",
+        )
+    )
+
+
+# --- q06: weighted group-by scoring (hn_trending_topics/main.py:326-333:
+#     thread=5 / comment=1 → here purchase=5 / other=1)
+@register(
+    "q06_groupby_scoring",
+    oracle="""
+SELECT user_id,
+  SUM(CASE WHEN event_type = 'purchase' THEN 5 ELSE 1 END) AS score,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY score DESC, user_id ASC
+LIMIT 50
+""",
+)
+def q06_groupby_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    weight = F.when(F.col("event_type") == "purchase", F.lit(5)).otherwise(F.lit(1))
+    return (
+        e.groupBy("user_id")
+        .agg(F.sum(weight).alias("score"), F.count("*").alias("n_events"))
+        .orderBy(F.desc("score"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
+# --- q07: anti-join (declared-minus-tracked set diff, §2.5 Phase 2 / §2.9)
+@register(
+    "q07_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q07_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --- q08: tracked-minus-declared (parts never shipped → delete actions)
+@register(
+    "q08_unreferenced_parts",
+    oracle="""
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+""",
+)
+def q08_unreferenced_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem")
+    return p.join(l, p.p_partkey == l.l_partkey, "left_anti").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+# --- q09: per-key last-wins coalescing (live_component.rs:592-702 —
+#     newest op per key supersedes queued ones)
+@register(
+    "q09_last_wins_per_key",
+    oracle="""
+SELECT user_id, event_id, event_type, CAST(value AS DOUBLE) AS value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def q09_last_wins_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.col("value").cast("double").alias("value"))
+    )
+
+
+# --- q10: ownership preemption — keep latest claim per target path
+#     (execution.rs:948-995: new component steals tracking from old owner)
+@register(
+    "q10_ownership_latest_supplier",
+    oracle="""
+SELECT l_partkey, l_suppkey AS owner_suppkey, CAST(l_shipdate AS DATE) AS claimed_at
+FROM (
+  SELECT l_partkey, l_suppkey, l_shipdate,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+""",
+)
+def q10_ownership_latest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")
+    )
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            F.col("l_suppkey").alias("owner_suppkey"),
+            F.col("l_shipdate").cast("date").alias("claimed_at"),
+        )
+    )
+
+
+# --- q11: stats rollup (update-stats tree aggregation, engine/stats.rs)
+@register(
+    "q11_stats_rollup",
+    oracle="""
+SELECT COALESCE(event_type, '__total__') AS event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type)
+""",
+)
+def q11_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value", 6)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("__total__")).alias("event_type"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --- q12: filter + projection pushdown showcase (selective scan)
+@register(
+    "q12_selective_scan",
+    oracle="""
+SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity >= 45
+  AND l_shipdate >= TIMESTAMP '1999-01-01'
+""",
+)
+def q12_selective_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") >= 45)
+            & (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        )
+    )

@@ -1,0 +1,130 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each registered query on Spark and its DuckDB oracle on the same
+parquet tables, then compares row count, column names, and an
+order-insensitive value comparison (columns sorted by name, rows sorted).
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import traceback
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cocoindex_spark.queries import all_oracles, all_queries
+from cocoindex_spark.session import TABLES, get_spark
+
+
+def norm_cell(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(repr(x) for x in t))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    names = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    queries = all_queries()
+    oracles = all_oracles()
+    if names:
+        queries = {k: v for k, v in queries.items() if k in names}
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in sorted(queries.items()):
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        sc, sr = norm_rows(scols, [tuple(r) for r in srows])
+        dc, dr = norm_rows(dcols, drows)
+        if sc != dc:
+            print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            n_fail += 1
+            continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            n_fail += 1
+            continue
+        bad = None
+        for a, b in zip(sr, dr):
+            if a != b:
+                ok = len(a) == len(b)
+                if ok:
+                    for x, y in zip(a, b):
+                        if isinstance(x, float) and isinstance(y, float):
+                            if not (x == y or abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y))):
+                                ok = False
+                                break
+                        elif x != y:
+                            ok = False
+                            break
+                if not ok:
+                    bad = (a, b)
+                    break
+        if bad:
+            print(f"FAIL {name}: first diff\n  spark={bad[0]}\n  duck ={bad[1]}")
+            n_fail += 1
+        else:
+            exact = sr == dr
+            print(f"PASS {name}: {len(sr)} rows" + ("" if exact else " (float-tol)"))
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
