@@ -1,0 +1,130 @@
+"""Text tokenization / shingling / hashing primitives shared by the
+dedup and text-analysis operators.
+
+All formulas exist twice — as Spark Column expressions and as DuckDB
+SQL fragments — generated from the same constants so the oracle
+hash-matches. md5 produces identical lowercase hex in both engines,
+which is the cross-engine hash primitive everything here builds on.
+
+Scale notes: everything is built from JVM-side built-ins (split,
+transform, md5, explode) — no Python UDFs — so whole-stage codegen
+applies, and shingle/minhash tables are (doc_id, value) DataFrames
+that shuffle on the hash value (equi-join), never a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens (documents are single-spaced synthetic text)."""
+    return F.split(F.trim(text), " ")
+
+
+def sql_words(text: str) -> str:
+    return f"string_split(trim({text}), ' ')"
+
+
+def shingles_expr(text_col: str, k: int = 3) -> Column:
+    """Distinct word k-grams as an array column (empty if < k words).
+
+    Built entirely from built-in array functions (split/transform/
+    element_at) so shingling stays inside whole-stage codegen.
+    """
+    expr = (
+        f"CASE WHEN size(split(trim({text_col}), ' ')) >= {k} THEN "
+        f"array_distinct(transform(sequence(1, size(split(trim({text_col}), ' ')) - {k - 1}), "
+        f"i -> concat_ws(' ', "
+        + ", ".join(f"element_at(split(trim({text_col}), ' '), i + {j})" for j in range(k))
+        + "))) ELSE array() END"
+    )
+    return F.expr(expr)
+
+
+def sql_shingle_table(doc_table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    """DuckDB CTE body producing (id, g) distinct shingle rows."""
+    parts = " || ' ' || ".join(f"w[i + {j}]" for j in range(k))
+    return f"""
+  SELECT DISTINCT {id_col}, {parts} AS g
+  FROM (SELECT {id_col}, {sql_words(text_col)} AS w FROM {doc_table})
+  CROSS JOIN UNNEST(range(1, greatest(len(w) - {k - 1}, 0) + 1)) AS t(i)
+  WHERE i + {k - 1} <= len(w)
+"""
+
+
+def md5_hex(col: Column) -> Column:
+    return F.md5(F.encode(col, "UTF-8"))
+
+
+def hex_to_int(col: Column, n_chars: int) -> Column:
+    """Parse the first n hex chars of a lowercase hex string → BIGINT.
+
+    Uses only instr arithmetic so the DuckDB twin (strpos) is
+    value-identical.
+    """
+    total = F.lit(0).cast("long")
+    for i in range(n_chars):
+        digit = F.instr(F.lit(HEX), F.substring(col, i + 1, 1)) - 1
+        total = total * 16 + digit.cast("long")
+    return total
+
+
+def sql_hex_to_int(expr: str, n_chars: int) -> str:
+    out = "CAST(0 AS BIGINT)"
+    for i in range(n_chars):
+        out = f"({out} * 16 + (strpos('{HEX}', substr({expr}, {i + 1}, 1)) - 1))"
+    return out
+
+
+def token_hash16(col: Column) -> Column:
+    """16-bit deterministic token hash: first 4 hex chars of md5."""
+    return hex_to_int(md5_hex(col), 4)
+
+
+def sql_token_hash16(expr: str) -> str:
+    return sql_hex_to_int(f"md5({expr})", 4)
+
+
+def simhash16(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    """16-bit SimHash per id from a (id, token) DataFrame.
+
+    bit_j = 1 iff sum over distinct tokens of ±1 (sign of token-hash
+    bit j) is > 0. Ties → 0, deterministic.
+    """
+    toks = (
+        df.select(id_col, F.col(token_col).alias("__tok"))
+        .distinct()
+        .withColumn("__h", token_hash16(F.col("__tok")))
+    )
+    aggs = []
+    for j in range(16):
+        bit = F.expr(f"__h div {1 << j}") % 2
+        contrib = F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+        aggs.append(F.sum(contrib).alias(f"__s{j}"))
+    summed = toks.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(16):
+        sim = sim + F.when(F.col(f"__s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return summed.select(id_col, sim.alias("simhash"))
+
+
+def sql_simhash16(token_table: str, id_col: str, token_col: str) -> str:
+    """DuckDB twin of simhash16; ``token_table`` yields distinct (id, token)."""
+    h = sql_token_hash16(token_col)
+    s_cols = ", ".join(
+        f"SUM(CASE WHEN (__h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS __s{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN __s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+  SELECT {id_col}, CAST({bits} AS BIGINT) AS simhash
+  FROM (
+    SELECT {id_col}, {s_cols}
+    FROM (SELECT DISTINCT {id_col}, {token_col}, {h} AS __h FROM {token_table})
+    GROUP BY {id_col}
+  )
+"""

@@ -1,0 +1,93 @@
+"""Vector similarity primitives (SURVEY.md §2.7 vector top-k, §2.12.3
+similarity join; reference: entity_resolution/__init__.py:200-262 FAISS
+inner-product search, examples/text_embedding/main.py:149-156 pgvector
+cosine top-k).
+
+Spark-first: similarity is computed with built-in higher-order array
+functions (``zip_with`` + ``aggregate``) — JVM-side, no Python UDF in
+the hot path — so the cross/blocked join plans stay inside whole-stage
+codegen.
+
+Cross-engine determinism: float reductions are order-sensitive, so we
+quantize per-term products to fixed-point BIGINTs (scale 2^40; the
+float32×float32 product is exact in double, and a power-of-two multiply
+never rounds) and sum integers — exact and order-independent. Scalar
+IEEE double ops on those integers (divide, sqrt) are bit-identical in
+every engine, which is what lets the DuckDB oracle hash-match.
+
+At 100 TB the same expressions run unchanged: the brute-force variants
+are for small query sets / re-rank stages, and candidate generation is
+pushed through blocking keys or sign-LSH buckets so the join is an
+equi-join on bucket id (shuffle on bucket, no cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FIXED_BITS = 40
+FIXED_SCALE = float(2**FIXED_BITS)  # 1099511627776.0
+
+
+def dot_fixed(a: Column, b: Column) -> Column:
+    """Fixed-point dot product of two float arrays → BIGINT column."""
+    terms = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(FIXED_SCALE)).cast(
+            "long"
+        ),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
+def sqnorm_fixed(a: Column) -> Column:
+    return dot_fixed(a, a)
+
+
+def cosine_from_fixed(dot: Column, sqnorm_a: Column, sqnorm_b: Column) -> Column:
+    """Cosine similarity as IEEE double ops over fixed-point integers."""
+    return dot.cast("double") / F.sqrt(sqnorm_a.cast("double") * sqnorm_b.cast("double"))
+
+
+def cosine_fixed(a: Column, b: Column) -> Column:
+    return cosine_from_fixed(dot_fixed(a, b), sqnorm_fixed(a), sqnorm_fixed(b))
+
+
+def sign_bucket(a: Column, n_bits: int) -> Column:
+    """Sign-projection LSH bucket from the first ``n_bits`` dimensions.
+
+    Axis-aligned sign-random-projection: bit j = (a[j] >= 0). For
+    unit-normalized embeddings this partitions the sphere into 2^n
+    orthants — an equi-joinable candidate-blocking key (the 100 TB
+    path: shuffle on bucket instead of a cross join).
+    """
+    bucket = F.lit(0)
+    for j in range(n_bits):
+        bucket = bucket + F.when(F.element_at(a, j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+# --- DuckDB oracle fragments (identical formulas, SQL spelling) ---------
+
+
+def sql_dot_fixed(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> CAST(floor(CAST({a}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE)*{FIXED_SCALE!r}) AS BIGINT)))"
+    )
+
+
+def sql_cosine_fixed(a: str, b: str) -> str:
+    return (
+        f"(CAST({sql_dot_fixed(a, b)} AS DOUBLE) / "
+        f"sqrt(CAST({sql_dot_fixed(a, a)} AS DOUBLE) * CAST({sql_dot_fixed(b, b)} AS DOUBLE)))"
+    )
+
+
+def sql_sign_bucket(a: str, n_bits: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {a}[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits)
+    )
+    return f"({terms})"

@@ -1,0 +1,291 @@
+"""Dataflow-engine operator shapes, relationally expressed so the
+oracle can verify them (SURVEY.md §2.5 reconcile, §2.12 join shapes,
+§2.6 entity resolution).
+
+These mirror the engine library in cocoindex_spark.engine — the
+reconcile classifier here is the same full-outer-join + action
+classification that `engine/reconcile.py` executes against real state
+tables; expressing it over `orders` lets the driver hash-check the
+core operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cocoindex_spark.operators.vector_ops import (
+    cosine_from_fixed,
+    dot_fixed,
+    sign_bucket,
+    sqnorm_fixed,
+    sql_dot_fixed,
+    sql_sign_bucket,
+)
+from cocoindex_spark.queries.registry import register, table
+
+
+# --- q60: THE core operator — reconcile join (declared ⋈ tracked →
+#     insert/update/delete/noop actions; rust/core/src/engine/
+#     execution.rs:917-1141, custom_target_connector.mdx:29-68).
+#     Desired state = current orders (minus a simulated drop set);
+#     tracked state = previous run (minus a simulated missing set,
+#     with some stale fingerprints).
+@register(
+    "q60_reconcile_actions",
+    oracle="""
+WITH desired AS (
+  SELECT o_orderkey AS target_key,
+    md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+        CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)) AS fp
+  FROM orders WHERE o_orderkey % 10 <> 3
+), tracked AS (
+  SELECT o_orderkey AS target_key,
+    CASE WHEN o_orderkey % 5 = 0
+      THEN md5(CAST(o_orderkey AS VARCHAR) || ':stale')
+      ELSE md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+               CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR))
+    END AS fp
+  FROM orders WHERE o_orderkey % 7 <> 2
+)
+SELECT COALESCE(d.target_key, t.target_key) AS target_key,
+  CASE
+    WHEN t.target_key IS NULL THEN 'insert'
+    WHEN d.target_key IS NULL THEN 'delete'
+    WHEN d.fp <> t.fp THEN 'update'
+    ELSE 'noop'
+  END AS action
+FROM desired d FULL OUTER JOIN tracked t ON d.target_key = t.target_key
+""",
+)
+def q60_reconcile_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    price_cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    fresh_fp = F.md5(
+        F.encode(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(":"), price_cents.cast("string")),
+            "UTF-8",
+        )
+    )
+    stale_fp = F.md5(F.encode(F.concat(F.col("o_orderkey").cast("string"), F.lit(":stale")), "UTF-8"))
+    desired = o.filter(F.col("o_orderkey") % 10 != 3).select(
+        F.col("o_orderkey").alias("d_key"), fresh_fp.alias("d_fp")
+    )
+    tracked = o.filter(F.col("o_orderkey") % 7 != 2).select(
+        F.col("o_orderkey").alias("t_key"),
+        F.when(F.col("o_orderkey") % 5 == 0, stale_fp).otherwise(fresh_fp).alias("t_fp"),
+    )
+    joined = desired.join(tracked, desired.d_key == tracked.t_key, "full_outer")
+    action = (
+        F.when(F.col("t_key").isNull(), "insert")
+        .when(F.col("d_key").isNull(), "delete")
+        .when(F.col("d_fp") != F.col("t_fp"), "update")
+        .otherwise("noop")
+    )
+    return joined.select(
+        F.coalesce(F.col("d_key"), F.col("t_key")).alias("target_key"), action.alias("action")
+    )
+
+
+# --- q61: memo lookup join (calls ⋈ memo cache on args_fp, left-anti =
+#     misses to compute; execution.rs:85-130)
+@register(
+    "q61_memo_miss_join",
+    oracle="""
+WITH calls AS (
+  SELECT DISTINCT l_partkey, l_suppkey,
+    md5(CAST(l_partkey AS VARCHAR) || ',' || CAST(l_suppkey AS VARCHAR)) AS args_fp
+  FROM lineitem
+), memo AS (
+  SELECT args_fp FROM (
+    SELECT DISTINCT l_partkey, l_suppkey,
+      md5(CAST(l_partkey AS VARCHAR) || ',' || CAST(l_suppkey AS VARCHAR)) AS args_fp
+    FROM lineitem
+  ) WHERE (l_partkey + l_suppkey) % 3 = 0
+)
+SELECT c.l_partkey, c.l_suppkey, c.args_fp
+FROM calls c WHERE NOT EXISTS (SELECT 1 FROM memo m WHERE m.args_fp = c.args_fp)
+""",
+)
+def q61_memo_miss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    args_fp = F.md5(
+        F.encode(
+            F.concat(F.col("l_partkey").cast("string"), F.lit(","), F.col("l_suppkey").cast("string")),
+            "UTF-8",
+        )
+    )
+    calls = l.select("l_partkey", "l_suppkey").distinct().withColumn("args_fp", args_fp)
+    memo = calls.filter((F.col("l_partkey") + F.col("l_suppkey")) % 3 == 0).select("args_fp")
+    return calls.join(memo, "args_fp", "left_anti").select("l_partkey", "l_suppkey", "args_fp")
+
+
+# --- q62: connected components over the similarity graph (entity
+#     resolution: FAISS range_search → union-find,
+#     entity_resolution/__init__.py:427-489). Spark: iterative
+#     min-label propagation over the edge list (each round = one
+#     shuffle join; at cluster scale swap in the alternating
+#     star-contraction variant — same contract).
+@register(
+    "q62_connected_components",
+    oracle=f"""
+WITH RECURSIVE eb AS (
+  SELECT vec_id, embedding, {sql_sign_bucket("embedding", 8)} AS bucket,
+         {sql_dot_fixed("embedding", "embedding")} AS sqn
+  FROM embeddings
+), edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE CAST({sql_dot_fixed("a.embedding", "b.embedding")} AS DOUBLE)
+          / sqrt(CAST(a.sqn AS DOUBLE) * CAST(b.sqn AS DOUBLE)) >= 0.30
+), sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+), reach(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+)
+SELECT a AS vec_id, MIN(b) AS component_id FROM reach GROUP BY a
+""",
+)
+def q62_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .withColumn("bucket", sign_bucket(F.col("embedding"), 8))
+        .withColumn("sqn", sqnorm_fixed(F.col("embedding")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("src"), F.col("bucket").alias("bucket"),
+        F.col("embedding").alias("a_emb"), F.col("sqn").alias("a_sqn"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"), F.col("bucket").alias("b_bucket"),
+        F.col("embedding").alias("b_emb"), F.col("sqn").alias("b_sqn"),
+    )
+    sim = cosine_from_fixed(dot_fixed(F.col("a_emb"), F.col("b_emb")), F.col("a_sqn"), F.col("b_sqn"))
+    edges = (
+        a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("src") < F.col("dst")))
+        .filter(sim >= 0.30)
+        .select("src", "dst")
+    )
+    sym = edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
+    labels = (
+        table(spark, sf_dir, "embeddings").select(F.col("vec_id"), F.col("vec_id").alias("component_id"))
+    ).cache()
+    # Min-label propagation to fixpoint. Component diameters here are
+    # tiny; each round is one equi-join + groupBy.
+    for _ in range(30):
+        neighbor_min = (
+            labels.join(sym, labels.vec_id == sym.src)
+            .groupBy(F.col("dst").alias("vec_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least(F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))).alias(
+                    "component_id"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vec_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("vec_id", "component_id")
+
+
+# --- q63: RRF hybrid rank fusion (semantic rank ⋈ lexical rank on id,
+#     1/(60+rs) + 1/(60+rl); examples/sec_edgar_analytics/search.py:44-60)
+@register(
+    "q63_rrf_hybrid",
+    oracle=f"""
+WITH sem AS (
+  SELECT a.vec_id AS id,
+    ROW_NUMBER() OVER (ORDER BY CAST({sql_dot_fixed("a.embedding", "q.embedding")} AS DOUBLE)
+      / sqrt(CAST({sql_dot_fixed("a.embedding", "a.embedding")} AS DOUBLE)
+           * CAST({sql_dot_fixed("q.embedding", "q.embedding")} AS DOUBLE)) DESC, a.vec_id ASC) AS rk_s
+  FROM embeddings a, embeddings q WHERE q.vec_id = 0 AND a.vec_id <> 0
+), toks AS (
+  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS w FROM documents
+), lex AS (
+  SELECT a.doc_id AS id,
+    ROW_NUMBER() OVER (
+      ORDER BY len(list_intersect(a.w, q.w)) DESC, a.doc_id ASC) AS rk_l
+  FROM toks a, toks q WHERE q.doc_id = 0 AND a.doc_id <> 0
+)
+SELECT sem.id AS id, rk_s, rk_l,
+  1.0/(60 + rk_s) + 1.0/(60 + rk_l) AS rrf
+FROM sem JOIN lex ON sem.id = lex.id
+ORDER BY rrf DESC, id ASC
+LIMIT 20
+""",
+)
+def q63_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine_from_fixed(
+            dot_fixed(F.col("embedding"), F.col("q_emb")),
+            sqnorm_fixed(F.col("embedding")),
+            sqnorm_fixed(F.col("q_emb")),
+        ).alias("sim"))
+        .withColumn("rk_s", F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("vec_id"))))
+        .select(F.col("vec_id").alias("id"), "rk_s")
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+    qd = d.filter(F.col("doc_id") == 0).select(F.col("w").alias("q_w"))
+    lex = (
+        d.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(qd))
+        .select("doc_id", F.size(F.array_intersect(F.col("w"), F.col("q_w"))).alias("overlap"))
+        .withColumn("rk_l", F.row_number().over(Window.orderBy(F.desc("overlap"), F.asc("doc_id"))))
+        .select(F.col("doc_id").alias("id"), "rk_l")
+    )
+    rrf = F.lit(1.0) / (F.lit(60) + F.col("rk_s")) + F.lit(1.0) / (F.lit(60) + F.col("rk_l"))
+    return (
+        sem.join(lex, "id")
+        .withColumn("rrf", rrf)
+        .orderBy(F.desc("rrf"), F.asc("id"))
+        .limit(20)
+        .select("id", "rk_s", "rk_l", "rrf")
+    )
+
+
+# --- q64: child-existence set reconcile (current vs previous child key
+#     sets → create/delete cascade; rust/core/src/state/stable_path_set.rs)
+@register(
+    "q64_child_existence_diff",
+    oracle="""
+WITH current_children AS (
+  SELECT DISTINCT o_custkey AS child_key FROM orders
+), previous_children AS (
+  SELECT c_custkey AS child_key FROM customer WHERE c_custkey % 11 <> 5
+)
+SELECT child_key, 'create' AS action
+FROM current_children WHERE child_key NOT IN (SELECT child_key FROM previous_children)
+UNION ALL
+SELECT child_key, 'delete' AS action
+FROM previous_children WHERE child_key NOT IN (SELECT child_key FROM current_children)
+""",
+)
+def q64_child_existence_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    current = o.select(F.col("o_custkey").alias("child_key")).distinct()
+    previous = c.filter(F.col("c_custkey") % 11 != 5).select(F.col("c_custkey").alias("child_key"))
+    creates = current.join(previous, "child_key", "left_anti").withColumn("action", F.lit("create"))
+    deletes = previous.join(current, "child_key", "left_anti").withColumn("action", F.lit("delete"))
+    return creates.unionAll(deletes)

@@ -1,0 +1,218 @@
+"""Deduplication operator family over the `documents` table — exact,
+MinHash+LSH, SimHash, n-gram Jaccard (training-data-pipeline extensions;
+reference analog: entity dedup, docs/.../entity_resolution.mdx:142).
+
+Every variant is expressed as DataFrame equi-joins on hash values
+(never an O(n²) cross product), which is the shape that scales: at
+100 TB candidate generation shuffles on (band/bucket/shingle) keys and
+only verified candidates reach the exact stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cocoindex_spark.operators.text_ops import (
+    md5_hex,
+    shingles_expr,
+    simhash16,
+    sql_shingle_table,
+    sql_simhash16,
+)
+from cocoindex_spark.queries.registry import register, table
+
+MINHASH_K = 8  # signature length
+MINHASH_BANDS = 2  # 2 bands × 4 rows
+JACCARD_VERIFY = 0.7
+
+
+# --- q30: exact dedup (hash-groupBy; canonical = min doc_id per content hash)
+@register(
+    "q30_exact_dedup",
+    oracle="""
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS is_dup
+FROM documents
+""",
+)
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(md5_hex(F.col("text")))
+    canonical = F.min("doc_id").over(w)
+    return d.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        F.when(F.col("doc_id") != canonical, F.lit(1)).otherwise(F.lit(0)).alias("is_dup"),
+    )
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(shingles_expr("text", 3)).alias("g")
+    )
+
+
+_SH = sql_shingle_table("documents", "doc_id", "text", 3)
+
+
+# --- q31: n-gram Jaccard near-dup join (shingle equi-join → pair
+#     intersection counts → |A∩B| / |A∪B| ≥ 0.8)
+@register(
+    "q31_ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS ({_SH}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+FROM inter JOIN sizes s1 ON a_id = s1.doc_id JOIN sizes s2 ON b_id = s2.doc_id
+WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8
+""",
+)
+def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "g")
+    b = sh.select(F.col("doc_id").alias("b_id"), "g")
+    inter = (
+        a.join(b, ["g"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        inter.join(s1, "a_id")
+        .join(s2, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# --- q32: MinHash + LSH banding (shingle→minhash signature→band
+#     buckets→candidate equi-join→exact Jaccard verify)
+def _minhash_cols():
+    return [F.min(md5_hex(F.concat(F.col("g"), F.lit(f"#{s}")))).alias(f"h{s}") for s in range(MINHASH_K)]
+
+
+@register(
+    "q32_minhash_lsh_pairs",
+    oracle=f"""
+WITH sh AS ({_SH}),
+sig AS (
+  SELECT doc_id,
+    {", ".join(f"MIN(md5(g || '#{s}')) AS h{s}" for s in range(MINHASH_K))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bkey FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS c
+  FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id AND a.g = b.g
+  GROUP BY c.a_id, c.b_id
+)
+SELECT i.a_id, i.b_id, CAST(i.c AS DOUBLE) / (s1.n + s2.n - i.c) AS jaccard
+FROM inter i JOIN sizes s1 ON i.a_id = s1.doc_id JOIN sizes s2 ON i.b_id = s2.doc_id
+WHERE CAST(i.c AS DOUBLE) / (s1.n + s2.n - i.c) >= {JACCARD_VERIFY}
+""",
+)
+def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(*_minhash_cols())
+    band0 = sig.select(
+        "doc_id", F.lit(0).alias("band"), F.md5(F.encode(F.concat("h0", "h1", "h2", "h3"), "UTF-8")).alias("bkey")
+    )
+    band1 = sig.select(
+        "doc_id", F.lit(1).alias("band"), F.md5(F.encode(F.concat("h4", "h5", "h6", "h7"), "UTF-8")).alias("bkey")
+    )
+    bands = band0.unionAll(band1)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("a_id"), "g")
+    shb = sh.select(F.col("doc_id").alias("b_id"), "g")
+    inter = (
+        cand.join(sha, "a_id").join(shb, ["b_id", "g"]).groupBy("a_id", "b_id").agg(F.count("*").alias("c"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        inter.join(s1, "a_id")
+        .join(s2, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_VERIFY)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# --- q33: SimHash near-dup (16-bit signature; banded candidate join —
+#     4 bands × 4 bits; by pigeonhole every hamming≤1 pair (and most ≤3) shares a
+#     band, so the banded join is result-identical to the full O(n²)
+#     join while staying an equi-join at scale)
+_TOKENS_SQL = "(SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS tok FROM documents)"
+
+
+@register(
+    "q33_simhash_pairs",
+    oracle=f"""
+WITH sim AS ({sql_simhash16(_TOKENS_SQL, "doc_id", "tok")})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""",
+)
+def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+    sim = simhash16(toks, "doc_id", "tok")
+    # 4 bands × 4 bits: candidates = pairs sharing any band (equi-join).
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band"), F.expr(f"(simhash div {1 << (4 * j)}) % 16").alias("bval"))
+                for j in range(4)
+            ])
+        ).alias("bs"),
+    ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval"))
+    a = bands.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"), "band", "bval")
+    b = bands.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"), "band", "bval")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sim", "b_sim")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= 1)
+        .select("a_id", "b_id", "hamming")
+    )

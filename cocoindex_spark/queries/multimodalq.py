@@ -1,0 +1,59 @@
+"""Multimodal pipeline queries: binary payload → Arrow-batched decode
+stub → metadata aggregation. The decode itself runs through real
+``mapInPandas`` plumbing (see operators/multimodal.py); the oracle
+recomputes the deterministic fake decode in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cocoindex_spark.operators.multimodal import decode_binary_meta, sql_fake_decode
+from cocoindex_spark.queries.registry import register, table
+
+_DECODED = sql_fake_decode("documents", "doc_id", "text")
+
+
+# --- q70: decode stub over binary column (mapInPandas, Arrow batches)
+@register(
+    "q70_multimodal_decode",
+    oracle=f"""
+WITH decoded AS ({_DECODED})
+SELECT doc_id, byte_len, content_md5, width, height, n_frames, modality
+FROM decoded
+""",
+)
+def q70_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return decode_binary_meta(d, "doc_id", "payload")
+
+
+# --- q71: metadata rollup after decode (per-modality size/shape stats)
+@register(
+    "q71_multimodal_stats",
+    oracle=f"""
+WITH decoded AS ({_DECODED})
+SELECT modality, COUNT(*) AS n,
+  SUM(byte_len) AS total_bytes,
+  MIN(width) AS min_width, MAX(width) AS max_width,
+  CAST(SUM(width * height) AS DOUBLE) / SUM(n_frames) AS px_per_frame
+FROM decoded GROUP BY modality
+""",
+)
+def q71_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    meta = decode_binary_meta(d, "doc_id", "payload")
+    return meta.groupBy("modality").agg(
+        F.count("*").alias("n"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.min("width").alias("min_width"),
+        F.max("width").alias("max_width"),
+        (
+            F.sum(F.col("width") * F.col("height")).cast("double") / F.sum("n_frames")
+        ).alias("px_per_frame"),
+    )

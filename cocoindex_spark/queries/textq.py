@@ -1,0 +1,310 @@
+"""Text-analysis operator family over `documents` (training-data-
+pipeline extensions; reference analogs: detect_code_language
+python/cocoindex/ops/text.py:20, splitters ops/text.py:40-155,
+fingerprints connectorkits/fingerprint.py).
+
+All scoring is integer/IEEE-double arithmetic over token counts, so
+the DuckDB oracle is value-identical. No Python UDFs — tokenization,
+chunking and hashing run as built-in array expressions inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cocoindex_spark.operators.text_ops import sql_token_hash16, token_hash16
+from cocoindex_spark.queries.registry import register, table
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+    "es": ("el", "la", "y", "los", "de", "un", "es"),
+}
+
+
+# --- q40: token counting (whitespace tokenizer; per-doc stats)
+@register(
+    "q40_token_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+)
+SELECT doc_id, len(w) AS n_tokens,
+  len(list_distinct(w)) AS n_unique,
+  CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(w) AS avg_token_len
+FROM toks
+""",
+)
+def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    total_len = F.aggregate(
+        F.transform(w, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_unique"),
+        (total_len.cast("double") / F.size(w)).alias("avg_token_len"),
+    )
+
+
+# --- q41: quality scoring (length / stopword-ratio / uniqueness mix)
+_EN_STOPS = STOPWORDS["en"]
+_STOP_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in _EN_STOPS) + "]"
+
+
+@register(
+    "q41_quality_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars, string_split(trim(text), ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id, lang, n_chars, len(w) AS n_tokens,
+    len(list_filter(w, t -> list_contains({_STOP_LIST_SQL}, t))) AS n_stop,
+    len(list_distinct(w)) AS n_unique
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, n_stop,
+  (CAST(n_stop AS DOUBLE) / n_tokens) AS stop_ratio,
+  (CAST(n_unique AS DOUBLE) / n_tokens) AS uniq_ratio,
+  (CAST(n_unique AS DOUBLE) / n_tokens) * 0.5
+    + (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05 THEN 0.2 ELSE 0.0 END) AS quality
+FROM m
+""",
+)
+def q41_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    stops = F.array(*[F.lit(s) for s in _EN_STOPS])
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.size(w).alias("n_tokens"),
+        F.size(F.filter(w, lambda t: F.array_contains(stops, t))).alias("n_stop"),
+        F.size(F.array_distinct(w)).alias("n_unique"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    uniq_ratio = F.col("n_unique").cast("double") / F.col("n_tokens")
+    quality = (
+        uniq_ratio * 0.5
+        + F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 0.3).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.2).otherwise(0.0)
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_stop",
+        stop_ratio.alias("stop_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        quality.alias("quality"),
+    )
+
+
+# --- q42: language ID (stopword-profile + non-ASCII heuristic) scored
+#     as a confusion matrix against the ground-truth `lang` column
+def _sql_count_in(words_list: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{s}'" for s in words_list) + "]"
+    return f"len(list_filter(w, t -> list_contains({lst}, t)))"
+
+
+@register(
+    "q42_langid_confusion",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, string_split(trim(text), ' ') AS w FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS n_nonascii,
+    length(text) AS n_chars_raw,
+    {_sql_count_in(STOPWORDS["en"])} AS s_en,
+    {_sql_count_in(STOPWORDS["de"])} AS s_de,
+    {_sql_count_in(STOPWORDS["fr"])} AS s_fr,
+    {_sql_count_in(STOPWORDS["es"])} AS s_es
+  FROM toks
+), pred AS (
+  SELECT doc_id, lang,
+    CASE
+      WHEN CAST(n_nonascii AS DOUBLE) / n_chars_raw > 0.3 THEN 'zh'
+      WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+      WHEN s_fr > s_en AND s_fr >= s_es THEN 'fr'
+      WHEN s_es > s_en THEN 'es'
+      ELSE 'en'
+    END AS predicted
+  FROM scored
+)
+SELECT lang, predicted, COUNT(*) AS n
+FROM pred GROUP BY lang, predicted
+""",
+)
+def q42_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+
+    def count_in(lang: str):
+        stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        return F.size(F.filter(w, lambda t: F.array_contains(stops, t)))
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.length(F.regexp_replace(F.col("text"), r"[\x00-\x7F]", "")).alias("n_nonascii"),
+        F.length("text").alias("n_chars_raw"),
+        count_in("en").alias("s_en"),
+        count_in("de").alias("s_de"),
+        count_in("fr").alias("s_fr"),
+        count_in("es").alias("s_es"),
+    )
+    predicted = (
+        F.when(F.col("n_nonascii").cast("double") / F.col("n_chars_raw") > 0.3, "zh")
+        .when(
+            (F.col("s_de") > F.col("s_en"))
+            & (F.col("s_de") >= F.col("s_fr"))
+            & (F.col("s_de") >= F.col("s_es")),
+            "de",
+        )
+        .when((F.col("s_fr") > F.col("s_en")) & (F.col("s_fr") >= F.col("s_es")), "fr")
+        .when(F.col("s_es") > F.col("s_en"), "es")
+        .otherwise("en")
+    )
+    return (
+        scored.withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- q43: document fingerprinting (position-weighted rolling hash over
+#     token hashes — resources/id.py:31's deterministic-id idea applied
+#     to content)
+_POW31 = [31**k for k in range(8)]
+
+
+@register(
+    "q43_doc_fingerprint",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+)
+SELECT doc_id,
+  list_sum(list_transform(range(1, len(w)+1),
+    i -> CAST({sql_token_hash16("w[i]")} AS BIGINT) *
+         (CASE ((i-1) % 8) {" ".join(f"WHEN {k} THEN {p}" for k, p in enumerate(_POW31))} END)
+  )) % 1000000007 AS fingerprint
+FROM toks
+""",
+)
+def q43_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.split(F.trim(F.col("text")), " ")).alias("pos", "tok"))
+    weight = F.element_at(
+        F.array(*[F.lit(p) for p in _POW31]), (F.col("pos") % 8) + 1
+    ).cast("long")
+    term = token_hash16(F.col("tok")) * weight
+    return (
+        toks.withColumn("term", term)
+        .groupBy("doc_id")
+        .agg((F.sum("term") % F.lit(1000000007)).alias("fingerprint"))
+    )
+
+
+# --- q44: fixed-size overlapping word-window chunking (SeparatorSplitter/
+#     RecursiveSplitter semantics restated windowed: chunk_size=32 words,
+#     stride=24 → overlap 8; rust/ops_text/src/split/recursive.rs:591)
+_CHUNK = 32
+_STRIDE = 24
+
+
+@register(
+    "q44_chunk_documents",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+    array_to_string(w[({_STRIDE}*i + 1):({_STRIDE}*i + {_CHUNK})], ' ') AS chunk_text,
+    least({_CHUNK}, len(w) - {_STRIDE}*i) AS n_words,
+    {_STRIDE}*i + 1 AS start_word
+  FROM toks CROSS JOIN UNNEST(range(0, 1 + CAST(floor(greatest(len(w) - {_CHUNK}, 0) * 1.0 / {_STRIDE}) AS BIGINT) +
+      (CASE WHEN (greatest(len(w) - {_CHUNK}, 0)) % {_STRIDE} > 0 THEN 1 ELSE 0 END))) AS t(i)
+  WHERE {_STRIDE}*i < len(w)
+)
+SELECT doc_id, chunk_idx, chunk_text, n_words, start_word FROM chunks
+""",
+)
+def q44_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    n = F.size(w)
+    # number of chunks: ceil(max(n - CHUNK, 0) / STRIDE) + 1, but never
+    # starting at/after n
+    extra = F.greatest(n - F.lit(_CHUNK), F.lit(0))
+    n_chunks = (
+        F.floor(extra.cast("double") / F.lit(_STRIDE)).cast("long")
+        + F.when(extra % _STRIDE > 0, 1).otherwise(0)
+        + 1
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    F.concat_ws(" ", F.slice(w, i * _STRIDE + 1, _CHUNK)).alias("chunk_text"),
+                    F.least(F.lit(_CHUNK), n - i * _STRIDE).alias("n_words"),
+                    (i * _STRIDE + 1).alias("start_word"),
+                ),
+            )
+        ).alias("chunk_idx", "ch"),
+    ).filter(F.col("ch.n_words") > 0)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("ch.chunk_text").alias("chunk_text"),
+        F.col("ch.n_words").cast("long").alias("n_words"),
+        F.col("ch.start_word").cast("long").alias("start_word"),
+    )
+
+
+# --- q45: deterministic id generation (resources/id.py:31,61 —
+#     stable across runs, NOT monotonically_increasing_id)
+@register(
+    "q45_deterministic_ids",
+    oracle="""
+SELECT doc_id,
+  md5('doc:' || CAST(doc_id AS VARCHAR)) AS content_key,
+  substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+  substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 9, 4) || '-' ||
+  substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 13, 4) || '-' ||
+  substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 17, 4) || '-' ||
+  substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 21, 12) AS stable_uuid,
+  ROW_NUMBER() OVER (ORDER BY doc_id) AS ordinal
+FROM documents
+""",
+)
+def q45_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.encode(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")), "UTF-8"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(key, 1, 8),
+        F.substring(key, 9, 4),
+        F.substring(key, 13, 4),
+        F.substring(key, 17, 4),
+        F.substring(key, 21, 12),
+    )
+    w = Window.orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        key.alias("content_key"),
+        uuid.alias("stable_uuid"),
+        F.row_number().over(w).cast("long").alias("ordinal"),
+    )

@@ -1,0 +1,209 @@
+"""Similarity-search operator coverage (SURVEY.md §2.7, §2.12.3).
+
+Brute-force cosine top-k is the correctness baseline
+(examples/text_embedding/main.py:149-156 `ORDER BY embedding <=> $1
+LIMIT k`); the blocked/LSH variants are the 100 TB scale path
+(entity_resolution/__init__.py:453-465 range_search → here an
+equi-join on a blocking key, no cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cocoindex_spark.operators.vector_ops import (
+    cosine_fixed,
+    cosine_from_fixed,
+    dot_fixed,
+    sign_bucket,
+    sqnorm_fixed,
+    sql_cosine_fixed,
+    sql_dot_fixed,
+    sql_sign_bucket,
+)
+from cocoindex_spark.queries.registry import register, table
+
+_COS_AB = sql_cosine_fixed("a.embedding", "b.embedding")
+
+
+# --- q20: brute-force cosine top-k against one query vector
+@register(
+    "q20_vector_topk",
+    oracle=f"""
+SELECT a.vec_id, a.label, {_COS_AB} AS sim
+FROM embeddings a, embeddings b
+WHERE b.vec_id = 0 AND a.vec_id <> 0
+ORDER BY sim DESC, a.vec_id ASC
+LIMIT 10
+""",
+)
+def q20_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_fixed(F.col("embedding"), F.col("q_emb")).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# --- q21: k-NN for a batch of query vectors (broadcast queries × corpus,
+#     per-query window top-k — the re-rank stage of any ANN pipeline)
+@register(
+    "q21_knn_batch",
+    oracle=f"""
+SELECT qid, vec_id, rk FROM (
+  SELECT b.vec_id AS qid, a.vec_id AS vec_id,
+         ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {_COS_AB} DESC, a.vec_id ASC) AS rk
+  FROM embeddings a, embeddings b
+  WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+) WHERE rk <= 5
+""",
+)
+def q21_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    sim = cosine_fixed(F.col("embedding"), F.col("q_emb"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id", "rk")
+    )
+
+
+# --- q22: blocked similarity join (candidate generation by blocking key
+#     = label, then exact cosine threshold — entity_resolution's
+#     range_search restated as an equi-join + filter). Squared norms are
+#     precomputed per row (O(n·d)) so the pair stage is O(pairs·d) for
+#     the dot only — the shape that survives a 100× scale-up.
+@register(
+    "q22_similarity_join_blocked",
+    oracle=f"""
+WITH en AS (
+  SELECT vec_id, label, embedding, {sql_dot_fixed("embedding", "embedding")} AS sqn
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+       CAST({sql_dot_fixed("a.embedding", "b.embedding")} AS DOUBLE)
+         / sqrt(CAST(a.sqn AS DOUBLE) * CAST(b.sqn AS DOUBLE)) AS sim
+FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST({sql_dot_fixed("a.embedding", "b.embedding")} AS DOUBLE)
+        / sqrt(CAST(a.sqn AS DOUBLE) * CAST(b.sqn AS DOUBLE)) >= 0.30
+""",
+)
+def q22_similarity_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "sqn", sqnorm_fixed(F.col("embedding"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("sqn").alias("a_sqn"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+        F.col("sqn").alias("b_sqn"),
+    )
+    sim = cosine_from_fixed(
+        dot_fixed(F.col("a_emb"), F.col("b_emb")), F.col("a_sqn"), F.col("b_sqn")
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.30)
+        .select("a_id", "b_id", "label", "sim")
+    )
+
+
+# --- q23: sign-LSH bucketed ANN join (the scale path: equi-join on an
+#     8-bit orthant bucket, exact re-rank inside buckets)
+_BUCKET_A = sql_sign_bucket("a.embedding", 8)
+_BUCKET_B = sql_sign_bucket("b.embedding", 8)
+
+
+@register(
+    "q23_lsh_bucket_join",
+    oracle=f"""
+WITH eb AS (
+  SELECT vec_id, embedding, {sql_sign_bucket("embedding", 8)} AS bucket,
+         {sql_dot_fixed("embedding", "embedding")} AS sqn
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+       CAST({sql_dot_fixed("a.embedding", "b.embedding")} AS DOUBLE)
+         / sqrt(CAST(a.sqn AS DOUBLE) * CAST(b.sqn AS DOUBLE)) AS sim
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE CAST({sql_dot_fixed("a.embedding", "b.embedding")} AS DOUBLE)
+        / sqrt(CAST(a.sqn AS DOUBLE) * CAST(b.sqn AS DOUBLE)) >= 0.32
+""",
+)
+def q23_lsh_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .withColumn("bucket", sign_bucket(F.col("embedding"), 8))
+        .withColumn("sqn", sqnorm_fixed(F.col("embedding")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("bucket").alias("bucket"),
+        F.col("embedding").alias("a_emb"),
+        F.col("sqn").alias("a_sqn"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("embedding").alias("b_emb"),
+        F.col("sqn").alias("b_sqn"),
+    )
+    sim = cosine_from_fixed(
+        dot_fixed(F.col("a_emb"), F.col("b_emb")), F.col("a_sqn"), F.col("b_sqn")
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("a_id") < F.col("b_id")))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.32)
+        .select("a_id", "b_id", "bucket", "sim")
+    )
+
+
+# --- q24: per-label centroids via fixed-point elementwise aggregation
+#     (posexplode → groupBy(label, dim) — fully distributed, no collect)
+@register(
+    "q24_label_centroids",
+    oracle="""
+SELECT label, i - 1 AS dim,
+  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 67108864.0) AS BIGINT)) AS DOUBLE)
+    / COUNT(*) / 67108864.0 AS centroid,
+  COUNT(*) AS n
+FROM embeddings CROSS JOIN UNNEST(range(1, 65)) AS t(i)
+GROUP BY label, i
+""",
+)
+def q24_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn(
+        "val_fixed", F.floor(F.col("val").cast("double") * F.lit(67108864.0)).cast("long")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        (F.sum("val_fixed").cast("double") / F.count("*") / F.lit(67108864.0)).alias("centroid"),
+        F.count("*").alias("n"),
+    )
