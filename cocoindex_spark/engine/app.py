@@ -1,0 +1,228 @@
+"""App: the engine's top-level pipeline runner (reference:
+python/cocoindex/_internal/app.py:184 `class App`,
+rust/core/src/engine/app.rs:87).
+
+`sync_table` is the Spark-first restatement of the reference's
+canonical pipeline — mount_each over keyed source items, memoized
+transform, declare target states, reconcile, apply — as ONE DataFrame
+program (SURVEY.md §3.1 "Spark restatement"):
+
+    keyed source DF
+      → row fingerprints (change detection)
+      → memo anti-join on (logic_fp, args_fp)        [skip unchanged]
+      → transform() only over misses                  [the user fn]
+      → union memo hits (replayed results)
+      → reconcile full-outer join vs tracking         [§2.5]
+      → MERGE into sink + tracking commit + memo flush
+
+Incremental contract (BASELINE.md): warm re-run ⇒ 0 transform
+invocations and all-noop reconcile; single-item edit ⇒ exactly that
+item recomputed; deleted item ⇒ its target rows deleted.
+
+Every step is a distributed DataFrame op — no driver-side loop over
+items — so the same program runs unchanged on a 1000-executor cluster;
+state tables shard by key hash and the memo join is a plain shuffle
+(or broadcast when small).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cocoindex_spark.engine.reconcile import reconcile, tracking_updates
+from cocoindex_spark.fingerprint import fp_col, fp_logic
+from cocoindex_spark.sinks.table import TableTarget
+from cocoindex_spark.state.store import StateStore
+
+
+@dataclass
+class SyncStats:
+    """Per-sync op counts — the metrics the reference's scenario tests
+    assert on (tests/common/target_states.py Metrics/AtMost)."""
+
+    memo_hits: int = 0
+    memo_misses: int = 0
+    inserts: int = 0
+    updates: int = 0
+    deletes: int = 0
+    noops: int = 0
+    wall_sec: float = 0.0
+    extra: dict = field(default_factory=dict)
+
+
+class App:
+    def __init__(self, name: str, state_dir: str, spark: SparkSession | None = None):
+        self.name = name
+        if spark is None:
+            from cocoindex_spark.session import get_spark
+
+            spark = get_spark(f"cocoindex-{name}")
+        self.spark = spark
+        self.state = StateStore(os.path.join(state_dir, name))
+
+    # -- helpers ----------------------------------------------------------
+    @staticmethod
+    def _path_col(prefix: str, cols: list[str]) -> F.Column:
+        return F.concat_ws("/", F.lit(prefix), *[F.col(c).cast("string") for c in cols])
+
+    def target(self, path: str, pk: list[str], schema) -> TableTarget:
+        from pyspark.sql.types import StructType
+
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        return TableTarget(path, pk, schema)
+
+    # -- the core sync ----------------------------------------------------
+    def sync_table(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        transform: Callable[[DataFrame], DataFrame],
+        target: TableTarget,
+        memo: bool = True,
+        full_reprocess: bool = False,
+    ) -> SyncStats:
+        """One catch-up update (app.update_blocking analog, §3.1).
+
+        ``transform`` maps a keyed source DataFrame to target rows; it
+        must carry the target's pk columns in its output and must be
+        deterministic per input row (the memo contract).
+        """
+        t0 = time.perf_counter()
+        spark = self.spark
+        stats = SyncStats()
+        version = int(time.time() * 1000)
+        logic_fp = getattr(transform, "logic_fp", None) or fp_logic(transform)
+
+        component_prefix = f"{self.name}/{target.name}"
+        src_cols = [c for c in source.columns]
+        keyed = source.withColumn(
+            "__args_fp", fp_col(F.lit(logic_fp), *[F.col(c) for c in src_cols])
+        ).withColumn("__component_path", self._path_col(component_prefix, key_cols))
+        keyed = keyed.cache()
+
+        # ---- memo lookup join (§3.2: anti-join against _state/memo) ----
+        memo_df = self.state.memo.read(spark).filter(F.col("logic_fp") == logic_fp)
+        if memo and not full_reprocess:
+            hits_keys = keyed.join(
+                memo_df.select(F.col("args_fp").alias("__args_fp"), "result_json"),
+                "__args_fp",
+                "inner",
+            )
+            miss_src = keyed.join(
+                memo_df.select(F.col("args_fp").alias("__args_fp")), "__args_fp", "left_anti"
+            )
+        else:
+            hits_keys = keyed.limit(0).withColumn("result_json", F.lit(None).cast("string"))
+            miss_src = keyed
+
+        miss_src = miss_src.cache()
+        # Run the transform ONLY over misses (always run it so we learn
+        # the output schema even when everything hit).
+        miss_out = transform(miss_src.select(*src_cols, "__args_fp", "__component_path"))
+        out_cols = [
+            c for c in miss_out.columns if c not in ("__args_fp", "__component_path")
+        ]
+        if "__args_fp" not in miss_out.columns:
+            raise ValueError("transform must preserve the __args_fp column")
+        miss_out = miss_out.cache()
+
+        # ---- replay memo hits (deserialize carried results) ----
+        from pyspark.sql.types import ArrayType
+
+        row_schema = miss_out.select(*out_cols).schema
+        hit_rows = (
+            hits_keys.select(
+                "__args_fp",
+                "__component_path",
+                F.explode(
+                    F.from_json(F.col("result_json"), ArrayType(row_schema))
+                ).alias("__row"),
+            ).select("__args_fp", "__component_path", *[F.col(f"__row.{c}").alias(c) for c in out_cols])
+        )
+
+        results = miss_out.select("__args_fp", "__component_path", *out_cols).unionByName(
+            hit_rows
+        )
+
+        # ---- declare target states ----
+        desired = results.select(
+            F.col("__component_path").alias("component_path"),
+            self._path_col(target.name, target.pk).alias("target_path"),
+            fp_col(*[F.col(c) for c in out_cols]).alias("fp"),
+            *out_cols,
+        )
+
+        # ---- reconcile (§2.5) ----
+        tracked = self.state.tracking.read(spark).filter(
+            F.col("component_path").startswith(component_prefix + "/")
+        )
+        plan = reconcile(desired, tracked, full_reprocess=full_reprocess)
+        plan.actions = plan.actions.cache()
+        counts = plan.counts()
+        stats.inserts = counts["insert"]
+        stats.updates = counts["update"]
+        stats.deletes = counts["delete"]
+        stats.noops = counts["noop"]
+
+        # ---- Phase 2 precommit: stage marker (pending_token) ----
+        token = uuid.uuid4().hex
+        if stats.inserts or stats.updates or stats.deletes:
+            from cocoindex_spark.engine.reconcile import mark_pending
+
+            pending = mark_pending(self.state.tracking.read(spark), plan, token)
+            self.state.tracking.overwrite(pending)
+
+            # ---- Phase 3 sink apply (idempotent MERGE) ----
+            upserts = plan.actions.filter(F.col("action").isin("insert", "update"))
+            if stats.inserts or stats.updates:
+                target.upsert(upserts.select(*out_cols))
+            if stats.deletes:
+                # Map deleted target_paths back to pk values via the sink.
+                current = target.read(spark).withColumn(
+                    "__tp", self._path_col(target.name, target.pk)
+                )
+                dead = plan.actions.filter(F.col("action") == "delete").select(
+                    F.col("target_path").alias("__tp")
+                )
+                target.delete(current.join(dead, "__tp").select(*target.pk))
+
+            # ---- Phase 4 commit: tracking + memo flush ----
+            applied, deleted = tracking_updates(plan, version)
+            self.state.tracking.merge_upsert(applied)
+            self.state.tracking.delete_keys(deleted)
+
+        # memo flush: record results for every miss (even all-noop runs
+        # converge their memo) — one JSON array of rows per args_fp.
+        if memo:
+            miss_memo = (
+                miss_out.groupBy("__args_fp")
+                .agg(F.to_json(F.collect_list(F.struct(*out_cols))).alias("result_json"))
+                .select(
+                    F.lit(logic_fp).alias("logic_fp"),
+                    F.col("__args_fp").alias("args_fp"),
+                    "result_json",
+                    F.lit(version).cast("long").alias("version"),
+                )
+            )
+            stats.memo_misses = miss_src.count()
+            stats.memo_hits = keyed.count() - stats.memo_misses
+            if stats.memo_misses:
+                self.state.memo.merge_upsert(miss_memo)
+        else:
+            stats.memo_misses = keyed.count()
+
+        stats.wall_sec = time.perf_counter() - t0
+        return stats
+
+    def drop(self) -> None:
+        """App drop: remove all engine state (tombstone GC analog,
+        app_store.rs:316)."""
+        self.state.drop()

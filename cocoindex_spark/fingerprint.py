@@ -1,0 +1,116 @@
+"""Canonical fingerprints for memoization and change detection.
+
+Reference: 16-byte Blake2b over a canonical serde stream
+(rust/utils/src/fingerprint.rs:38-52); logic fingerprints from a
+canonicalized (docstring-stripped) function AST + version + deps
+(python/cocoindex/_internal/function.py:613-668).
+
+Two surfaces:
+- Driver-side Python fingerprints (``fp_bytes``/``fp_value``/
+  ``fp_logic``) for pipeline/function identity — tiny, computed once.
+- Column-level fingerprints (``fp_col``) built from Spark's ``sha2``
+  over canonical string/JSON encodings — computed distributed,
+  JVM-side, for per-row change detection at any scale.
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+import inspect
+import textwrap
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FP_LEN = 16  # bytes, like the reference's Fingerprint
+
+
+def fp_bytes(data: bytes) -> str:
+    """16-byte blake2b digest, hex-encoded."""
+    return hashlib.blake2b(data, digest_size=FP_LEN).hexdigest()
+
+
+def _canonical(value: Any) -> bytes:
+    """Canonical byte encoding of a Python value tree (sorted mappings,
+    type-tagged scalars) — the memo-key canonicalization analog of
+    memo_fingerprint.py:177-232."""
+    if value is None:
+        return b"n"
+    if isinstance(value, bool):
+        return b"b1" if value else b"b0"
+    if isinstance(value, int):
+        return b"i" + str(value).encode()
+    if isinstance(value, float):
+        return b"f" + repr(value).encode()
+    if isinstance(value, str):
+        return b"s" + value.encode("utf-8")
+    if isinstance(value, bytes):
+        return b"y" + value
+    if isinstance(value, (list, tuple)):
+        return b"l" + b"\x00".join(_canonical(v) for v in value) + b"\x01"
+    if isinstance(value, dict):
+        items = sorted((str(k), v) for k, v in value.items())
+        return (
+            b"m"
+            + b"\x00".join(_canonical(k) + b"\x02" + _canonical(v) for k, v in items)
+            + b"\x01"
+        )
+    if isinstance(value, (set, frozenset)):
+        return b"e" + b"\x00".join(sorted(_canonical(v) for v in value)) + b"\x01"
+    raise TypeError(f"not fingerprintable: {type(value)!r}")
+
+
+def fp_value(value: Any) -> str:
+    return fp_bytes(_canonical(value))
+
+
+class _DocstringStripper(ast.NodeTransformer):
+    def _strip(self, node):
+        if (
+            node.body
+            and isinstance(node.body[0], ast.Expr)
+            and isinstance(node.body[0].value, ast.Constant)
+            and isinstance(node.body[0].value.value, str)
+        ):
+            node.body = node.body[1:] or [ast.Pass()]
+        return node
+
+    def visit_FunctionDef(self, node):
+        self.generic_visit(node)
+        return self._strip(node)
+
+    def visit_AsyncFunctionDef(self, node):
+        self.generic_visit(node)
+        return self._strip(node)
+
+    def visit_ClassDef(self, node):
+        self.generic_visit(node)
+        return self._strip(node)
+
+
+def fp_logic(fn, version: int | None = None, deps: tuple[str, ...] = ()) -> str:
+    """Logic fingerprint: canonical AST (docstrings stripped) + version
+    + dependency fingerprints. Editing the function body changes the
+    fingerprint; editing only docstrings/comments does not
+    (function.py:624-668 semantics)."""
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+        tree = _DocstringStripper().visit(tree)
+        canon = ast.dump(tree, annotate_fields=False)
+    except (OSError, TypeError, SyntaxError):
+        canon = repr(fn)  # builtins / lambdas without source
+    payload = _canonical({"ast": canon, "version": version, "deps": list(deps)})
+    return fp_bytes(payload)
+
+
+def fp_col(*cols: Column) -> Column:
+    """Distributed row fingerprint: sha2-256 (truncated to 32 hex chars)
+    over a canonical '\\x1f'-joined string encoding. NULL is encoded
+    distinctly from the string 'null'."""
+    encoded = [
+        F.coalesce(c.cast("string"), F.lit("\x00<NULL>\x00")) for c in cols
+    ]
+    return F.substring(F.sha2(F.concat_ws("\x1f", *encoded), 256), 1, FP_LEN * 2)

@@ -1,0 +1,141 @@
+"""End-to-end incremental sync scenarios, mirroring the reference's
+scenario-test style (tests/core/test_component_target_states.py:26-50:
+build app → update → mutate source → update → assert contents AND op
+counts) and the BASELINE incremental contract (warm ⇒ 0 misses; one
+edit ⇒ bounded delta)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cocoindex_spark.engine.app import App
+from cocoindex_spark.engine.function import fn
+
+
+@fn(memo=True)
+def enrich(df):
+    """Uppercase the text and compute its length (per-row transform)."""
+    return df.select(
+        "__args_fp",
+        "__component_path",
+        F.col("path"),
+        F.upper(F.col("text")).alias("text_upper"),
+        F.length(F.col("text")).alias("text_len"),
+    )
+
+
+def _source(spark, rows):
+    return spark.createDataFrame(rows, "path STRING, text STRING")
+
+
+@pytest.fixture()
+def app(spark, tmp_state):
+    a = App("t", state_dir=tmp_state, spark=spark)
+    yield a
+    a.drop()
+
+
+def _target(app, tmp_state):
+    return app.target(
+        f"{tmp_state}/docs_out", ["path"], "path STRING, text_upper STRING, text_len INT"
+    )
+
+
+def _contents(target, spark):
+    return {
+        r["path"]: (r["text_upper"], r["text_len"]) for r in target.read(spark).collect()
+    }
+
+
+def test_cold_warm_edit_delete(app, spark, tmp_state):
+    target = _target(app, tmp_state)
+    src1 = _source(spark, [("a.md", "hello"), ("b.md", "world"), ("c.md", "spark")])
+
+    # ---- cold: everything computed and written
+    s1 = app.sync_table(src1, ["path"], enrich, target)
+    assert s1.memo_misses == 3 and s1.memo_hits == 0
+    assert s1.inserts == 3 and s1.deletes == 0 and s1.noops == 0
+    assert _contents(target, spark) == {
+        "a.md": ("HELLO", 5),
+        "b.md": ("WORLD", 5),
+        "c.md": ("SPARK", 5),
+    }
+
+    # ---- warm: identical source ⇒ zero recompute, all noop
+    s2 = app.sync_table(src1, ["path"], enrich, target)
+    assert s2.memo_misses == 0 and s2.memo_hits == 3
+    assert s2.inserts == 0 and s2.updates == 0 and s2.deletes == 0 and s2.noops == 3
+
+    # ---- edit one + add one + delete one: bounded delta
+    src2 = _source(spark, [("a.md", "hello!"), ("c.md", "spark"), ("d.md", "new")])
+    s3 = app.sync_table(src2, ["path"], enrich, target)
+    assert s3.memo_misses == 2  # only a.md (changed) and d.md (new)
+    assert s3.memo_hits == 1  # c.md unchanged
+    assert s3.inserts == 1 and s3.updates == 1 and s3.deletes == 1 and s3.noops == 1
+    assert _contents(target, spark) == {
+        "a.md": ("HELLO!", 6),
+        "c.md": ("SPARK", 5),
+        "d.md": ("NEW", 3),
+    }
+
+
+def test_logic_change_invalidates(app, spark, tmp_state):
+    target = _target(app, tmp_state)
+    src = _source(spark, [("a.md", "x"), ("b.md", "y")])
+    app.sync_table(src, ["path"], enrich, target)
+
+    @fn(memo=True, version=2)
+    def enrich_v2(df):
+        return df.select(
+            "__args_fp",
+            "__component_path",
+            F.col("path"),
+            F.upper(F.col("text")).alias("text_upper"),
+            F.length(F.col("text")).alias("text_len"),
+        )
+
+    s = app.sync_table(src, ["path"], enrich_v2, target)
+    assert s.memo_misses == 2  # different logic_fp ⇒ no hits
+    # Same output values ⇒ reconcile suppresses the writes as noops.
+    assert s.noops == 2 and s.updates == 0
+
+
+def test_one_to_many_transform(app, spark, tmp_state):
+    """Chunking-shaped transform: one source row → many target rows."""
+    target = app.target(
+        f"{tmp_state}/chunks_out", ["path", "idx"], "path STRING, idx INT, word STRING"
+    )
+
+    @fn(memo=True)
+    def split_words(df):
+        return df.select(
+            "__args_fp",
+            "__component_path",
+            "path",
+            F.posexplode(F.split(F.col("text"), " ")).alias("idx", "word"),
+        )
+
+    src = _source(spark, [("a.md", "x y z"), ("b.md", "q")])
+    s1 = app.sync_table(src, ["path"], split_words, target)
+    assert s1.inserts == 4
+    assert target.read(spark).count() == 4
+
+    # warm: memo replays the one→many results without recompute
+    s2 = app.sync_table(src, ["path"], split_words, target)
+    assert s2.memo_misses == 0 and s2.noops == 4
+
+    # shrink a.md to one word: its extra chunk rows get deleted
+    src2 = _source(spark, [("a.md", "x"), ("b.md", "q")])
+    s3 = app.sync_table(src2, ["path"], split_words, target)
+    assert s3.deletes == 2  # idx 1 and 2 of a.md
+    assert target.read(spark).count() == 2
+
+
+def test_full_reprocess_recomputes(app, spark, tmp_state):
+    target = _target(app, tmp_state)
+    src = _source(spark, [("a.md", "x")])
+    app.sync_table(src, ["path"], enrich, target)
+    s = app.sync_table(src, ["path"], enrich, target, full_reprocess=True)
+    assert s.memo_misses == 1  # memo bypassed
+    assert s.updates == 1  # forced write-through
