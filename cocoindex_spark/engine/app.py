@@ -88,12 +88,20 @@ class App:
         target: TableTarget,
         memo: bool = True,
         full_reprocess: bool = False,
+        partial: bool = False,
+        tombstone_col: str | None = None,
     ) -> SyncStats:
         """One catch-up update (app.update_blocking analog, §3.1).
 
         ``transform`` maps a keyed source DataFrame to target rows; it
         must carry the target's pk columns in its output and must be
         deterministic per input row (the memo contract).
+
+        ``partial=True`` is the live/foreachBatch mode: only components
+        present in this batch are reconciled (absent keys untouched —
+        live_mode.mdx:56-64); a row whose ``tombstone_col`` is true
+        declares key deletion (kafka topic_as_map null-payload
+        semantics, live_mode.mdx:124-144).
         """
         t0 = time.perf_counter()
         spark = self.spark
@@ -102,6 +110,18 @@ class App:
         logic_fp = getattr(transform, "logic_fp", None) or fp_logic(transform)
 
         component_prefix = f"{self.name}/{target.name}"
+        scope_paths = None
+        if tombstone_col is not None:
+            scope_paths = source.select(
+                self._path_col(component_prefix, key_cols).alias("component_path")
+            ).distinct()
+            source = source.filter(
+                ~F.coalesce(F.col(tombstone_col), F.lit(False))
+            ).drop(tombstone_col)
+        elif partial:
+            scope_paths = source.select(
+                self._path_col(component_prefix, key_cols).alias("component_path")
+            ).distinct()
         src_cols = [c for c in source.columns]
         keyed = source.withColumn(
             "__args_fp", fp_col(F.lit(logic_fp), *[F.col(c) for c in src_cols])
@@ -164,6 +184,10 @@ class App:
         tracked = self.state.tracking.read(spark).filter(
             F.col("component_path").startswith(component_prefix + "/")
         )
+        if partial or tombstone_col is not None:
+            # Live mode: reconcile only this batch's components; keys not
+            # in the batch keep their tracked state untouched.
+            tracked = tracked.join(F.broadcast(scope_paths), "component_path", "left_semi")
         plan = reconcile(desired, tracked, full_reprocess=full_reprocess)
         plan.actions = plan.actions.cache()
         counts = plan.counts()

@@ -1,0 +1,214 @@
+"""Entity resolution: candidate similarity join → connected components
+→ per-component greedy canonical merge (reference:
+python/cocoindex/ops/entity_resolution/__init__.py — FAISS top-k
+:200-262, range_search pairs :453-465, union-find :427-489, greedy
+two-pass merge :264-425; policies docs entity_resolution.mdx:80-110).
+
+Spark-first pipeline (SURVEY.md §2.6):
+
+1. Candidate pairs: cosine-threshold similarity join, blocked by
+   sign-LSH bucket (equi-join; a 100 TB corpus shuffles on bucket id
+   rather than cross-joining).
+2. Connected components: iterative min-label propagation (small
+   diameters) — swap for star-contraction at extreme scale.
+3. Greedy merge per component with ``applyInPandas`` (components are
+   small by construction); PINNED entities (existing canonicals) seed
+   pass 1, the rest resolve in pass 2, deterministic sorted order
+   (entity_resolution.mdx:114,142: deterministic event order).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cocoindex_spark.operators.vector_ops import (
+    cosine_from_fixed,
+    dot_fixed,
+    sign_bucket,
+    sqnorm_fixed,
+)
+
+
+def candidate_pairs(
+    entities: DataFrame,
+    id_col: str = "name",
+    vec_col: str = "embedding",
+    threshold: float = 0.7,
+    bucket_bits: int = 0,
+) -> DataFrame:
+    """Similarity-join candidates above a cosine threshold.
+
+    bucket_bits=0 ⇒ exact (all-pairs within the driver-chosen blocking);
+    >0 ⇒ sign-LSH bucket equi-join (the scale path).
+    """
+    e = entities.withColumn("__sqn", sqnorm_fixed(F.col(vec_col)))
+    if bucket_bits > 0:
+        e = e.withColumn("__bucket", sign_bucket(F.col(vec_col), bucket_bits))
+    a = e.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("__a_vec"),
+        F.col("__sqn").alias("__a_sqn"),
+        *([F.col("__bucket")] if bucket_bits > 0 else []),
+    )
+    b = e.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("__b_vec"),
+        F.col("__sqn").alias("__b_sqn"),
+        *([F.col("__bucket").alias("__b_bucket")] if bucket_bits > 0 else []),
+    )
+    cond = F.col("a_id") < F.col("b_id")
+    if bucket_bits > 0:
+        joined = a.join(b, (F.col("__bucket") == F.col("__b_bucket")) & cond)
+    else:
+        joined = a.join(b, cond)
+    sim = cosine_from_fixed(
+        dot_fixed(F.col("__a_vec"), F.col("__b_vec")), F.col("__a_sqn"), F.col("__b_sqn")
+    )
+    return joined.withColumn("sim", sim).filter(F.col("sim") >= threshold).select(
+        "a_id", "b_id", "sim"
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, id_col: str = "id", max_iters: int = 50
+) -> DataFrame:
+    """(id, component_id) via min-label propagation (union-find analog)."""
+    sym = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).unionAll(
+        edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    ).cache()
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component_id")).cache()
+    for _ in range(max_iters):
+        nbr = (
+            labels.join(sym, labels.id == sym.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+            ).alias("component_id"),
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+_RESOLVE_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("canonical", StringType()),
+        StructField("was_pinned", BooleanType()),
+    ]
+)
+
+
+def greedy_resolve(
+    entities_with_components: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "name",
+    pinned_col: str = "is_existing_canonical",
+) -> DataFrame:
+    """Per-component greedy canonical merge via ``applyInPandas``
+    (components are small; reference resolves them concurrently —
+    Spark gives that for free, one task per component group).
+
+    Two passes (entity_resolution/__init__.py:264-425): pass 1 merges
+    into PINNED seeds (existing canonicals keep their identity);
+    pass 2 resolves the rest in deterministic sorted order with
+    chain-walking to the final canonical.
+    """
+    sim_map = pairs.select("a_id", "b_id", "sim")
+    e = entities_with_components.select(
+        F.col(id_col).alias("name"),
+        F.col("component_id"),
+        F.coalesce(F.col(pinned_col), F.lit(False)).alias("pinned"),
+    )
+    with_pairs = (
+        e.alias("e")
+        .join(
+            sim_map.alias("p"),
+            (F.col("e.name") == F.col("p.a_id")) | (F.col("e.name") == F.col("p.b_id")),
+            "left",
+        )
+        .select("e.name", "e.component_id", "e.pinned", "p.a_id", "p.b_id", "p.sim")
+    )
+
+    def resolve(component: pd.DataFrame) -> pd.DataFrame:
+        names = sorted(component["name"].unique())
+        pinned = {
+            r.name for r in component.itertuples() if r.pinned
+        }
+        # adjacency with sims, deterministic ordering
+        sims: dict[tuple[str, str], float] = {}
+        for r in component.itertuples():
+            if isinstance(r.a_id, str) and isinstance(r.b_id, str):
+                sims[(r.a_id, r.b_id)] = max(sims.get((r.a_id, r.b_id), 0.0), r.sim)
+                sims[(r.b_id, r.a_id)] = sims[(r.a_id, r.b_id)]
+        canonical: dict[str, str] = {}
+
+        def walk(x: str) -> str:
+            seen = set()
+            while x in canonical and canonical[x] != x and x not in seen:
+                seen.add(x)
+                x = canonical[x]
+            return x
+
+        # pass 1: pinned seeds are their own canonicals
+        for n in sorted(pinned):
+            canonical[n] = n
+        # pass 2: everyone else merges to the most-similar already-
+        # canonicalized neighbor (ties broken lexicographically),
+        # else becomes a new canonical.
+        for n in names:
+            if n in canonical:
+                continue
+            neighbors = [
+                (-(sims[(n, m)]), m)
+                for m in names
+                if m != n and (n, m) in sims and m in canonical
+            ]
+            if neighbors:
+                neighbors.sort()
+                canonical[n] = walk(neighbors[0][1])
+            else:
+                canonical[n] = n
+        return pd.DataFrame(
+            {
+                "name": names,
+                "canonical": [walk(n) for n in names],
+                "was_pinned": [n in pinned for n in names],
+            }
+        )
+
+    return with_pairs.groupBy("component_id").applyInPandas(resolve, _RESOLVE_SCHEMA)
+
+
+def resolve_entities(
+    entities: DataFrame,
+    id_col: str = "name",
+    vec_col: str = "embedding",
+    pinned_col: str = "is_existing_canonical",
+    threshold: float = 0.7,
+    bucket_bits: int = 0,
+) -> DataFrame:
+    """Full pipeline: candidates → components → greedy merge."""
+    pairs = candidate_pairs(entities, id_col, vec_col, threshold, bucket_bits).cache()
+    comps = connected_components(entities, pairs, id_col)
+    ewc = entities.join(comps, entities[id_col] == comps.id, "left").drop("id")
+    return greedy_resolve(ewc, pairs, id_col, pinned_col)

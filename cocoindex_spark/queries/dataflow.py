@@ -289,3 +289,19 @@ def q64_child_existence_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     creates = current.join(previous, "child_key", "left_anti").withColumn("action", F.lit("create"))
     deletes = previous.join(current, "child_key", "left_anti").withColumn("action", F.lit("delete"))
     return creates.unionAll(deletes)
+
+
+# --- q65: full entity-resolution pipeline (candidates → components →
+#     per-component greedy canonical merge with applyInPandas). The
+#     greedy merge is not SQL-expressible → rows-only driver check;
+#     unit tests assert the semantics (tests/test_types_er.py).
+@register("q65_entity_resolution")
+def q65_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.entity_resolution import resolve_entities
+
+    e = table(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("vec_"), F.col("vec_id").cast("string")).alias("name"),
+        "embedding",
+        F.lit(False).alias("is_existing_canonical"),
+    )
+    return resolve_entities(e, threshold=0.30, bucket_bits=8)
