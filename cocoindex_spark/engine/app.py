@@ -246,6 +246,54 @@ class App:
         stats.wall_sec = time.perf_counter() - t0
         return stats
 
+    # -- user state (coco.use_state, api.py:791-885) ----------------------
+    def set_state(self, component_path: str, state_key: str, value) -> None:
+        """Persist a per-component scratch value (survives runs; the
+        reference's UserState keyspace, db_schema.rs:0x34). Values are
+        JSON-serialized — the Spark analog of the reference's msgspec
+        serde for persisted values (serde.py)."""
+        import json
+
+        row = self.spark.createDataFrame(
+            [(component_path, state_key, json.dumps(value), int(time.time() * 1000))],
+            self.state.user_state.schema,
+        )
+        self.state.user_state.merge_upsert(row)
+
+    def get_state(self, component_path: str, state_key: str, default=None):
+        import json
+
+        rows = (
+            self.state.user_state.read(self.spark)
+            .filter(
+                (F.col("component_path") == component_path)
+                & (F.col("state_key") == state_key)
+            )
+            .select("value_json")
+            .collect()
+        )
+        return json.loads(rows[0][0]) if rows else default
+
+    def set_states(self, df: DataFrame, state_key: str) -> None:
+        """Bulk variant: one state value per component — DF(component_path,
+        value_json). Distributed MERGE, no driver loop (the per-key
+        states of a 100 TB run never pass through the driver)."""
+        version = int(time.time() * 1000)
+        rows = df.select(
+            "component_path",
+            F.lit(state_key).alias("state_key"),
+            F.col("value_json"),
+            F.lit(version).cast("long").alias("version"),
+        )
+        self.state.user_state.merge_upsert(rows)
+
+    def get_states(self, state_key: str) -> DataFrame:
+        return (
+            self.state.user_state.read(self.spark)
+            .filter(F.col("state_key") == state_key)
+            .select("component_path", "value_json")
+        )
+
     def drop(self) -> None:
         """App drop: remove all engine state (tombstone GC analog,
         app_store.rs:316)."""

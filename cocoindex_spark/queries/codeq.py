@@ -1,0 +1,82 @@
+"""Code-ops query pack: language detection + two-phase structural
+pattern matching (SURVEY.md §2.3 `detect_code_language` /
+`CodePattern.might_match`, §2.10 `CodePattern.match_source`).
+
+The documents table has no file paths, so a path column is derived
+deterministically from (source, doc_id) — identical arithmetic in the
+Spark query and the DuckDB oracle — and the detection operator runs on
+that derived column, exactly as it would on a real `binaryFile` scan's
+`path` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cocoindex_spark.operators.code_ops import (
+    detect_code_language,
+    match_pattern,
+    sql_detect_code_language,
+)
+from cocoindex_spark.queries.registry import register, table
+
+_EXTS = ["py", "rs", "go", "js", "md", "sql", "java", "cpp", "yaml", "bin"]
+_SQL_EXT_LIST = "[" + ", ".join(f"'{e}'" for e in _EXTS) + "]"
+
+
+def _with_path(d: DataFrame) -> DataFrame:
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _EXTS]), (F.col("doc_id") % 10 + 1).cast("int")
+    )
+    return d.withColumn(
+        "path",
+        F.concat(F.lit("repo/"), F.col("source"), F.lit("/f"), F.col("doc_id"), F.lit("."), ext),
+    )
+
+
+_SQL_PATH = (
+    f"('repo/' || source || '/f' || doc_id || '.' || {_SQL_EXT_LIST}[CAST(doc_id % 10 AS INT) + 1])"
+)
+
+
+# --- q46: detect_code_language over a path column (broadcast CASE chain,
+#     ops/text.py:20; language table prog_langs.rs) → counts per language
+@register(
+    "q46_code_language",
+    oracle=f"""
+SELECT {sql_detect_code_language(_SQL_PATH)} AS language, COUNT(*) AS n_files
+FROM documents
+GROUP BY 1
+""",
+)
+def q46_code_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_path(table(spark, sf_dir, "documents"))
+    return (
+        d.select(detect_code_language(F.col("path")).alias("language"))
+        .groupBy("language")
+        .agg(F.count("*").alias("n_files"))
+    )
+
+
+# --- q47: two-phase pattern match (contains-prefilter → regex captures →
+#     explode → group count), CodePattern.match_source + might_match
+_PATTERN = r"(\w+) join"
+
+
+@register(
+    "q47_code_pattern",
+    oracle=f"""
+SELECT m AS match, COUNT(*) AS n
+FROM (
+  SELECT UNNEST(regexp_extract_all(text, '{_PATTERN}', 1)) AS m
+  FROM documents
+  WHERE contains(text, 'join')
+)
+GROUP BY m
+""",
+)
+def q47_code_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    matched = match_pattern(d, "text", _PATTERN, capture_group=1, prefilter_tokens=["join"])
+    return matched.groupBy(F.col("match")).agg(F.count("*").alias("n"))

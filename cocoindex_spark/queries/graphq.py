@@ -1,0 +1,85 @@
+"""Graph-shaped query pack (SURVEY.md §2.2 neo4j/falkordb graph
+targets; §2.12.5 graph endpoint reference joins). The graph is the
+GraphFrames-convention projection of lineitem: supplier --supplies-->
+part edges; all algorithms are plain DataFrame joins/aggs that run on
+the `GraphTarget` tables unchanged (sinks/graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cocoindex_spark.queries.registry import register, table
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+
+
+_SQL_EDGES = (
+    "SELECT DISTINCT ('s' || l_suppkey) AS src, ('p' || l_partkey) AS dst FROM lineitem"
+)
+
+
+# --- q66: per-node degrees over the projected property graph (the
+#     GraphTarget.degrees operator as a registered query). One shuffle
+#     per direction; node set = union of endpoints.
+@register(
+    "q66_graph_degree",
+    oracle=f"""
+WITH e AS ({_SQL_EDGES}),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+outd AS (SELECT src AS id, COUNT(*) AS out_degree FROM e GROUP BY src),
+ind  AS (SELECT dst AS id, COUNT(*) AS in_degree FROM e GROUP BY dst)
+SELECT n.id, COALESCE(o.out_degree, 0) AS out_degree, COALESCE(i.in_degree, 0) AS in_degree
+FROM nodes n LEFT JOIN outd o ON n.id = o.id LEFT JOIN ind i ON n.id = i.id
+""",
+)
+def q66_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct()
+    outd = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_degree"))
+    ind = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_degree"))
+    return (
+        nodes.join(outd, "id", "left")
+        .join(ind, "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+# --- q67: two-hop motif join (a)-[:supplies]->(p)<-[:supplies]-(b) —
+#     co-supplier pairs by shared part count. The Cypher motif restated
+#     as a self-equi-join on the shared endpoint (shuffle on dst only;
+#     no cross product). Skew note: a hot part fans out quadratically —
+#     at scale cap per-key fan-out or salt; here parts have bounded
+#     supplier counts so the equi-join is safe.
+@register(
+    "q67_motif_cosupplier",
+    oracle=f"""
+WITH e AS ({_SQL_EDGES})
+SELECT a.src AS a_id, b.src AS b_id, COUNT(*) AS shared_parts
+FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+GROUP BY a.src, b.src
+HAVING COUNT(*) >= 2
+""",
+)
+def q67_motif_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    a = e.select(F.col("src").alias("a_id"), "dst")
+    b = e.select(F.col("src").alias("b_id"), "dst")
+    return (
+        a.join(b, "dst")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared_parts"))
+        .filter(F.col("shared_parts") >= 2)
+    )

@@ -183,6 +183,83 @@ def q23_lsh_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q25: IVF top-k — the ANN scale path beyond LSH. Cells = the
+#     precomputed coarse assignment (`label`); centroids are computed
+#     distributed (posexplode → groupBy, never collected); the query
+#     probes the nprobe=2 nearest cells and exact-reranks only inside
+#     them. At 100 TB the corpus is hash-partitioned by cell id, so a
+#     probe touches 2/k of the data — partition pruning for vectors.
+_IVF_SCALE = 67108864.0  # 2^26 — power-of-two quantizer, exact in double
+
+
+@register(
+    "q25_ivf_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT label, i AS dim,
+    CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {_IVF_SCALE!r}) AS BIGINT)) AS DOUBLE)
+      / COUNT(*) / {_IVF_SCALE!r} AS cval
+  FROM embeddings CROSS JOIN UNNEST(range(1, 65)) AS t(i)
+  GROUP BY label, i
+),
+cellrank AS (
+  SELECT c.label,
+         SUM(CAST(floor(c.cval * CAST(q.qe[c.dim] AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS cdot
+  FROM cent c, q
+  GROUP BY c.label
+  ORDER BY cdot DESC, label ASC
+  LIMIT 2
+)
+SELECT a.vec_id, a.label, {sql_cosine_fixed("a.embedding", "qe")} AS sim
+FROM embeddings a JOIN cellrank cr ON a.label = cr.label, q
+WHERE a.vec_id <> 0
+ORDER BY sim DESC, a.vec_id ASC
+LIMIT 10
+""",
+)
+def q25_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    # Distributed centroid build (no driver collect): cell × dim grid.
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("dim0", "val"))
+        .withColumn("dim", F.col("dim0") + 1)
+        .withColumn("vf", F.floor(F.col("val").cast("double") * F.lit(_IVF_SCALE)).cast("long"))
+        .groupBy("label", "dim")
+        .agg((F.sum("vf").cast("double") / F.count("*") / F.lit(_IVF_SCALE)).alias("cval"))
+    )
+    # Rank cells by centroid·query (fixed-point, order-independent sum).
+    cellrank = (
+        cent.crossJoin(F.broadcast(q))
+        .withColumn(
+            "term",
+            F.floor(
+                F.col("cval") * F.element_at("q_emb", F.col("dim").cast("int")).cast("double")
+                * F.lit(1099511627776.0)
+            ).cast("long"),
+        )
+        .groupBy("label")
+        .agg(F.sum("term").alias("cdot"))
+        .orderBy(F.desc("cdot"), F.asc("label"))
+        .limit(2)
+        .select("label")
+    )
+    # Exact re-rank restricted to the probed cells (broadcast semi-join).
+    return (
+        e.join(F.broadcast(cellrank), "label", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_fixed(F.col("embedding"), F.col("q_emb")).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 # --- q24: per-label centroids via fixed-point elementwise aggregation
 #     (posexplode → groupBy(label, dim) — fully distributed, no collect)
 @register(

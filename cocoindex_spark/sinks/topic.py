@@ -1,0 +1,86 @@
+"""Topic target: keyed append-only log with tombstone deletes — the
+file-backed analog of the reference's Kafka/Iggy topic targets
+(`python/cocoindex/connectors/kafka/_target.py:231` ``declare_target_state``
+per key producing records, `:277` tombstone = null payload; same for
+iggy `_target.py:245,297`; consumption side `topic_as_map`
+`kafka/_source.py:482` — message key is the upsert key, null payload
+deletes, docs live_mode.mdx:124-144).
+
+Spark-first: the log is an append-only parquet directory of
+``(offset, key, value, tombstone)`` batches — the exact write shape of
+``df.writeStream.format("kafka")`` (key/value, delete = null value).
+``read_compacted`` is Kafka log-compaction as a one-window query:
+last-writer-wins per key by offset, tombstones dropped — the same
+last-wins dedup the live engine uses (SURVEY §2.11 per-key coalescing).
+
+At scale: appends are partitioned blind writes (no read, no shuffle);
+compaction shuffles once on key — identical to a compacted-topic
+consumer's state build.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class TopicTarget:
+    """Append-only keyed log; offsets are (batch_seq, row ordinal)."""
+
+    def __init__(self, path: str):
+        self.name = os.path.basename(path.rstrip("/"))
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _next_batch_seq(self) -> int:
+        return int(time.time() * 1e6)
+
+    # -- produce (declare_target_state per key, kafka/_target.py:231)
+    def produce(self, records: DataFrame, key_col: str, value_col: str) -> None:
+        """Append upsert records. Monotone batch seq orders batches;
+        within a batch, later rows win for the same key (matching
+        producer append order via a per-key ordinal)."""
+        seq = self._next_batch_seq()
+        w = Window.partitionBy(key_col).orderBy(F.monotonically_increasing_id())
+        out = records.select(
+            (F.lit(seq) + F.row_number().over(w) - 1).alias("offset"),
+            F.col(key_col).cast("string").alias("key"),
+            F.to_json(F.struct(F.col(value_col))).alias("value"),
+            F.lit(False).alias("tombstone"),
+        )
+        out.write.mode("append").parquet(self.path)
+
+    # -- tombstone (null payload delete, kafka/_target.py:277)
+    def produce_tombstones(self, keys: DataFrame, key_col: str) -> None:
+        seq = self._next_batch_seq()
+        out = keys.select(
+            F.lit(seq).alias("offset"),
+            F.col(key_col).cast("string").alias("key"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit(True).alias("tombstone"),
+        ).distinct()
+        out.write.mode("append").parquet(self.path)
+
+    # -- consume -----------------------------------------------------------
+    def read_log(self, spark: SparkSession) -> DataFrame:
+        try:
+            return spark.read.parquet(self.path)
+        except Exception:
+            return spark.createDataFrame(
+                [], "offset long, key string, value string, tombstone boolean"
+            )
+
+    def read_compacted(self, spark: SparkSession) -> DataFrame:
+        """topic_as_map semantics (kafka/_source.py:482): current keyed
+        state = newest record per key, tombstones removed."""
+        log = self.read_log(spark)
+        w = Window.partitionBy("key").orderBy(F.desc("offset"))
+        return (
+            log.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & ~F.col("tombstone"))
+            .select("key", "value")
+        )

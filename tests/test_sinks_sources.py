@@ -1,0 +1,128 @@
+"""Connector-library tests: graph target, topic target, object-store
+source, JDBC spec, user state — the rebuild's analog of the reference's
+connector E2E suite (python/tests/connectors/, SURVEY.md §5.2):
+assert final backend contents after insert/update/delete cycles.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cocoindex_spark.engine.app import App
+from cocoindex_spark.sinks.graph import GraphTarget
+from cocoindex_spark.sinks.topic import TopicTarget
+from cocoindex_spark.sources.jdbc import JdbcTableSource
+from cocoindex_spark.sources.object_store import cheap_fingerprint, list_objects
+
+
+def _node_schema():
+    return StructType.fromDDL("id string, label string, name string")
+
+
+def _edge_schema():
+    return StructType.fromDDL("src string, dst string, rel string, weight long")
+
+
+def test_graph_upsert_and_cascade_delete(spark, tmp_state):
+    g = GraphTarget(os.path.join(tmp_state, "g"), _node_schema(), _edge_schema())
+    nodes = spark.createDataFrame(
+        [("a", "person", "Ann"), ("b", "person", "Bob"), ("c", "org", "Corp")],
+        _node_schema(),
+    )
+    g.upsert_nodes(nodes)
+    edges = spark.createDataFrame(
+        [("a", "b", "knows", 1), ("a", "c", "works_at", 2), ("x", "a", "ghost", 3)],
+        _edge_schema(),
+    )
+    # dangling edge (x) dropped by endpoint validation
+    g.upsert_edges(edges)
+    got = {(r.src, r.dst, r.rel) for r in g.read_edges(spark).collect()}
+    assert got == {("a", "b", "knows"), ("a", "c", "works_at")}
+
+    # upsert is idempotent + updates props on key match
+    g.upsert_edges(spark.createDataFrame([("a", "b", "knows", 9)], _edge_schema()))
+    row = g.read_edges(spark).filter("rel = 'knows'").collect()[0]
+    assert row.weight == 9
+    assert g.read_edges(spark).count() == 2
+
+    # degrees
+    deg = {r.id: (r.out_degree, r.in_degree) for r in g.degrees(spark).collect()}
+    assert deg["a"] == (2, 0) and deg["b"] == (0, 1) and deg["c"] == (0, 1)
+
+    # node delete cascades incident edges (relationship cleanup)
+    g.delete_nodes(spark.createDataFrame([("b",)], "id string"))
+    assert {r.id for r in g.read_nodes(spark).collect()} == {"a", "c"}
+    assert {(r.src, r.dst) for r in g.read_edges(spark).collect()} == {("a", "c")}
+
+
+def test_topic_compaction_last_wins_and_tombstone(spark, tmp_state):
+    t = TopicTarget(os.path.join(tmp_state, "topic"))
+    t.produce(
+        spark.createDataFrame([("k1", "v1"), ("k2", "v2")], "k string, v string"), "k", "v"
+    )
+    t.produce(spark.createDataFrame([("k1", "v1b")], "k string, v string"), "k", "v")
+    t.produce_tombstones(spark.createDataFrame([("k2",)], "k string"), "k")
+
+    state = {r.key: r.value for r in t.read_compacted(spark).collect()}
+    # k2 tombstoned away; k1 shows the newest value (last-writer-wins)
+    assert set(state) == {"k1"}
+    assert "v1b" in state["k1"]
+    # the raw log keeps everything (append-only)
+    assert t.read_log(spark).count() == 4
+
+
+def test_object_store_listing_and_cheap_fp(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("hello")
+    (tmp_path / "b.md").write_text("world")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "c.txt").write_text("deep")
+
+    df = list_objects(spark, f"file://{tmp_path}", glob="*.txt")
+    paths = sorted(r.path.split("/")[-1] for r in df.collect())
+    assert paths == ["a.txt", "c.txt"]  # glob filter + recursive lookup
+    assert {r.size for r in df.collect()} == {5, 4}  # "hello", "deep"
+
+    fp = cheap_fingerprint(df.drop("content"))
+    fps = [r.cheap_fp for r in fp.collect()]
+    assert len(set(fps)) == 2 and all(len(x) == 64 for x in fps)
+
+
+def test_jdbc_partitioned_options():
+    src = JdbcTableSource(
+        url="jdbc:postgresql://db/x",
+        table="public.items",
+        key_cols=["id"],
+        partition_col="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=16,
+    )
+    opts = src.options_for()
+    assert opts["partitionColumn"] == "id" and opts["numPartitions"] == "16"
+    with pytest.raises(ValueError):
+        JdbcTableSource(
+            url="u", table="t", key_cols=["id"], partition_col="id"
+        ).options_for()
+
+
+def test_user_state_roundtrip(spark, tmp_state):
+    app = App("stateapp", tmp_state, spark)
+    assert app.get_state("comp/1", "cursor", default=0) == 0
+    app.set_state("comp/1", "cursor", {"offset": 42})
+    app.set_state("comp/2", "cursor", {"offset": 7})
+    assert app.get_state("comp/1", "cursor")["offset"] == 42
+    # overwrite on same key
+    app.set_state("comp/1", "cursor", {"offset": 43})
+    assert app.get_state("comp/1", "cursor")["offset"] == 43
+
+    bulk = spark.createDataFrame(
+        [("comp/3", '{"offset": 1}')], "component_path string, value_json string"
+    )
+    app.set_states(bulk, "cursor")
+    assert app.get_states("cursor").count() == 3
+    app.drop()
