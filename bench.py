@@ -32,6 +32,8 @@ HEADLINE = [
     "q20_vector_topk",
     "q22_similarity_join_blocked",
     "q23_lsh_bucket_join",
+    "q25_ivf_topk",
+    "q26_hash_embed_knn",
     "q31_ngram_jaccard_pairs",
     "q32_minhash_lsh_pairs",
     "q33_simhash_pairs",
@@ -39,14 +41,78 @@ HEADLINE = [
     "q42_langid_confusion",
     "q43_doc_fingerprint",
     "q44_chunk_documents",
+    "q46_code_language",
+    "q47_code_pattern",
     "q50_tumbling_daily",
     "q51_sessionization",
     "q60_reconcile_actions",
     "q61_memo_miss_join",
     "q62_connected_components",
     "q63_rrf_hybrid",
+    "q65_entity_resolution",
+    "q66_graph_degree",
+    "q67_motif_cosupplier",
     "q70_multimodal_decode",
 ]
+
+
+def bench_incremental(spark, sf_dir: str, timings: dict) -> None:
+    """Cold/warm/edit sync phases over the documents table — the Spark
+    restatement of the reference's file_summarization benchmark phases
+    (BASELINE.md: warm ⇒ 0 cache misses; one edit ⇒ bounded delta)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from cocoindex_spark.engine.app import App
+    from cocoindex_spark.engine.function import fn
+    from cocoindex_spark.queries.registry import table
+
+    @fn(memo=True)
+    def doc_stats(df):
+        toks = F.split(F.trim(F.col("text")), " ")
+        return df.select(
+            "__args_fp",
+            "__component_path",
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+            F.sha2(F.col("text"), 256).alias("content_fp"),
+        )
+
+    root = tempfile.mkdtemp(prefix="bench_sync_")
+    try:
+        app = App("bench", state_dir=root, spark=spark)
+        target = app.target(
+            f"{root}/doc_stats", ["doc_id"],
+            "doc_id LONG, n_tokens INT, n_chars INT, content_fp STRING",
+        )
+        src = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        t0 = _time.perf_counter()
+        cold = app.sync_table(src, ["doc_id"], doc_stats, target)
+        timings["pipe_cold"] = round(_time.perf_counter() - t0, 3)
+
+        t0 = _time.perf_counter()
+        warm = app.sync_table(src, ["doc_id"], doc_stats, target)
+        timings["pipe_warm"] = round(_time.perf_counter() - t0, 3)
+        assert warm.memo_misses == 0, "incremental contract: warm run must be all hits"
+
+        edited = src.withColumn(
+            "text",
+            F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit(" EDITED"))).otherwise(
+                F.col("text")
+            ),
+        )
+        t0 = _time.perf_counter()
+        edit = app.sync_table(edited, ["doc_id"], doc_stats, target)
+        timings["pipe_edit"] = round(_time.perf_counter() - t0, 3)
+        assert edit.memo_misses == 1, "incremental contract: one edit ⇒ one recompute"
+        assert cold.memo_misses > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -67,6 +133,8 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    bench_incremental(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -81,30 +81,33 @@ def connected_components(
     nodes: DataFrame, edges: DataFrame, id_col: str = "id", max_iters: int = 50
 ) -> DataFrame:
     """(id, component_id) via min-label propagation (union-find analog)."""
-    sym = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).unionAll(
-        edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-    ).cache()
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component_id")).cache()
+    # localCheckpoint: materialize the (expensive) edge list once and
+    # truncate lineage each round — one job per round, not two.
+    sym = (
+        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component_id"))
     for _ in range(max_iters):
         nbr = (
             labels.join(sym, labels.id == sym.src)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
-        new_labels = labels.join(nbr, "id", "left").select(
-            "id",
-            F.least(
-                F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
-            ).alias("component_id"),
-        ).cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
+        stepped = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.col("component_id").alias("old_id"),
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("id", "component_id")
+        if stepped.filter(F.col("component_id") != F.col("old_id")).limit(1).count() == 0:
             break
     return labels
 
@@ -139,15 +142,27 @@ def greedy_resolve(
         F.col("component_id"),
         F.coalesce(F.col(pinned_col), F.lit(False)).alias("pinned"),
     )
-    with_pairs = (
-        e.alias("e")
-        .join(
-            sim_map.alias("p"),
-            (F.col("e.name") == F.col("p.a_id")) | (F.col("e.name") == F.col("p.b_id")),
-            "left",
-        )
-        .select("e.name", "e.component_id", "e.pinned", "p.a_id", "p.b_id", "p.sim")
+    # Attach incident pairs per entity. An OR-condition join would fall
+    # back to a nested-loop cross product; instead it's the union of two
+    # equi-joins (name = a_id, name = b_id) plus the pairless entities —
+    # identical rows, all hash-joinable at scale.
+    pair_cols = ["a_id", "b_id", "sim"]
+    ea = e.join(sim_map, e.name == sim_map.a_id).select("name", "component_id", "pinned", *pair_cols)
+    eb = e.join(sim_map, e.name == sim_map.b_id).select("name", "component_id", "pinned", *pair_cols)
+    endpoints = (
+        sim_map.select(F.col("a_id").alias("name"))
+        .unionAll(sim_map.select(F.col("b_id").alias("name")))
+        .distinct()
     )
+    lonely = e.join(endpoints, "name", "left_anti").select(
+        "name",
+        "component_id",
+        "pinned",
+        F.lit(None).cast("string").alias("a_id"),
+        F.lit(None).cast("string").alias("b_id"),
+        F.lit(None).cast("double").alias("sim"),
+    )
+    with_pairs = ea.unionAll(eb).unionAll(lonely)
 
     def resolve(component: pd.DataFrame) -> pd.DataFrame:
         names = sorted(component["name"].unique())

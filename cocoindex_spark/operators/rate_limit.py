@@ -1,0 +1,72 @@
+"""Token-bucket rate limiter (reference: `python/cocoindex/resources/
+rate_limit.py:11` — shared bucket with sustained rate + burst, FIFO;
+docs rate_limiting.mdx:17-47).
+
+Spark placement: one bucket **per executor process** (module state),
+sized at cluster_rate / num_executors — the distributed restatement of
+the reference's process-wide bucket. Source-level throttling
+(`maxOffsetsPerTrigger` / `maxFilesPerTrigger`) bounds ingest; this
+bucket bounds per-row API calls inside pandas UDFs (the LiteLLM
+embedder path, litellm.py:170-322).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+
+class TokenBucket:
+    """Sustained-rate + burst token bucket; `acquire(n)` blocks FIFO."""
+
+    def __init__(self, rate_per_sec: float, burst: float | None = None):
+        assert rate_per_sec > 0
+        self.rate = float(rate_per_sec)
+        self.capacity = float(burst if burst is not None else rate_per_sec)
+        self._tokens = self.capacity
+        self._last = time.monotonic()
+        self._lock = threading.Lock()  # FIFO via lock fairness + one cond
+        self._cond = threading.Condition(self._lock)
+
+    def _refill(self) -> None:
+        now = time.monotonic()
+        self._tokens = min(self.capacity, self._tokens + (now - self._last) * self.rate)
+        self._last = now
+
+    def try_acquire(self, n: float = 1.0) -> bool:
+        with self._lock:
+            self._refill()
+            if self._tokens >= n:
+                self._tokens -= n
+                return True
+            return False
+
+    def acquire(self, n: float = 1.0, timeout: float | None = None) -> bool:
+        deadline = None if timeout is None else time.monotonic() + timeout
+        with self._cond:
+            while True:
+                self._refill()
+                if self._tokens >= n:
+                    self._tokens -= n
+                    return True
+                wait = (n - self._tokens) / self.rate
+                if deadline is not None:
+                    wait = min(wait, deadline - time.monotonic())
+                    if wait <= 0:
+                        return False
+                self._cond.wait(timeout=wait)
+
+
+_EXECUTOR_BUCKETS: dict[str, TokenBucket] = {}
+_BUCKETS_LOCK = threading.Lock()
+
+
+def executor_bucket(name: str, rate_per_sec: float, burst: float | None = None) -> TokenBucket:
+    """Process-level shared bucket: every task thread in this executor
+    that asks for `name` gets the same bucket (the reference's shared
+    limiter across concurrent calls)."""
+    with _BUCKETS_LOCK:
+        b = _EXECUTOR_BUCKETS.get(name)
+        if b is None:
+            b = _EXECUTOR_BUCKETS[name] = TokenBucket(rate_per_sec, burst)
+        return b

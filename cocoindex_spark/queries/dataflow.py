@@ -169,38 +169,40 @@ def q62_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(sim >= 0.30)
         .select("src", "dst")
     )
-    sym = edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
-    labels = (
-        table(spark, sf_dir, "embeddings").select(F.col("vec_id"), F.col("vec_id").alias("component_id"))
-    ).cache()
-    # Min-label propagation to fixpoint. Component diameters here are
-    # tiny; each round is one equi-join + groupBy.
+    # localCheckpoint truncates lineage: the edge join (the expensive
+    # part) is computed exactly once, and each propagation round plans
+    # against materialized partitions instead of a growing DAG.
+    sym = (
+        edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("vec_id").alias("component_id")
+    )
+    # Min-label propagation to fixpoint. One job per round: new labels
+    # (old label kept alongside) are checkpointed, and the convergence
+    # check is a cheap filter-count over the materialized partitions.
     for _ in range(30):
         neighbor_min = (
             labels.join(sym, labels.vec_id == sym.src)
             .groupBy(F.col("dst").alias("vec_id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "vec_id", "left")
             .select(
                 "vec_id",
-                F.least(F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))).alias(
-                    "component_id"
-                ),
+                F.col("component_id").alias("old_id"),
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                ).alias("component_id"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vec_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("vec_id", "component_id")
+        if stepped.filter(F.col("component_id") != F.col("old_id")).limit(1).count() == 0:
             break
-    return labels.select("vec_id", "component_id")
+    return labels
 
 
 # --- q63: RRF hybrid rank fusion (semantic rank ⋈ lexical rank on id,

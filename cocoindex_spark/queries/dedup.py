@@ -50,9 +50,12 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(shingles_expr("text", 3)).alias("g")
-    )
+    sh = d.select("doc_id", F.explode(shingles_expr("text", 3)).alias("g"))
+    # The shingle table feeds 3-5 plan branches (sizes, both join sides,
+    # verify). localCheckpoint materializes the explode once; every
+    # branch then scans compact in-memory partitions instead of
+    # re-running scan→split→explode per branch.
+    return sh.localCheckpoint(eager=True)
 
 
 _SH = sql_shingle_table("documents", "doc_id", "text", 3)

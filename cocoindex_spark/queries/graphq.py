@@ -15,10 +15,16 @@ from cocoindex_spark.queries.registry import register, table
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-    ).distinct()
+    # Materialized once: both graph queries scan the edge list from
+    # multiple plan branches (nodes/outd/ind; both motif sides).
+    return (
+        li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
 
 _SQL_EDGES = (

@@ -183,6 +183,87 @@ def q23_lsh_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q26: text → feature-hash embed → cosine top-k: the reference's
+#     canonical quickstart pipeline (walk_dir → split → embed → vector
+#     search, README quickstart; embedder SURVEY §2.10) with the
+#     embedding computed by the JVM-side expression embedder
+#     (operators/embed.py hash_embed_expr — no Python in the hot path).
+from cocoindex_spark.operators.embed import sql_hash_embed  # noqa: E402
+
+_EMB_DIM = 16
+_SQL_TOKS = "string_split(trim(text), ' ')"
+
+
+@register(
+    "q26_hash_embed_knn",
+    oracle=f"""
+WITH emb AS (
+  SELECT doc_id, {sql_hash_embed(_SQL_TOKS, _EMB_DIM)} AS embedding
+  FROM documents
+),
+en AS (
+  SELECT doc_id, embedding, {sql_dot_fixed("embedding", "embedding")} AS sqn FROM emb
+)
+SELECT a.doc_id, CAST({sql_dot_fixed("a.embedding", "q.embedding")} AS DOUBLE)
+         / sqrt(CAST(a.sqn AS DOUBLE) * CAST(q.sqn AS DOUBLE)) AS sim
+FROM en a, en q
+WHERE q.doc_id = 0 AND a.doc_id <> 0 AND a.sqn > 0 AND q.sqn > 0
+ORDER BY sim DESC, a.doc_id ASC
+LIMIT 10
+""",
+)
+def q26_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # Scalable spelling of hash_embed_expr: explode tokens, hash each
+    # token ONCE (the array-expression form would recompute md5 per
+    # output dimension), then one groupBy with `dim` conditional sums.
+    # Sums of ±1.0 are exact in double, so any accumulation order gives
+    # the oracle's bit-identical result.
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("t")
+    ).select(
+        "doc_id",
+        (F.conv(F.substring(F.md5(F.encode("t", "UTF-8")), 1, 8), 16, 10).cast("long") % _EMB_DIM)
+        .alias("bucket"),
+        F.when(
+            F.conv(F.substring(F.md5(F.encode("t", "UTF-8")), 9, 1), 16, 10).cast("long") % 2 == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("s"),
+    )
+    emb = (
+        toks.groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("bucket") == i, F.col("s")).otherwise(F.lit(0.0)))
+                .cast("float")
+                .alias(f"c{i}")
+                for i in range(_EMB_DIM)
+            ]
+        )
+        .select(
+            "doc_id", F.array(*[F.col(f"c{i}") for i in range(_EMB_DIM)]).alias("embedding")
+        )
+        .withColumn("sqn", sqnorm_fixed(F.col("embedding")))
+    )
+    q = emb.filter(F.col("doc_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("sqn").alias("q_sqn")
+    )
+    return (
+        emb.filter((F.col("doc_id") != 0) & (F.col("sqn") > 0))
+        .crossJoin(F.broadcast(q.filter(F.col("q_sqn") > 0)))
+        .select(
+            "doc_id",
+            cosine_from_fixed(
+                dot_fixed(F.col("embedding"), F.col("q_emb")), F.col("sqn"), F.col("q_sqn")
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 # --- q25: IVF top-k — the ANN scale path beyond LSH. Cells = the
 #     precomputed coarse assignment (`label`); centroids are computed
 #     distributed (posexplode → groupBy, never collected); the query

@@ -1,0 +1,79 @@
+"""Embedder + rate-limiter tests (reference test strategy: deterministic
+fake embedder, python/tests/ops/test_entity_resolution.py; batching
+split-retry, test_function_batching.py)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from cocoindex_spark.operators.embed import (
+    FakeModel,
+    PandasEmbedder,
+    VectorSchema,
+    _encode_with_split_retry,
+    hash_embed_expr,
+)
+from cocoindex_spark.operators.rate_limit import TokenBucket, executor_bucket
+
+
+def test_pandas_embedder_schema_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(50)], "id long, text string"
+    )
+    emb = PandasEmbedder(lambda: FakeModel(dim=8), VectorSchema(8), max_batch_size=16)
+    out = emb.embed_column(df, "text")
+    assert out.schema["embedding"].dataType.simpleString() == "array<float>"
+    rows = {r.id: r.embedding for r in out.collect()}
+    assert len(rows) == 50 and all(len(v) == 8 for v in rows.values())
+    # deterministic across runs (stable hashing, not RNG)
+    rows2 = {r.id: r.embedding for r in emb.embed_column(df, "text").collect()}
+    assert rows == rows2
+
+
+def test_split_retry_isolates_poison_item():
+    model = FakeModel(dim=4, fail_on="POISON")
+    texts = ["ok1", "ok2", "POISON here", "ok3", "ok4", "ok5"]
+    out = _encode_with_split_retry(model, texts)
+    assert len(out) == 6
+    assert out[2] is None  # only the poison item failed
+    assert all(v is not None for i, v in enumerate(out) if i != 2)
+
+
+def test_pandas_embedder_with_poison_row(spark):
+    df = spark.createDataFrame(
+        [(0, "fine"), (1, "POISON pill"), (2, "also fine")], "id long, text string"
+    )
+    emb = PandasEmbedder(lambda: FakeModel(dim=4, fail_on="POISON"), VectorSchema(4))
+    rows = {r.id: r.embedding for r in emb.embed_column(df, "text").collect()}
+    assert rows[1] is None and rows[0] is not None and rows[2] is not None
+
+
+def test_hash_embed_expr_properties(spark):
+    df = spark.createDataFrame([("a b c",), ("a b c",), ("x y",)], "text string")
+    out = df.select(hash_embed_expr(F.split(F.col("text"), " "), 8).alias("e")).collect()
+    assert [len(r.e) for r in out] == [8, 8, 8]
+    assert out[0].e == out[1].e  # deterministic
+    assert out[0].e != out[2].e
+
+
+def test_token_bucket_rates():
+    b = TokenBucket(rate_per_sec=1000, burst=10)
+    # burst drains immediately
+    assert all(b.try_acquire() for _ in range(10))
+    assert not b.try_acquire()
+    # refill: ~1000/s ⇒ 5 tokens in ~5ms
+    t0 = time.monotonic()
+    assert b.acquire(5, timeout=1.0)
+    assert time.monotonic() - t0 < 0.5
+    # timeout path
+    slow = TokenBucket(rate_per_sec=0.5, burst=1)
+    assert slow.acquire(1)
+    assert not slow.acquire(1, timeout=0.05)
+
+
+def test_executor_bucket_shared():
+    b1 = executor_bucket("api-x", 100)
+    b2 = executor_bucket("api-x", 999)  # same name → same bucket, rate kept
+    assert b1 is b2 and b1.rate == 100
