@@ -201,8 +201,10 @@ class App:
         if stats.inserts or stats.updates or stats.deletes:
             from cocoindex_spark.engine.reconcile import mark_pending
 
+            # Only the changing rows are merged; the bucket-scoped state
+            # store rewrites just the buckets those keys hash into.
             pending = mark_pending(self.state.tracking.read(spark), plan, token)
-            self.state.tracking.overwrite(pending)
+            self.state.tracking.merge_upsert(pending)
 
             # ---- Phase 3 sink apply (idempotent MERGE) ----
             upserts = plan.actions.filter(F.col("action").isin("insert", "update"))

@@ -133,7 +133,11 @@ def tracking_updates(plan: ReconcilePlan, version: int) -> tuple[DataFrame, Data
 def mark_pending(tracked: DataFrame, plan: ReconcilePlan, token: str) -> DataFrame:
     """Precommit stage marker (submit_session.rs:30-66 Phase 2): record
     the intent to change states so an interrupted run widens
-    ``possible_fps`` instead of trusting a single fingerprint."""
+    ``possible_fps`` instead of trusting a single fingerprint.
+
+    Returns ONLY the changing rows (tracking-table schema) — callers
+    MERGE them; untouched states never get rewritten (the bucket-scoped
+    state-store path)."""
     changing = plan.changes().filter(F.col("action") != ACTION_DELETE)
     pend = changing.select(
         "component_path",
@@ -141,26 +145,22 @@ def mark_pending(tracked: DataFrame, plan: ReconcilePlan, token: str) -> DataFra
         F.col("fp"),
         F.array(F.col("fp")).alias("new_fp_arr"),
     )
-    t = tracked.alias("t").join(
-        pend.alias("p"),
-        ["component_path", "target_path"],
-        "full_outer",
-    )
-    return t.select(
+    prior = tracked.select(
         "component_path",
         "target_path",
-        F.coalesce(F.col("p.fp"), F.col("t.fp")).alias("fp"),
-        F.when(
-            F.col("p.fp").isNotNull(),
-            F.array_union(
-                F.coalesce(F.col("t.possible_fps"), F.array()), F.col("p.new_fp_arr")
-            ),
-        )
-        .otherwise(F.col("t.possible_fps"))
-        .alias("possible_fps"),
-        F.coalesce(F.col("t.may_be_missing"), F.lit(False)).alias("may_be_missing"),
-        F.coalesce(F.col("t.version"), F.lit(0)).cast("long").alias("version"),
-        F.when(F.col("p.fp").isNotNull(), F.lit(token))
-        .otherwise(F.col("t.pending_token"))
-        .alias("pending_token"),
+        F.col("possible_fps").alias("prior_fps"),
+        F.col("may_be_missing").alias("prior_missing"),
+        F.col("version").alias("prior_version"),
+    )
+    j = pend.join(prior, ["component_path", "target_path"], "left")
+    return j.select(
+        "component_path",
+        "target_path",
+        "fp",
+        F.array_union(F.coalesce(F.col("prior_fps"), F.array()), F.col("new_fp_arr")).alias(
+            "possible_fps"
+        ),
+        F.coalesce(F.col("prior_missing"), F.lit(False)).alias("may_be_missing"),
+        F.coalesce(F.col("prior_version"), F.lit(0)).cast("long").alias("version"),
+        F.lit(token).alias("pending_token"),
     )

@@ -23,6 +23,7 @@ same layout works on any HDFS-compatible FS with an atomic rename.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -32,73 +33,143 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _POINTER = "_CURRENT"
-_KEEP_VERSIONS = 3
+_KEEP_UNREFERENCED = 2
+_BUCKET_COL = "__bucket"
 
 
 class ManagedTable:
-    """A keyed parquet table with upsert/delete via full rewrite of a
-    new version + atomic pointer swap.
+    """A keyed parquet table with **bucket-scoped** upsert/delete.
 
-    At 100 TB the rewrite becomes partition-scoped (only partitions
-    containing touched keys are rewritten — partition pruning on the
-    key-hash prefix); the pointer/version protocol is unchanged.
+    Rows hash-partition into ``n_buckets`` by key; each write rewrites
+    only the buckets containing touched keys into a new immutable
+    version directory, then atomically replaces the single pointer file
+    (bucket → version map, ``os.replace``). A crash mid-write leaves
+    the old pointer live; re-running converges (the reference's
+    roll-forward relaxation, processing_component.mdx:248-253).
+
+    This is the 100 TB shape: an edit touching k keys costs
+    O(k/n_buckets · table) I/O instead of a full-table rewrite, and the
+    bucket column is the natural cluster/shuffle key on a real cluster
+    (same layout works on any HDFS-compatible FS with atomic rename).
     """
 
-    def __init__(self, path: str, key_cols: list[str], schema: StructType):
+    def __init__(self, path: str, key_cols: list[str], schema: StructType, n_buckets: int = 16):
         self.path = path
         self.key_cols = key_cols
         self.schema = schema
+        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
 
-    # -- version plumbing -------------------------------------------------
-    def _current_version_dir(self) -> str | None:
+    # -- pointer plumbing ---------------------------------------------------
+    def _pointer(self) -> dict[str, str]:
+        """bucket(str) → version dir name (missing = empty bucket)."""
         ptr = os.path.join(self.path, _POINTER)
         if not os.path.exists(ptr):
-            return None
+            return {}
         with open(ptr) as f:
-            name = f.read().strip()
-        vdir = os.path.join(self.path, name)
-        return vdir if os.path.isdir(vdir) else None
+            return json.load(f)
 
-    def _swap_to(self, version_name: str) -> None:
+    def _swap_pointer(self, mapping: dict[str, str]) -> None:
         ptr = os.path.join(self.path, _POINTER)
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
-            f.write(version_name)
+            json.dump(mapping, f)
         os.replace(tmp, ptr)  # atomic on POSIX
 
-    def _gc(self) -> None:
-        current = os.path.basename(self._current_version_dir() or "")
-        versions = sorted(
-            d for d in os.listdir(self.path) if d.startswith("v_") and d != current
+    def _bucket_expr(self) -> F.Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(c).cast("string") for c in self.key_cols]),
+            F.lit(self.n_buckets),
         )
-        for d in versions[:-_KEEP_VERSIONS]:
+
+    def _bucket_paths(self, mapping: dict[str, str], buckets: list[int] | None = None) -> list[str]:
+        out = []
+        for b, ver in mapping.items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            p = os.path.join(self.path, ver, f"{_BUCKET_COL}={b}")
+            if os.path.isdir(p):
+                out.append(p)
+        return out
+
+    def _gc(self) -> None:
+        referenced = set(self._pointer().values())
+        versions = sorted(d for d in os.listdir(self.path) if d.startswith("v_"))
+        stale = [d for d in versions if d not in referenced]
+        for d in stale[:-_KEEP_UNREFERENCED] if len(stale) > _KEEP_UNREFERENCED else []:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     # -- read/write -------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame:
-        vdir = self._current_version_dir()
-        if vdir is None:
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        paths = self._bucket_paths(self._pointer(), buckets)
+        if not paths:
             return spark.createDataFrame([], self.schema)
-        return spark.read.schema(self.schema).parquet(vdir)
+        return spark.read.schema(self.schema).parquet(*paths)
+
+    def _write_version(self, df: DataFrame) -> tuple[str, list[int]]:
+        """Write df (bucketed) into a new version dir; returns (version
+        name, buckets actually written — empty buckets produce no dir)."""
+        version_name = f"v_{int(time.time() * 1e6)}_{os.getpid()}"
+        out = os.path.join(self.path, version_name)
+        (
+            df.withColumn(_BUCKET_COL, self._bucket_expr())
+            # One task (and one file) per bucket: state tables are
+            # metadata-sized relative to the data they track, so fewer,
+            # fuller files beat 32×n_buckets fragments.
+            .repartition(self.n_buckets, F.col(_BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(out)
+        )
+        written = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out)
+            if d.startswith(f"{_BUCKET_COL}=")
+        ]
+        return version_name, written
 
     def overwrite(self, df: DataFrame) -> None:
-        version_name = f"v_{int(time.time() * 1e6)}"
-        out = os.path.join(self.path, version_name)
-        df.write.mode("overwrite").parquet(out)
-        self._swap_to(version_name)
+        version_name, written = self._write_version(df)
+        self._swap_pointer({str(b): version_name for b in written})
         self._gc()
+
+    def _merge_into_buckets(self, touched: list[int], replacement: DataFrame) -> None:
+        """Swap the touched buckets to a freshly-written version; other
+        buckets keep pointing at their current versions."""
+        version_name, written = self._write_version(replacement)
+        mapping = self._pointer()
+        for b in touched:
+            mapping.pop(str(b), None)  # bucket emptied unless re-written
+        for b in written:
+            mapping[str(b)] = version_name
+        self._swap_pointer(mapping)
+        self._gc()
+
+    def _touched_buckets(self, keys: DataFrame) -> list[int]:
+        rows = (
+            keys.select(self._bucket_expr().alias(_BUCKET_COL)).distinct().collect()
+        )  # bounded by n_buckets — a constant, never data-sized
+        return [r[_BUCKET_COL] for r in rows]
 
     def merge_upsert(self, updates: DataFrame) -> None:
         """Idempotent MERGE: new rows win over current rows on key
-        equality. Repeated application of the same batch converges."""
-        current = self.read(updates.sparkSession)
-        merged = current.join(updates.select(self.key_cols).distinct(), self.key_cols, "left_anti")
-        self.overwrite(merged.unionByName(updates.select(*[f.name for f in self.schema.fields])))
+        equality. Repeated application of the same batch converges.
+        Only buckets containing updated keys are rewritten."""
+        updates = updates.select(*[f.name for f in self.schema.fields])
+        touched = self._touched_buckets(updates)
+        if not touched:
+            return
+        current = self.read(updates.sparkSession, touched)
+        kept = current.join(updates.select(self.key_cols).distinct(), self.key_cols, "left_anti")
+        self._merge_into_buckets(touched, kept.unionByName(updates))
 
     def delete_keys(self, keys: DataFrame) -> None:
-        current = self.read(keys.sparkSession)
-        self.overwrite(current.join(keys.select(self.key_cols).distinct(), self.key_cols, "left_anti"))
+        keys = keys.select(self.key_cols).distinct()
+        touched = self._touched_buckets(keys)
+        if not touched:
+            return
+        current = self.read(keys.sparkSession, touched)
+        self._merge_into_buckets(touched, current.join(keys, self.key_cols, "left_anti"))
 
 
 def _schema(*fields: tuple) -> StructType:
