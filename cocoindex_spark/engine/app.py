@@ -110,6 +110,9 @@ class App:
         logic_fp = getattr(transform, "logic_fp", None) or fp_logic(transform)
 
         component_prefix = f"{self.name}/{target.name}"
+        stats.extra["schema_evolution"] = self._ensure_target_contract(
+            target, component_prefix
+        )
         scope_paths = None
         if tombstone_col is not None:
             scope_paths = source.select(
@@ -247,6 +250,48 @@ class App:
 
         stats.wall_sec = time.perf_counter() - t0
         return stats
+
+    # -- schema evolution (target_state.mdx:140-144; SURVEY §7.4.5) -------
+    def _ensure_target_contract(self, target: TableTarget, component_prefix: str) -> str:
+        """Reconcile the target's declared (pk, schema) against the
+        stored contract from previous runs.
+
+        - pk change ⇒ **destructive**: drop rows + tracking; children
+          fully re-created (child_invalidation destructive).
+        - column add/remove/retype ⇒ **lossy**: keep rows, force
+          ``may_be_missing=True`` on this target's tracking so every
+          state is written through on the next reconcile even when its
+          fingerprint matches (lossy backfill).
+        """
+        declared = {
+            "pk": target.pk,
+            "columns": [[f.name, f.dataType.simpleString()] for f in target.schema.fields],
+        }
+        stored = target.stored_contract()
+        if stored is None:
+            target.store_contract()
+            return "initial"
+        if stored == declared:
+            return "none"
+        if stored["pk"] != declared["pk"]:
+            target.truncate()
+            tracked_keys = (
+                self.state.tracking.read(self.spark)
+                .filter(F.col("component_path").startswith(component_prefix + "/"))
+                .select("component_path", "target_path")
+            )
+            self.state.tracking.delete_keys(tracked_keys)
+            target.store_contract()
+            return "destructive"
+        # lossy: widen may_be_missing on every tracked state of this target
+        tracked = self.state.tracking.read(self.spark).filter(
+            F.col("component_path").startswith(component_prefix + "/")
+        )
+        self.state.tracking.merge_upsert(
+            tracked.withColumn("may_be_missing", F.lit(True))
+        )
+        target.store_contract()
+        return "lossy"
 
     # -- user state (coco.use_state, api.py:791-885) ----------------------
     def set_state(self, component_path: str, state_key: str, value) -> None:

@@ -38,12 +38,35 @@ class TableTarget:
     def delete(self, keys: DataFrame) -> None:
         self._table.delete_keys(keys)
 
+    # -- schema contract (target_state.mdx:140-144 schema evolution) ----
+    def stored_contract(self) -> dict | None:
+        """The (pk, schema) contract recorded at last sync; None before
+        the first sync."""
+        meta = self._read_meta()
+        return meta.get("contract")
+
+    def store_contract(self) -> None:
+        meta = self._read_meta()
+        meta["contract"] = {
+            "pk": self.pk,
+            "columns": [[f.name, f.dataType.simpleString()] for f in self.schema.fields],
+        }
+        self._write_meta(meta)
+
+    def truncate(self) -> None:
+        """Destructive recreate (pk change): drop all rows."""
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        self._table.overwrite(spark.createDataFrame([], self.schema))
+
     # -- index metadata (declare_vector_index / declare_fts_index analog)
     def declare_index(self, kind: str, column: str, **options) -> None:
         meta = self._read_meta()
         entry = {"kind": kind, "column": column, **options}
         if entry not in meta.setdefault("indexes", []):
             meta["indexes"].append(entry)
+        self._write_meta(meta)
+
+    def _write_meta(self, meta: dict) -> None:
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
