@@ -34,6 +34,7 @@ HEADLINE = [
     "q23_lsh_bucket_join",
     "q25_ivf_topk",
     "q26_hash_embed_knn",
+    "q27_multivector_maxsim",
     "q31_ngram_jaccard_pairs",
     "q32_minhash_lsh_pairs",
     "q33_simhash_pairs",

@@ -341,6 +341,72 @@ def q25_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q27: multi-vector MaxSim late interaction (ColPali-style;
+#     reference MultiVectorSchema, resources/schema.py:49-58 →
+#     ArrayType(ArrayType(Float))). Docs = groups of 4 vectors; score =
+#     Σ_q max_d cos(q, d). The query side (4 vectors) broadcasts; the
+#     corpus shuffles once on (doc, query-vector) then once on doc —
+#     the late-interaction shape that scales. Per-doc sums are
+#     quantized to BIGINT so accumulation order can't change the hash.
+@register(
+    "q27_multivector_maxsim",
+    oracle=f"""
+WITH en AS (
+  SELECT vec_id, vec_id // 4 AS mv_id, embedding,
+         {sql_dot_fixed("embedding", "embedding")} AS sqn
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_vid, embedding AS q_emb, sqn AS q_sqn FROM en WHERE mv_id = 0),
+pair AS (
+  SELECT a.mv_id, q.q_vid,
+         MAX(CAST({sql_dot_fixed("a.embedding", "q.q_emb")} AS DOUBLE)
+               / sqrt(CAST(a.sqn AS DOUBLE) * CAST(q.q_sqn AS DOUBLE))) AS m
+  FROM en a, q
+  WHERE a.mv_id <> 0
+  GROUP BY a.mv_id, q.q_vid
+)
+SELECT mv_id,
+       CAST(SUM(CAST(floor(m * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0
+         AS maxsim
+FROM pair
+GROUP BY mv_id
+ORDER BY maxsim DESC, mv_id ASC
+LIMIT 10
+""",
+)
+def q27_multivector_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .withColumn("mv_id", F.expr("vec_id div 4"))
+        .withColumn("sqn", sqnorm_fixed(F.col("embedding")))
+    )
+    q = e.filter(F.col("mv_id") == 0).select(
+        F.col("vec_id").alias("q_vid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sqn").alias("q_sqn"),
+    )
+    cos = cosine_from_fixed(
+        dot_fixed(F.col("embedding"), F.col("q_emb")), F.col("sqn"), F.col("q_sqn")
+    )
+    pair = (
+        e.filter(F.col("mv_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .groupBy("mv_id", "q_vid")
+        .agg(F.max(cos).alias("m"))
+    )
+    return (
+        pair.groupBy("mv_id")
+        .agg(
+            (
+                F.sum(F.floor(F.col("m") * F.lit(1099511627776.0)).cast("long")).cast("double")
+                / F.lit(1099511627776.0)
+            ).alias("maxsim")
+        )
+        .orderBy(F.desc("maxsim"), F.asc("mv_id"))
+        .limit(10)
+    )
+
+
 # --- q24: per-label centroids via fixed-point elementwise aggregation
 #     (posexplode → groupBy(label, dim) — fully distributed, no collect)
 @register(

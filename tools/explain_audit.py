@@ -1,0 +1,98 @@
+"""Physical-plan audit: assert the plans have the shape a 100 TB run
+needs — filters pushed to the parquet scan, pruned read schemas,
+broadcast joins for dimension tables, whole-stage codegen on the hot
+path, no cartesian products outside intentionally-broadcast scalar
+query vectors.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cocoindex_spark.queries import all_queries
+from cocoindex_spark.session import get_spark
+
+CHECKS = {
+    # name: (must_contain regexes, must_NOT_contain regexes)
+    "q12_selective_scan": (
+        [r"PushedFilters: \[.*(GreaterThan|LessThan|EqualTo|IsNotNull)", r"codegen id"],
+        [r"CartesianProduct"],
+    ),
+    "q01_pricing_summary": (
+        # partial agg before the shuffle + pushed date filter
+        # (AQE wraps shuffling plans pre-execution, hiding codegen ids —
+        # structural nodes are the stable check)
+        [r"HashAggregate", r"PushedFilters: \[.*\]"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q03_revenue_by_nation": (
+        [r"BroadcastHashJoin"],  # nation/customer dims must broadcast
+        [r"CartesianProduct"],
+    ),
+    "q05_top3_orders_per_customer": (
+        [r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q22_similarity_join_blocked": (
+        # blocked similarity join must be a hash equi-join on the block key
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q23_lsh_bucket_join": (
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q32_minhash_lsh_pairs": (
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q63_rrf_hybrid": (
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [],
+    ),
+    "q66_graph_degree": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q46_code_language": (
+        # pure expression pipeline: scan → project(CASE) → agg, all codegen
+        [r"HashAggregate"],
+        [r"BatchEvalPython", r"ArrowEvalPython"],  # no Python UDF
+    ),
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    failures = 0
+    for name, (must, must_not) in CHECKS.items():
+        plan = queries[name](spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        problems = []
+        for pat in must:
+            if not re.search(pat, plan):
+                problems.append(f"missing {pat!r}")
+        for pat in must_not:
+            if re.search(pat, plan):
+                problems.append(f"forbidden {pat!r} present")
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"PASS {name}")
+    print(f"\n{len(CHECKS) - failures} pass, {failures} fail")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
