@@ -38,6 +38,7 @@ HEADLINE = [
     "q31_ngram_jaccard_pairs",
     "q32_minhash_lsh_pairs",
     "q33_simhash_pairs",
+    "q34_embedding_neardup",
     "q40_token_stats",
     "q42_langid_confusion",
     "q43_doc_fingerprint",

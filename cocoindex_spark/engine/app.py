@@ -251,6 +251,21 @@ class App:
         stats.wall_sec = time.perf_counter() - t0
         return stats
 
+    def children(self, target: TableTarget) -> DataFrame:
+        """Current child components of a target's sync prefix (the
+        ChildExistence keyspace, db_schema.rs:0xa0). In this engine's
+        flat component model the child set IS the tracked component
+        set, so it's derived from tracking — the reconcile deletes
+        above keep it exact with zero extra write cost per sync (the
+        reference needs a separate keyspace because its components can
+        declare target states elsewhere in the tree)."""
+        return (
+            self.state.tracking.read(self.spark)
+            .filter(F.col("component_path").startswith(f"{self.name}/{target.name}/"))
+            .select(F.col("component_path").alias("child_key"))
+            .distinct()
+        )
+
     # -- schema evolution (target_state.mdx:140-144; SURVEY §7.4.5) -------
     def _ensure_target_contract(self, target: TableTarget, component_prefix: str) -> str:
         """Reconcile the target's declared (pk, schema) against the

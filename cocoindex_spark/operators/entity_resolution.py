@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -212,6 +213,60 @@ def greedy_resolve(
         )
 
     return with_pairs.groupBy("component_id").applyInPandas(resolve, _RESOLVE_SCHEMA)
+
+
+_PAIR_DECISION_SCHEMA = StructType(
+    [
+        StructField("a_id", StringType()),
+        StructField("b_id", StringType()),
+        StructField("same_entity", BooleanType()),
+        StructField("attempts", IntegerType()),
+    ]
+)
+
+
+def resolve_pairs_with(
+    pairs: DataFrame,
+    decide_fn,
+    retry_budget: int = 2,
+) -> DataFrame:
+    """Pair-match decision operator (LlmPairResolver analog,
+    `python/cocoindex/ops/entity_resolution/llm_resolver.py`; docs
+    entity_resolution.mdx:153-238: schema-validated decision with
+    re-prompt retry, budget 2).
+
+    ``decide_fn(a_id, b_id, attempt) -> bool`` is the injected backend
+    (an LLM call in production, a deterministic fake in tests — the
+    reference's own test strategy). Invalid/failed decisions re-prompt
+    up to ``retry_budget`` times; exhausted budget ⇒ not-same (the
+    conservative default). Runs as an Arrow-batched mapInPandas — one
+    Python round-trip per batch of pairs, embarrassingly parallel.
+    Memoization comes for free when driven through App.sync_table
+    (pair key = component key).
+    """
+    import pandas as _pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {"a_id": [], "b_id": [], "same_entity": [], "attempts": []}
+            for a, b in zip(pdf["a_id"], pdf["b_id"]):
+                decision, attempts = False, 0
+                for attempt in range(1, retry_budget + 1):
+                    attempts = attempt
+                    try:
+                        d = decide_fn(a, b, attempt)
+                        if isinstance(d, bool):  # schema validation
+                            decision = d
+                            break
+                    except Exception:
+                        continue  # re-prompt
+                out["a_id"].append(a)
+                out["b_id"].append(b)
+                out["same_entity"].append(decision)
+                out["attempts"].append(attempts)
+            yield _pd.DataFrame(out)
+
+    return pairs.select("a_id", "b_id").mapInPandas(run, _PAIR_DECISION_SCHEMA)
 
 
 def resolve_entities(

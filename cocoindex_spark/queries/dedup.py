@@ -219,3 +219,80 @@ def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 1)
         .select("a_id", "b_id", "hamming")
     )
+
+
+# --- q34: embedding-cosine near-dup over documents (the 5th dedup
+#     modality: semantic near-duplicates invisible to lexical hashes).
+#     Candidates come from an 8-bit sign-LSH orthant bucket (equi-join,
+#     never a cross product); the exact cosine verifies inside buckets.
+#     The doc⋈embedding join is 1:1 on doc_id=vec_id and co-shuffles
+#     with the bucket key, so at 100 TB the plan is two hash shuffles
+#     (bucket, id) — no driver-side state, no O(n²) stage.
+from cocoindex_spark.operators.vector_ops import (  # noqa: E402
+    cosine_from_fixed,
+    dot_fixed,
+    sign_bucket,
+    sql_dot_fixed,
+    sql_sign_bucket,
+    sqnorm_fixed,
+)
+
+NEARDUP_COS = 0.35
+
+
+@register(
+    "q34_embedding_neardup",
+    oracle=f"""
+WITH de AS (
+  SELECT d.doc_id, d.source, e.embedding,
+         {sql_sign_bucket("e.embedding", 8)} AS bucket,
+         {sql_dot_fixed("e.embedding", "e.embedding")} AS sqn
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       LEAST(a.doc_id, b.doc_id) AS canonical_id,
+       CAST({sql_dot_fixed("a.embedding", "b.embedding")} AS DOUBLE)
+         / sqrt(CAST(a.sqn AS DOUBLE) * CAST(b.sqn AS DOUBLE)) AS sim
+FROM de a JOIN de b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE CAST({sql_dot_fixed("a.embedding", "b.embedding")} AS DOUBLE)
+        / sqrt(CAST(a.sqn AS DOUBLE) * CAST(b.sqn AS DOUBLE)) >= {NEARDUP_COS}
+""",
+)
+def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = table(spark, sf_dir, "embeddings")
+    de = (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .select(
+            "doc_id",
+            sign_bucket(F.col("embedding"), 8).alias("bucket"),
+            F.col("embedding"),
+            sqnorm_fixed(F.col("embedding")).alias("sqn"),
+        )
+    )
+    a = de.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("a_emb"),
+        F.col("sqn").alias("a_sqn"),
+    )
+    b = de.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("embedding").alias("b_emb"),
+        F.col("sqn").alias("b_sqn"),
+    )
+    sim = cosine_from_fixed(
+        dot_fixed(F.col("a_emb"), F.col("b_emb")), F.col("a_sqn"), F.col("b_sqn")
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("a_id") < F.col("b_id")))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= NEARDUP_COS)
+        .select(
+            "a_id",
+            "b_id",
+            F.least("a_id", "b_id").alias("canonical_id"),
+            "sim",
+        )
+    )
