@@ -205,9 +205,20 @@ class App:
             from cocoindex_spark.engine.reconcile import mark_pending
 
             # Only the changing rows are merged; the bucket-scoped state
-            # store rewrites just the buckets those keys hash into.
-            pending = mark_pending(self.state.tracking.read(spark), plan, token)
-            self.state.tracking.merge_upsert(pending)
+            # store rewrites just the buckets those keys hash into. The
+            # pending (Phase 2) and applied (Phase 4) merges share one
+            # key set, so the bucket ids are discovered once, and the
+            # prior-state join inside mark_pending reads only those
+            # buckets — on a 100 TB run the precommit cost is ∝ delta,
+            # not ∝ tracked-state size.
+            upsert_keys = (
+                plan.changes()
+                .filter(F.col("action") != "delete")
+                .select("component_path", "target_path")
+            )
+            bks = self.state.tracking.touched_buckets(upsert_keys)
+            pending = mark_pending(self.state.tracking.read(spark, bks), plan, token)
+            self.state.tracking.merge_upsert(pending, touched=bks)
 
             # ---- Phase 3 sink apply (idempotent MERGE) ----
             upserts = plan.actions.filter(F.col("action").isin("insert", "update"))
@@ -225,7 +236,7 @@ class App:
 
             # ---- Phase 4 commit: tracking + memo flush ----
             applied, deleted = tracking_updates(plan, version)
-            self.state.tracking.merge_upsert(applied)
+            self.state.tracking.merge_upsert(applied, touched=bks)
             self.state.tracking.delete_keys(deleted)
 
         # memo flush: record results for every miss (even all-noop runs
@@ -248,6 +259,12 @@ class App:
         else:
             stats.memo_misses = keyed.count()
 
+        # Release this sync's caches: every count/flush above has
+        # materialized, and leaked cache blocks across many syncs in one
+        # session evict each other (a bench run is 35+ plans) — the
+        # recompute storms cost far more than the caching saved.
+        for cached in (plan.actions, miss_out, miss_src, keyed):
+            cached.unpersist()
         stats.wall_sec = time.perf_counter() - t0
         return stats
 

@@ -278,7 +278,14 @@ def resolve_entities(
     bucket_bits: int = 0,
 ) -> DataFrame:
     """Full pipeline: candidates → components → greedy merge."""
-    pairs = candidate_pairs(entities, id_col, vec_col, threshold, bucket_bits).cache()
+    # localCheckpoint, not cache(): the pair list feeds both the CC loop
+    # and the greedy merge, so it must materialize once — but cache
+    # entries outlive the call (until explicit unpersist), while
+    # checkpoint blocks are freed when the RDD is GC'd, so repeated
+    # resolves in one session don't accumulate cache pressure.
+    pairs = candidate_pairs(entities, id_col, vec_col, threshold, bucket_bits).localCheckpoint(
+        eager=True
+    )
     comps = connected_components(entities, pairs, id_col)
     ewc = entities.join(comps, entities[id_col] == comps.id, "left").drop("id")
     return greedy_resolve(ewc, pairs, id_col, pinned_col)

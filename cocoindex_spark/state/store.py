@@ -151,25 +151,49 @@ class ManagedTable:
         )  # bounded by n_buckets — a constant, never data-sized
         return [r[_BUCKET_COL] for r in rows]
 
-    def merge_upsert(self, updates: DataFrame) -> None:
+    def touched_buckets(self, keys: DataFrame) -> list[int]:
+        """Bucket ids the given key rows hash into. Callers that drive
+        several phase writes off one key set compute this once and pass
+        it to merge_upsert / the scoped read — the ids MUST cover every
+        key later merged, or unscoped buckets would swap to a version
+        missing their current rows."""
+        return self._touched_buckets(keys)
+
+    def merge_upsert(self, updates: DataFrame, touched: list[int] | None = None) -> None:
         """Idempotent MERGE: new rows win over current rows on key
         equality. Repeated application of the same batch converges.
-        Only buckets containing updated keys are rewritten."""
-        updates = updates.select(*[f.name for f in self.schema.fields])
-        touched = self._touched_buckets(updates)
-        if not touched:
-            return
-        current = self.read(updates.sparkSession, touched)
-        kept = current.join(updates.select(self.key_cols).distinct(), self.key_cols, "left_anti")
-        self._merge_into_buckets(touched, kept.unionByName(updates))
+        Only buckets containing updated keys are rewritten.
+
+        ``touched`` lets callers pass precomputed bucket ids (when the
+        same key set drives several phase writes) to skip the discovery
+        job. The updates are cached for the duration: their lineage is
+        evaluated twice (bucket discovery + version write) and may read
+        this very table's current version — caching pins the pre-swap
+        snapshot."""
+        updates = updates.select(*[f.name for f in self.schema.fields]).cache()
+        try:
+            if touched is None:
+                touched = self._touched_buckets(updates)
+            if not touched:
+                return
+            current = self.read(updates.sparkSession, touched)
+            kept = current.join(
+                updates.select(self.key_cols).distinct(), self.key_cols, "left_anti"
+            )
+            self._merge_into_buckets(touched, kept.unionByName(updates))
+        finally:
+            updates.unpersist()
 
     def delete_keys(self, keys: DataFrame) -> None:
-        keys = keys.select(self.key_cols).distinct()
-        touched = self._touched_buckets(keys)
-        if not touched:
-            return
-        current = self.read(keys.sparkSession, touched)
-        self._merge_into_buckets(touched, current.join(keys, self.key_cols, "left_anti"))
+        keys = keys.select(self.key_cols).distinct().cache()
+        try:
+            touched = self._touched_buckets(keys)
+            if not touched:
+                return
+            current = self.read(keys.sparkSession, touched)
+            self._merge_into_buckets(touched, current.join(keys, self.key_cols, "left_anti"))
+        finally:
+            keys.unpersist()
 
 
 def _schema(*fields: tuple) -> StructType:
