@@ -28,6 +28,7 @@ state tables shard by key hash and the memo join is a plain shuffle
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
 from collections.abc import Callable
@@ -199,6 +200,44 @@ class App:
         stats.deletes = counts["delete"]
         stats.noops = counts["noop"]
 
+        # memo flush: record results for every miss (even all-noop runs
+        # converge their memo) — one JSON array of rows per args_fp.
+        # Runs on a helper thread overlapping the sink/tracking phases
+        # below (Spark schedules both job sets concurrently): the memo
+        # table is independent of them, and a crash that persists memo
+        # without tracking just replays the memoized result into a
+        # reconcile that still sees the mismatch — convergent either
+        # way (same relaxation as cross-table non-atomicity, §2.5).
+        memo_thread = None
+        memo_err: list[BaseException] = []
+        if memo:
+            stats.memo_misses = miss_src.count()
+            stats.memo_hits = keyed.count() - stats.memo_misses
+            if stats.memo_misses:
+                miss_memo = (
+                    miss_out.groupBy("__args_fp")
+                    .agg(
+                        F.to_json(F.collect_list(F.struct(*out_cols))).alias("result_json")
+                    )
+                    .select(
+                        F.lit(logic_fp).alias("logic_fp"),
+                        F.col("__args_fp").alias("args_fp"),
+                        "result_json",
+                        F.lit(version).cast("long").alias("version"),
+                    )
+                )
+
+                def _flush_memo() -> None:
+                    try:
+                        self.state.memo.merge_upsert(miss_memo)
+                    except BaseException as e:  # re-raised on join below
+                        memo_err.append(e)
+
+                memo_thread = threading.Thread(target=_flush_memo, name="memo-flush")
+                memo_thread.start()
+        else:
+            stats.memo_misses = keyed.count()
+
         # ---- Phase 2 precommit: stage marker (pending_token) ----
         token = uuid.uuid4().hex
         if stats.inserts or stats.updates or stats.deletes:
@@ -239,25 +278,10 @@ class App:
             self.state.tracking.merge_upsert(applied, touched=bks)
             self.state.tracking.delete_keys(deleted)
 
-        # memo flush: record results for every miss (even all-noop runs
-        # converge their memo) — one JSON array of rows per args_fp.
-        if memo:
-            miss_memo = (
-                miss_out.groupBy("__args_fp")
-                .agg(F.to_json(F.collect_list(F.struct(*out_cols))).alias("result_json"))
-                .select(
-                    F.lit(logic_fp).alias("logic_fp"),
-                    F.col("__args_fp").alias("args_fp"),
-                    "result_json",
-                    F.lit(version).cast("long").alias("version"),
-                )
-            )
-            stats.memo_misses = miss_src.count()
-            stats.memo_hits = keyed.count() - stats.memo_misses
-            if stats.memo_misses:
-                self.state.memo.merge_upsert(miss_memo)
-        else:
-            stats.memo_misses = keyed.count()
+        if memo_thread is not None:
+            memo_thread.join()
+            if memo_err:
+                raise memo_err[0]
 
         # Release this sync's caches: every count/flush above has
         # materialized, and leaked cache blocks across many syncs in one

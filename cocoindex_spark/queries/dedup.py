@@ -15,9 +15,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cocoindex_spark.operators.text_ops import (
+    hex_to_int,
     md5_hex,
     shingles_expr,
     simhash16,
+    sql_hex_to_int,
     sql_shingle_table,
     sql_simhash16,
 )
@@ -80,13 +82,38 @@ WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8
 """,
 )
 def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PPJoin-style prefix filtering: a full shingle self-join is
+    # quadratic on hot shingles (stop-words at 100 TB). For Jaccard ≥ t
+    # any qualifying pair must share one of each doc's (n - ⌈t·n⌉ + 1)
+    # globally-rarest shingles, so candidates come from an equi-join on
+    # prefix shingles only; the exact intersection count then runs
+    # candidate-scoped. Output identical to the naive join (the oracle
+    # is unchanged) — only the plan shape differs.
+    t = 0.8
     sh = _shingle_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "g")
-    b = sh.select(F.col("doc_id").alias("b_id"), "g")
+    freq = sh.groupBy("g").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window as W
+
+    ranked = (
+        sh.join(freq, "g")
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "g"))
+        )
+    )
+    prefix = ranked.join(sizes, "doc_id").filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    )
+    pa = prefix.select(F.col("doc_id").alias("a_id"), "g")
+    pb = prefix.select(F.col("doc_id").alias("b_id"), "g")
+    cand = (
+        pa.join(pb, ["g"]).filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"), "g")
+    sb = sh.select(F.col("doc_id").alias("bb_id"), F.col("g").alias("gb"))
     inter = (
-        a.join(b, ["g"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        cand.join(sa, "a_id")
+        .join(sb, (F.col("b_id") == F.col("bb_id")) & (F.col("g") == F.col("gb")))
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("c"))
     )
@@ -103,9 +130,33 @@ def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q32: MinHash + LSH banding (shingle→minhash signature→band
-#     buckets→candidate equi-join→exact Jaccard verify)
-def _minhash_cols():
-    return [F.min(md5_hex(F.concat(F.col("g"), F.lit(f"#{s}")))).alias(f"h{s}") for s in range(MINHASH_K)]
+#     buckets→candidate equi-join→exact Jaccard verify).
+#     One md5 per shingle, then a universal-hash family
+#     h_s = (A_s·base + B_s) mod P over the 48-bit base — 8× less
+#     hashing than salted md5 per permutation, and plain BIGINT
+#     arithmetic is bit-identical in Spark and DuckDB (the products
+#     stay under 2^62: A_s < 2^13, base < 2^48).
+_MH_P = (1 << 61) - 1
+
+
+def _mh_a(s: int) -> int:
+    return 37 + 8 * s
+
+
+def _mh_b(s: int) -> int:
+    return (1013904223 * (s + 1)) % _MH_P
+
+
+def _minhash_cols(base: F.Column):
+    return [
+        F.min(
+            (F.lit(_mh_a(s)) * base + F.lit(_mh_b(s))) % F.lit(_MH_P)
+        ).alias(f"h{s}")
+        for s in range(MINHASH_K)
+    ]
+
+
+_SQL_MH_BASE = sql_hex_to_int("md5(g)", 12)
 
 
 @register(
@@ -114,13 +165,17 @@ def _minhash_cols():
 WITH sh AS ({_SH}),
 sig AS (
   SELECT doc_id,
-    {", ".join(f"MIN(md5(g || '#{s}')) AS h{s}" for s in range(MINHASH_K))}
+    {", ".join(f"MIN(({_mh_a(s)} * ({_SQL_MH_BASE}) + {_mh_b(s)}) % {_MH_P}) AS h{s}" for s in range(MINHASH_K))}
   FROM sh GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bkey FROM sig
+  SELECT doc_id, 0 AS band,
+         CAST(h0 AS VARCHAR) || '#' || CAST(h1 AS VARCHAR) || '#' || CAST(h2 AS VARCHAR) || '#' || CAST(h3 AS VARCHAR) AS bkey
+  FROM sig
   UNION ALL
-  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bkey FROM sig
+  SELECT doc_id, 1 AS band,
+         CAST(h4 AS VARCHAR) || '#' || CAST(h5 AS VARCHAR) || '#' || CAST(h6 AS VARCHAR) || '#' || CAST(h7 AS VARCHAR) AS bkey
+  FROM sig
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -139,13 +194,14 @@ WHERE CAST(i.c AS DOUBLE) / (s1.n + s2.n - i.c) >= {JACCARD_VERIFY}
 )
 def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_df(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(*_minhash_cols())
-    band0 = sig.select(
-        "doc_id", F.lit(0).alias("band"), F.md5(F.encode(F.concat("h0", "h1", "h2", "h3"), "UTF-8")).alias("bkey")
-    )
-    band1 = sig.select(
-        "doc_id", F.lit(1).alias("band"), F.md5(F.encode(F.concat("h4", "h5", "h6", "h7"), "UTF-8")).alias("bkey")
-    )
+    base = hex_to_int(md5_hex(F.col("g")), 12)
+    sig = sh.withColumn("base", base).groupBy("doc_id").agg(*_minhash_cols(F.col("base")))
+
+    def bkey(cols: list[str]) -> F.Column:
+        return F.concat_ws("#", *[F.col(c).cast("string") for c in cols])
+
+    band0 = sig.select("doc_id", F.lit(0).alias("band"), bkey(["h0", "h1", "h2", "h3"]).alias("bkey"))
+    band1 = sig.select("doc_id", F.lit(1).alias("band"), bkey(["h4", "h5", "h6", "h7"]).alias("bkey"))
     bands = band0.unionAll(band1)
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "bkey")

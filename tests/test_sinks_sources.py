@@ -126,3 +126,48 @@ def test_user_state_roundtrip(spark, tmp_state):
     app.set_states(bulk, "cursor")
     assert app.get_states("cursor").count() == 3
     app.drop()
+
+
+def test_dir_target_file_reconcile(spark, tmp_path):
+    """DirTarget: declare_file semantics — upsert writes real files,
+    delete removes them, re-application is idempotent."""
+    from cocoindex_spark.sinks.files import DirTarget
+
+    root = str(tmp_path / "site")
+    t = DirTarget(root)
+    rows = spark.createDataFrame(
+        [("a.txt", "alpha"), ("sub/b.txt", "beta")], "filename STRING, content STRING"
+    )
+    t.upsert(rows)
+    got = {r.filename: bytes(r.content).decode() for r in t.read_files(spark).collect()}
+    assert got == {"a.txt": "alpha", "sub/b.txt": "beta"}
+
+    # overwrite + idempotent re-apply
+    rows2 = spark.createDataFrame([("a.txt", "ALPHA")], "filename STRING, content STRING")
+    t.upsert(rows2)
+    t.upsert(rows2)
+    got = {r.filename: bytes(r.content).decode() for r in t.read_files(spark).collect()}
+    assert got["a.txt"] == "ALPHA" and got["sub/b.txt"] == "beta"
+
+    # delete (idempotent, missing files ignored)
+    dead = spark.createDataFrame([("sub/b.txt",), ("ghost.txt",)], "filename STRING")
+    t.delete(dead)
+    t.delete(dead)
+    assert {r.filename for r in t.list_files(spark).collect()} == {"a.txt"}
+
+
+def test_table_target_index_metadata(spark, tmp_path):
+    """declare_vector_index analog: index declarations persist as table
+    metadata and dedupe on re-declaration."""
+    from pyspark.sql.types import StructType
+
+    from cocoindex_spark.sinks.table import TableTarget
+
+    t = TableTarget(
+        str(tmp_path / "vecs"), ["id"], StructType.fromDDL("id STRING, emb ARRAY<FLOAT>")
+    )
+    t.declare_index("ivf", "emb", metric="cosine", nlist=64)
+    t.declare_index("ivf", "emb", metric="cosine", nlist=64)  # idempotent
+    t.declare_index("lsh", "emb", metric="cosine", bits=8)
+    kinds = [(i["kind"], i["column"]) for i in t.indexes()]
+    assert kinds == [("ivf", "emb"), ("lsh", "emb")]
