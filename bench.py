@@ -55,6 +55,7 @@ HEADLINE = [
     "q66_graph_degree",
     "q67_motif_cosupplier",
     "q70_multimodal_decode",
+    "q72_multimodal_frames",
 ]
 
 

@@ -96,13 +96,27 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.col("component_id").alias("old_id"),
+            F.least(
+                F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+            ).alias("component_id"),
+        )
+        # Pointer jumping (path halving): replace each label by its
+        # label's label in the same round — O(log d) rounds on chains
+        # instead of O(d); one extra self-join whose left side
+        # (distinct labels) is far smaller than the node set.
+        lab_of = stepped.select(
+            F.col("id").alias("component_id"), F.col("component_id").alias("jump")
+        )
         stepped = (
-            labels.join(nbr, "id", "left")
+            stepped.join(lab_of, "component_id", "left")
             .select(
                 "id",
-                F.col("component_id").alias("old_id"),
+                "old_id",
                 F.least(
-                    F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                    F.col("component_id"), F.coalesce(F.col("jump"), F.col("component_id"))
                 ).alias("component_id"),
             )
             .localCheckpoint(eager=True)

@@ -85,6 +85,87 @@ def decode_binary_meta(df: DataFrame, id_col: str, binary_col: str) -> DataFrame
     return narrow.mapInPandas(decode_batches, DECODE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+    ]
+)
+
+RESIZE_MAX = 224  # longest-side cap, integer-exact downscale
+
+
+def _resize(w: int, h: int) -> tuple[int, int]:
+    """Deterministic longest-side-224 downscale (integer floor math —
+    replicable in SQL; upscales never happen)."""
+    g = max(w, h)
+    if g <= RESIZE_MAX:
+        return w, h
+    return max(1, w * RESIZE_MAX // g), max(1, h * RESIZE_MAX // g)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, binary_col: str, every_k: int = 24
+) -> DataFrame:
+    """Frame sampling + resize: one→many UDTF over the binary column.
+
+    For each item, the (stubbed) decode yields ``n_frames``; frames are
+    sampled at a fixed stride (0, k, 2k, …) and each sampled frame gets
+    deterministic identity (md5 of content hash + index) and resized
+    dims. Runs as partition-preserving ``mapInPandas`` — the fan-out
+    happens executor-side inside the Arrow batch, no shuffle, so a
+    100 TB video corpus explodes to frames without ever collecting or
+    re-partitioning. A production deployment swaps the per-frame body
+    for real ffmpeg frame extraction; batch shape and schema hold.
+    """
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in FRAME_SCHEMA.fields}
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                meta = _fake_decode_row(int(i), bytes(b))
+                ow, oh = _resize(meta["width"], meta["height"])
+                for fidx in range(0, meta["n_frames"], every_k):
+                    out["doc_id"].append(int(i))
+                    out["frame_idx"].append(fidx)
+                    out["frame_md5"].append(
+                        hashlib.md5(
+                            f"{meta['content_md5']}:{fidx}".encode()
+                        ).hexdigest()
+                    )
+                    out["out_width"].append(ow)
+                    out["out_height"].append(oh)
+            yield pd.DataFrame(out)
+
+    narrow = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(binary_col).cast("binary").alias(binary_col),
+    )
+    return narrow.mapInPandas(sample_batches, FRAME_SCHEMA)
+
+
+def sql_sample_frames(decoded_cte: str, every_k: int = 24) -> str:
+    """DuckDB twin of sample_frames over a decoded CTE (doc_id,
+    content_md5, width, height, n_frames). ``range(0, n, k)`` is
+    end-exclusive, matching Python's ``range``."""
+    return f"""
+  SELECT doc_id,
+         CAST(f AS BIGINT) AS frame_idx,
+         md5(content_md5 || ':' || CAST(f AS VARCHAR)) AS frame_md5,
+         CAST(CASE WHEN GREATEST(width, height) <= {RESIZE_MAX} THEN width
+              ELSE GREATEST(1, (width * {RESIZE_MAX}) // GREATEST(width, height)) END AS BIGINT) AS out_width,
+         CAST(CASE WHEN GREATEST(width, height) <= {RESIZE_MAX} THEN height
+              ELSE GREATEST(1, (height * {RESIZE_MAX}) // GREATEST(width, height)) END AS BIGINT) AS out_height
+  FROM (
+    SELECT d.*, unnest(range(0, CAST(d.n_frames AS BIGINT), {every_k})) AS f
+    FROM ({decoded_cte}) d
+  )
+"""
+
+
 def sql_fake_decode(doc_table: str, id_col: str, text_col: str) -> str:
     """DuckDB twin of decode_binary_meta over utf-8 encoded text payloads."""
     h = f"md5({text_col})"

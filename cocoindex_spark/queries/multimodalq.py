@@ -57,3 +57,29 @@ def q71_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("width") * F.col("height")).cast("double") / F.sum("n_frames")
         ).alias("px_per_frame"),
     )
+
+
+# --- q72: frame sampling + resize (one→many fan-out inside the Arrow
+#     batch — the video-corpus shape: explode to frames executor-side,
+#     never through the driver, never a shuffle)
+from cocoindex_spark.operators.multimodal import (  # noqa: E402
+    sample_frames,
+    sql_sample_frames,
+)
+
+_EVERY_K = 24
+
+
+@register(
+    "q72_multimodal_frames",
+    oracle=f"""
+WITH frames AS ({sql_sample_frames(_DECODED, _EVERY_K)})
+SELECT doc_id, frame_idx, frame_md5, out_width, out_height
+FROM frames
+""",
+)
+def q72_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return sample_frames(d, "doc_id", "payload", every_k=_EVERY_K)
