@@ -56,6 +56,7 @@ HEADLINE = [
     "q67_motif_cosupplier",
     "q70_multimodal_decode",
     "q72_multimodal_frames",
+    "q73_transcribe",
 ]
 
 
@@ -114,6 +115,13 @@ def bench_incremental(spark, sf_dir: str, timings: dict) -> None:
         timings["pipe_edit"] = round(_time.perf_counter() - t0, 3)
         assert edit.memo_misses == 1, "incremental contract: one edit ⇒ one recompute"
         assert cold.memo_misses > 0
+
+        # delete phase: drop half the corpus, cascade removes targets
+        half = edited.filter(F.col("doc_id") % 2 == 0)
+        t0 = _time.perf_counter()
+        dele = app.sync_table(half, ["doc_id"], doc_stats, target)
+        timings["pipe_delete"] = round(_time.perf_counter() - t0, 3)
+        assert dele.deletes > 0 and dele.memo_misses == 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -129,6 +137,8 @@ def main() -> None:
     # session startup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -136,6 +146,13 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Drop the query's DataFrame refs and collect: localCheckpoint
+        # blocks are only released via the ContextCleaner once the
+        # Python-side objects are gone — without this, checkpoint
+        # storage from the dedup/graph queries piles up and the later
+        # pipeline phases pay eviction churn.
+        del df, fn
+        gc.collect()
 
     bench_incremental(spark, sf_dir, timings)
 

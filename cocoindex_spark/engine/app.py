@@ -292,6 +292,28 @@ class App:
         stats.wall_sec = time.perf_counter() - t0
         return stats
 
+    # -- memo GC (§7.4.8; reference: version retention execution.rs:447-452,
+    #    tombstone GC Phase 5 app_store.rs:316) --------------------------
+    def gc_memo(self, source: DataFrame, transform: Callable) -> int:
+        """Sweep memo rows of ``transform`` whose args fingerprint no
+        longer occurs in ``source`` — the rows only dead keys leave
+        behind (hits of live keys are never rewritten, so age-based
+        pruning would evict live entries; liveness against the current
+        source is the correct criterion, and it's one anti-join).
+        Returns the number of rows swept. Distributed end-to-end; at
+        100 TB the sweep shuffles only the memo table's key columns.
+        """
+        logic_fp = getattr(transform, "logic_fp", None) or fp_logic(transform)
+        live = source.select(
+            fp_col(F.lit(logic_fp), *[F.col(c) for c in source.columns]).alias("args_fp")
+        ).distinct()
+        rows = self.state.memo.read(self.spark).filter(F.col("logic_fp") == logic_fp)
+        dead = rows.join(live, "args_fp", "left_anti").select("logic_fp", "args_fp")
+        n = dead.count()
+        if n:
+            self.state.memo.delete_keys(dead)
+        return n
+
     def children(self, target: TableTarget) -> DataFrame:
         """Current child components of a target's sync prefix (the
         ChildExistence keyspace, db_schema.rs:0xa0). In this engine's

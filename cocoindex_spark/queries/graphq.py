@@ -79,6 +79,11 @@ HAVING COUNT(*) >= 2
 """,
 )
 def q67_motif_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (A/B-measured: joining on raw integer keys with the node-id
+    # strings built at projection time is net slower — the per-pair
+    # concat in the a<b filter outweighs the narrower shuffle. The
+    # string-edge join below reuses the checkpointed edge list, one
+    # scan+distinct for both sides.)
     e = _edges(spark, sf_dir)
     a = e.select(F.col("src").alias("a_id"), "dst")
     b = e.select(F.col("src").alias("b_id"), "dst")

@@ -83,3 +83,35 @@ def q72_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return sample_frames(d, "doc_id", "payload", every_k=_EVERY_K)
+
+
+# --- q73: audio transcription plumbing (LiteLLMTranscriber analog,
+#     ops/litellm.py:325-380): binary payload → text via an injected
+#     backend. The backend here is the deterministic fake (production
+#     injects the model/API call); the Arrow-batched mapInPandas
+#     plumbing is identical either way.
+from cocoindex_spark.operators.embed import transcribe_column  # noqa: E402
+
+
+def _fake_transcribe(b: bytes) -> str:
+    import hashlib
+
+    return f"len={len(b)} md5={hashlib.md5(b).hexdigest()[:8]}"
+
+
+@register(
+    "q73_transcribe",
+    oracle="""
+SELECT doc_id,
+       'len=' || CAST(octet_length(encode(text)) AS VARCHAR)
+         || ' md5=' || substr(md5(text), 1, 8) AS transcript
+FROM documents
+""",
+)
+def q73_transcribe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("audio")
+    )
+    return transcribe_column(d, "audio", transcribe_fn=_fake_transcribe).select(
+        "doc_id", "transcript"
+    )

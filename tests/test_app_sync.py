@@ -139,3 +139,20 @@ def test_full_reprocess_recomputes(app, spark, tmp_state):
     s = app.sync_table(src, ["path"], enrich, target, full_reprocess=True)
     assert s.memo_misses == 1  # memo bypassed
     assert s.updates == 1  # forced write-through
+
+
+def test_gc_memo_sweeps_dead_entries(app, spark, tmp_state):
+    """§7.4.8 memo growth: rows of vanished/edited source items are
+    swept; live entries survive and the next warm run is still all-hit."""
+    t = _target(app, tmp_state)
+    app.sync_table(_source(spark, [("a", "x"), ("b", "y"), ("c", "z")]), ["path"], enrich, t)
+
+    # b edited, c deleted ⇒ memo rows for old-b and c are now dead
+    src2 = _source(spark, [("a", "x"), ("b", "Y2")])
+    app.sync_table(src2, ["path"], enrich, t)
+    assert app.gc_memo(src2, enrich) == 2
+    assert app.gc_memo(src2, enrich) == 0  # idempotent
+
+    # live entries intact: warm re-run is still zero-miss
+    warm = app.sync_table(src2, ["path"], enrich, t)
+    assert warm.memo_misses == 0 and warm.noops == 2

@@ -65,6 +65,25 @@ CHECKS = {
         [r"HashAggregate"],
         [r"BatchEvalPython", r"ArrowEvalPython"],  # no Python UDF
     ),
+    "q31_ngram_jaccard_pairs": (
+        # prefix-filtered candidates: every join an equi hash/sort join
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q34_embedding_neardup": (
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q67_motif_cosupplier": (
+        # integer-key self-join on the shared endpoint
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q72_multimodal_frames": (
+        # Arrow-batched Python fan-out; the whole plan is shuffle-free
+        [r"MapInPandas"],
+        [r"Exchange"],
+    ),
 }
 
 
