@@ -154,6 +154,15 @@ def main() -> None:
         del df, fn
         gc.collect()
 
+    # Incremental phases on a fresh SparkContext: the sweep leaves the
+    # block manager full of checkpoint/broadcast residue that stalls
+    # the state-store writes unpredictably (15-25s outliers). Stopping
+    # the context frees that memory while keeping the JVM — codegen
+    # caches stay warm, so the phases run at their isolated-session
+    # speeds, reproducibly.
+    spark.stop()
+    spark = get_spark("cocoindex-bench-pipe")
+    spark.sparkContext.setLogLevel("ERROR")
     bench_incremental(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)

@@ -1,0 +1,66 @@
+"""CLI over a fixture app module (reference: python/tests/cli/test_cli.py
+— fixture apps driven through update/show/drop)."""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+from cocoindex_spark.cli import main
+
+
+def _write_app(tmp_path, state_dir):
+    app_py = tmp_path / "wordcount_app.py"
+    app_py.write_text(
+        textwrap.dedent(
+            f"""
+            APP_NAME = "wc"
+            STATE_DIR = {str(state_dir)!r}
+
+            from pyspark.sql import functions as F
+            from cocoindex_spark.engine.function import fn
+
+            @fn(memo=True)
+            def count_words(df):
+                return df.select(
+                    "__args_fp", "__component_path", "path",
+                    F.size(F.split(F.col("text"), " ")).alias("n_words"),
+                )
+
+            def app_main(app):
+                src = app.spark.createDataFrame(
+                    [("a.md", "x y z"), ("b.md", "p q")], "path STRING, text STRING"
+                )
+                target = app.target(
+                    STATE_DIR + "/wc_out", ["path"], "path STRING, n_words INT"
+                )
+                return app.sync_table(src, ["path"], count_words, target)
+            """
+        )
+    )
+    return str(app_py)
+
+
+def test_cli_update_show_drop(spark, tmp_path, capsys):
+    state = tmp_path / "state"
+    app_py = _write_app(tmp_path, state)
+
+    assert main(["update", app_py]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["app"] == "wc" and out["stats"]["inserts"] == 2
+
+    # warm re-run through the CLI: memoized, all-noop
+    assert main(["update", app_py]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stats"]["memo_misses"] == 0 and out["stats"]["noops"] == 2
+
+    assert main(["show", app_py]) == 0
+    shown = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert shown["tracked_states"] == 2 and shown["memo_entries"] == 2
+    assert shown["per_target"] == {"wc/wc_out": 2}
+
+    assert main(["drop", app_py]) == 0
+    capsys.readouterr()
+    assert main(["show", app_py]) == 0
+    shown = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert shown["tracked_states"] == 0 and shown["memo_entries"] == 0
