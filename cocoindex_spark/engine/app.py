@@ -265,11 +265,22 @@ class App:
                 target.upsert(upserts.select(*out_cols))
             if stats.deletes:
                 # Map deleted target_paths back to pk values via the sink.
+                # Ownership preemption (execution.rs:948-995): a path
+                # whose old owner disappeared but that a NEW component
+                # re-declared this run is claimed, not dead — the
+                # upsert above already wrote the new owner's row, and
+                # deleting by target_path would destroy it. Only paths
+                # no component declared get swept.
                 current = target.read(spark).withColumn(
                     "__tp", self._path_col(target.name, target.pk)
                 )
-                dead = plan.actions.filter(F.col("action") == "delete").select(
-                    F.col("target_path").alias("__tp")
+                claimed = plan.actions.filter(
+                    F.col("action").isin("insert", "update")
+                ).select(F.col("target_path").alias("__tp"))
+                dead = (
+                    plan.actions.filter(F.col("action") == "delete")
+                    .select(F.col("target_path").alias("__tp"))
+                    .join(claimed, "__tp", "left_anti")
                 )
                 target.delete(current.join(dead, "__tp").select(*target.pk))
 

@@ -156,3 +156,22 @@ def test_gc_memo_sweeps_dead_entries(app, spark, tmp_state):
     # live entries intact: warm re-run is still zero-miss
     warm = app.sync_table(src2, ["path"], enrich, t)
     assert warm.memo_misses == 0 and warm.noops == 2
+
+
+def test_ownership_preemption(app, spark, tmp_state):
+    """A target path re-claimed by a new component survives the old
+    owner's cleanup — the new owner's upsert wins
+    (execution.rs:948-995; reference test_ownership_transfer.py)."""
+    t = _target(app, tmp_state)
+    src = _source(spark, [("a", "xx"), ("b", "yyy")])
+    app.sync_table(src, ["path"], enrich, t)
+    assert _contents(t, spark) == {"a": ("XX", 2), "b": ("YYY", 3)}
+
+    # re-key the pipeline: component paths change, target pks identical
+    st = app.sync_table(src, ["path", "text"], enrich, t)
+    assert st.inserts == 2 and st.deletes == 2  # old pairs swept, new claimed
+    assert _contents(t, spark) == {"a": ("XX", 2), "b": ("YYY", 3)}
+
+    # the transfer is stable: warm re-run under the new keying is all-noop
+    warm = app.sync_table(src, ["path", "text"], enrich, t)
+    assert warm.memo_misses == 0 and warm.noops == 2 and warm.deletes == 0
