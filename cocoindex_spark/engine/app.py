@@ -91,6 +91,7 @@ class App:
         full_reprocess: bool = False,
         partial: bool = False,
         tombstone_col: str | None = None,
+        validate_unique: bool = False,
     ) -> SyncStats:
         """One catch-up update (app.update_blocking analog, §3.1).
 
@@ -103,6 +104,12 @@ class App:
         live_mode.mdx:56-64); a row whose ``tombstone_col`` is true
         declares key deletion (kafka topic_as_map null-payload
         semantics, live_mode.mdx:124-144).
+
+        ``validate_unique=True`` rejects two components declaring the
+        same target state in one run (the reference always errors on
+        duplicate declarations, execution.rs:264-303; here it costs one
+        extra aggregation job, so it's opt-in — without it the upsert
+        MERGE picks an arbitrary winner among duplicates).
         """
         t0 = time.perf_counter()
         spark = self.spark
@@ -183,6 +190,20 @@ class App:
             fp_col(*[F.col(c) for c in out_cols]).alias("fp"),
             *out_cols,
         )
+
+        if validate_unique:
+            dup = (
+                desired.groupBy("target_path")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"duplicate target state declared: {dup[0]['target_path']!r} "
+                    "(two components produced the same target pk this run)"
+                )
 
         # ---- reconcile (§2.5) ----
         tracked = self.state.tracking.read(spark).filter(

@@ -175,3 +175,15 @@ def test_ownership_preemption(app, spark, tmp_state):
     # the transfer is stable: warm re-run under the new keying is all-noop
     warm = app.sync_table(src, ["path", "text"], enrich, t)
     assert warm.memo_misses == 0 and warm.noops == 2 and warm.deletes == 0
+
+
+def test_duplicate_declaration_rejected(app, spark, tmp_state):
+    """Two components declaring the same target state is an error under
+    validate_unique (duplicate keys rejected, execution.rs:264-303)."""
+    import pytest as _pytest
+
+    t = _target(app, tmp_state)
+    # keyed by (path, text): two rows collapse to the same target pk "a"
+    src = _source(spark, [("a", "x"), ("a", "longer")])
+    with _pytest.raises(ValueError, match="duplicate target state"):
+        app.sync_table(src, ["path", "text"], enrich, t, validate_unique=True)
