@@ -187,3 +187,21 @@ def test_duplicate_declaration_rejected(app, spark, tmp_state):
     src = _source(spark, [("a", "x"), ("a", "longer")])
     with _pytest.raises(ValueError, match="duplicate target state"):
         app.sync_table(src, ["path", "text"], enrich, t, validate_unique=True)
+
+
+def test_empty_source_wipes_target(app, spark, tmp_state):
+    """Source shrinking to zero rows deletes every target state and
+    leaves a re-populatable app (delete-all then re-insert)."""
+    t = _target(app, tmp_state)
+    src = _source(spark, [("a", "x"), ("b", "yy")])
+    app.sync_table(src, ["path"], enrich, t)
+
+    empty = src.limit(0)
+    st = app.sync_table(empty, ["path"], enrich, t)
+    assert st.deletes == 2 and st.inserts == 0 and st.noops == 0
+    assert t.read(spark).count() == 0
+
+    # back from empty: clean re-insert (memo may replay, states rewrite)
+    again = app.sync_table(src, ["path"], enrich, t)
+    assert again.inserts == 2
+    assert _contents(t, spark) == {"a": ("X", 1), "b": ("YY", 2)}
