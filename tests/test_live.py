@@ -96,3 +96,31 @@ def test_file_stream_catch_up(app, spark, tmp_state):
     q2 = sync.start(stream, ckpt, available_now=True)
     q2.awaitTermination(120)
     assert {r["k"]: r["v_up"] for r in target.read(spark).collect()} == {"k1": "A", "k2": "B2"}
+
+
+def test_auto_refresh_rounds_and_delete_propagation(app, spark, tmp_state):
+    """auto_refresh: each round is a full snapshot reconcile — an item
+    removed from the source between rounds is deleted from the target
+    with no change feed (live_mode.mdx:68-95)."""
+    from cocoindex_spark.streaming.live import auto_refresh
+
+    t = app.target(f"{tmp_state}/ar", ["k"], "k STRING, n INT")
+    state = {"rows": [("a", "x"), ("b", "yy")]}
+
+    @fn(memo=True)
+    def measure(df):
+        return df.select(
+            "__args_fp", "__component_path", "k", F.length("v").alias("n")
+        )
+
+    def build():
+        out = spark.createDataFrame(state["rows"], "k STRING, v STRING")
+        state["rows"] = [("a", "x")]  # next round: b disappears
+        return out
+
+    stats = auto_refresh(
+        app, build, ["k"], measure, t, interval_sec=0.0, max_rounds=2
+    )
+    assert [s.inserts for s in stats] == [2, 0]
+    assert stats[1].deletes == 1  # b swept by the snapshot reconcile
+    assert {r.k for r in t.read(spark).collect()} == {"a"}
