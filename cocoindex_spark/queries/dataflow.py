@@ -294,16 +294,104 @@ def q64_child_existence_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q65: full entity-resolution pipeline (candidates → components →
-#     per-component greedy canonical merge with applyInPandas). The
-#     greedy merge is not SQL-expressible → rows-only driver check;
-#     unit tests assert the semantics (tests/test_types_er.py).
-@register("q65_entity_resolution")
+#     per-component greedy canonical merge with mapInPandas; reference
+#     python/cocoindex/ops/entity_resolution/__init__.py:264-425). The
+#     greedy merge's exact tie-break order is not SQL-expressible (it is
+#     pytest-pinned in tests/test_types_er.py); what IS SQL-checkable are
+#     its structural invariants, so the query emits those per member and
+#     the oracle derives the ground truth independently (components via
+#     the q62 recursive CTE, pinning from the id, invariants as TRUE):
+#       * canon_in_comp — the chosen canonical lies in the member's own
+#         connected component (never merges across components);
+#       * pinned_self_ok — pinned entities keep their identity;
+#       * canonical_fixpoint — canonical(canonical(x)) = canonical(x)
+#         (chain-walking terminated);
+#       * singleton_self — a member with no candidate pair is its own
+#         canonical.
+#     A broken merge flips one of the booleans and the value hash
+#     diverges, so this upgrades q65 from rows-only to a full hash check.
+@register(
+    "q65_entity_resolution",
+    oracle=f"""
+WITH RECURSIVE eb AS (
+  SELECT vec_id, embedding, {sql_sign_bucket("embedding", 8)} AS bucket,
+         {sql_dot_fixed("embedding", "embedding")} AS sqn
+  FROM embeddings
+), edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE CAST({sql_dot_fixed("a.embedding", "b.embedding")} AS DOUBLE)
+          / sqrt(CAST(a.sqn AS DOUBLE) * CAST(b.sqn AS DOUBLE)) >= 0.30
+), sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+), reach(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+), comp AS (
+  SELECT a AS vec_id, MIN('vec_' || CAST(b AS VARCHAR)) AS component_id
+  FROM reach GROUP BY a
+)
+SELECT 'vec_' || CAST(c.vec_id AS VARCHAR) AS name,
+  c.component_id,
+  (c.vec_id % 13 = 0) AS was_pinned,
+  TRUE AS canon_in_comp,
+  TRUE AS pinned_self_ok,
+  TRUE AS canonical_fixpoint,
+  TRUE AS singleton_self
+FROM comp c
+""",
+)
 def q65_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cocoindex_spark.operators.entity_resolution import resolve_entities
+    from cocoindex_spark.operators.entity_resolution import (
+        candidate_pairs,
+        connected_components,
+        greedy_resolve,
+    )
 
     e = table(spark, sf_dir, "embeddings").select(
         F.concat(F.lit("vec_"), F.col("vec_id").cast("string")).alias("name"),
         "embedding",
-        F.lit(False).alias("is_existing_canonical"),
+        (F.col("vec_id") % 13 == 0).alias("is_existing_canonical"),
     )
-    return resolve_entities(e, threshold=0.30, bucket_bits=8)
+    pairs = candidate_pairs(e, "name", "embedding", threshold=0.30, bucket_bits=8).localCheckpoint(
+        eager=True
+    )
+    comps = connected_components(e, pairs, "name").localCheckpoint(eager=True)
+    ewc = e.join(comps, e.name == comps.id, "left").drop("id")
+    res = greedy_resolve(ewc, pairs, "name", "is_existing_canonical")
+    # members with at least one candidate pair (everyone else is a
+    # "lonely" singleton w.r.t. the pair graph and must self-canonize)
+    paired = (
+        pairs.select(F.col("a_id").alias("name"))
+        .unionAll(pairs.select(F.col("b_id").alias("name")))
+        .distinct()
+        .withColumn("has_pair", F.lit(True))
+    )
+    member_comp = comps.select(F.col("id").alias("name"), "component_id")
+    canon_comp = comps.select(
+        F.col("id").alias("canonical"), F.col("component_id").alias("canon_component_id")
+    )
+    canon_of_canon = res.select(
+        F.col("name").alias("canonical"), F.col("canonical").alias("canon2")
+    )
+    return (
+        res.join(member_comp, "name")
+        .join(canon_comp, "canonical", "left")
+        .join(canon_of_canon, "canonical", "left")
+        .join(paired, "name", "left")
+        .select(
+            "name",
+            "component_id",
+            "was_pinned",
+            (F.col("canon_component_id") == F.col("component_id")).alias("canon_in_comp"),
+            (~F.col("was_pinned") | (F.col("canonical") == F.col("name"))).alias(
+                "pinned_self_ok"
+            ),
+            (F.col("canon2") == F.col("canonical")).alias("canonical_fixpoint"),
+            (
+                F.coalesce(F.col("has_pair"), F.lit(False))
+                | (F.col("canonical") == F.col("name"))
+            ).alias("singleton_self"),
+        )
+    )

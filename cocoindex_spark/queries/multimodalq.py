@@ -37,7 +37,7 @@ def q70_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH decoded AS ({_DECODED})
 SELECT modality, COUNT(*) AS n,
-  SUM(byte_len) AS total_bytes,
+  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
   MIN(width) AS min_width, MAX(width) AS max_width,
   CAST(SUM(width * height) AS DOUBLE) / SUM(n_frames) AS px_per_frame
 FROM decoded GROUP BY modality

@@ -31,16 +31,28 @@ def all_oracles() -> dict[str, str]:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); must be read as long.
-        # Runtime-settable, so this works on driver-provided sessions too.
+        # events.parquet stores TIMESTAMP(NANOS). Depending on the Spark
+        # version this reads as a nanos LONG (legacy conf) or as
+        # TIMESTAMP_NTZ (Spark 4.1+ reads nanos natively, truncated to
+        # micros). Normalize both to a plain TIMESTAMP under a UTC
+        # session zone so epoch arithmetic (unix_micros) is exact and
+        # matches DuckDB's tz-free epoch_us. Runtime-settable, so this
+        # works on driver-provided sessions too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS) → read as nanos long
-    # (spark.sql.legacy.parquet.nanosAsLong) → convert to micros timestamp,
-    # matching DuckDB's nanos→micros truncation.
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            # nanos long → micros timestamp (floor = DuckDB truncation)
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        elif isinstance(dt, TimestampNTZType):
+            # NTZ→TIMESTAMP cast interprets wall time in the session zone;
+            # with UTC set above this is the identity on the epoch value.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -184,7 +184,7 @@ def q05_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_groupby_scoring",
     oracle="""
 SELECT user_id,
-  SUM(CASE WHEN event_type = 'purchase' THEN 5 ELSE 1 END) AS score,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 5 ELSE 1 END) AS BIGINT) AS score,
   COUNT(*) AS n_events
 FROM events
 GROUP BY user_id

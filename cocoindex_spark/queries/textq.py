@@ -195,10 +195,11 @@ WITH toks AS (
   SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
 )
 SELECT doc_id,
-  list_sum(list_transform(range(1, len(w)+1),
-    i -> CAST({sql_token_hash16("w[i]")} AS BIGINT) *
-         (CASE ((i-1) % 8) {" ".join(f"WHEN {k} THEN {p}" for k, p in enumerate(_POW31))} END)
-  )) % 1000000007 AS fingerprint
+  CAST(list_sum(list_transform(range(1, len(w)+1),
+    i -> (CAST({sql_token_hash16("w[i]")} AS BIGINT) *
+          (CASE ((i-1) % 8) {" ".join(f"WHEN {k} THEN {p}" for k, p in enumerate(_POW31))} END)
+         ) % 1000000007
+  )) % 1000000007 AS BIGINT) AS fingerprint
 FROM toks
 """,
 )
@@ -208,7 +209,12 @@ def q43_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight = F.element_at(
         F.array(*[F.lit(p) for p in _POW31]), (F.col("pos") % 8) + 1
     ).cast("long")
-    term = token_hash16(F.col("tok")) * weight
+    # Per-term mod keeps every term < 1e9, so the int64 partial sums can
+    # never wrap (the sum of N terms is < N*1e9); DuckDB's int128
+    # list_sum and Spark's int64 sum therefore agree exactly.  The max
+    # single term is 65535 * 31^7 ≈ 1.8e15, still inside int64 before
+    # the mod.
+    term = (token_hash16(F.col("tok")).cast("long") * weight) % F.lit(1000000007)
     return (
         toks.withColumn("term", term)
         .groupBy("doc_id")
