@@ -108,9 +108,18 @@ def fp_logic(fn, version: int | None = None, deps: tuple[str, ...] = ()) -> str:
 
 def fp_col(*cols: Column) -> Column:
     """Distributed row fingerprint: sha2-256 (truncated to 32 hex chars)
-    over a canonical '\\x1f'-joined string encoding. NULL is encoded
-    distinctly from the string 'null'."""
-    encoded = [
-        F.coalesce(c.cast("string"), F.lit("\x00<NULL>\x00")) for c in cols
-    ]
+    over an unambiguous per-column JSON encoding.
+
+    Each column is wrapped in a single-field struct and serialized with
+    ``to_json`` — JSON string escaping makes the value self-delimiting
+    (control chars like the old ``\\x1f`` joiner become ``\\u001F``, so a
+    value can never shift bytes across field boundaries) and complex
+    types serialize structurally (``["a, b"]`` vs ``["a","b"]`` stay
+    distinct, unlike their string casts). NULL encodes as ``{}`` —
+    distinct from any non-null value including the string 'null'. This
+    is the length-prefix-free analog of the reference's canonical serde
+    (rust/utils/src/fingerprint.rs:38-52). All JVM-side: to_json +
+    sha2 stay inside whole-stage codegen / vectorized expression eval.
+    """
+    encoded = [F.to_json(F.struct(c.alias("v"))) for c in cols]
     return F.substring(F.sha2(F.concat_ws("\x1f", *encoded), 256), 1, FP_LEN * 2)

@@ -183,6 +183,11 @@ class PandasEmbedder:
         factory = self.model_factory
         max_bs = self.max_batch_size
         limiter = self.rate_limiter
+        if limiter is not None:
+            # A chunk larger than the bucket's capacity could never
+            # acquire() and would hang the task forever — cap at capacity.
+            cap = int(getattr(limiter, "capacity", max_bs))
+            max_bs = max(1, min(max_bs, cap))
 
         def run(batches: Iterator) -> Iterator:
             model = factory()  # one per task; process-level caches inside

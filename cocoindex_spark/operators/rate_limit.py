@@ -28,12 +28,34 @@ class TokenBucket:
         self._lock = threading.Lock()  # FIFO via lock fairness + one cond
         self._cond = threading.Condition(self._lock)
 
+    def __getstate__(self):
+        # Picklable into Spark task closures: ship only the config; each
+        # executor process rebuilds a full bucket (the documented
+        # per-executor placement — rate should be cluster_rate/executors).
+        return {"rate": self.rate, "capacity": self.capacity}
+
+    def __setstate__(self, state):
+        self.rate = state["rate"]
+        self.capacity = state["capacity"]
+        self._tokens = self.capacity
+        self._last = time.monotonic()
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+
     def _refill(self) -> None:
         now = time.monotonic()
         self._tokens = min(self.capacity, self._tokens + (now - self._last) * self.rate)
         self._last = now
 
+    def _check_satisfiable(self, n: float) -> None:
+        if n > self.capacity:
+            raise ValueError(
+                f"acquire({n}) can never be satisfied: bucket capacity is "
+                f"{self.capacity} (raise burst or shrink the batch)"
+            )
+
     def try_acquire(self, n: float = 1.0) -> bool:
+        self._check_satisfiable(n)
         with self._lock:
             self._refill()
             if self._tokens >= n:
@@ -42,6 +64,7 @@ class TokenBucket:
             return False
 
     def acquire(self, n: float = 1.0, timeout: float | None = None) -> bool:
+        self._check_satisfiable(n)
         deadline = None if timeout is None else time.monotonic() + timeout
         with self._cond:
             while True:

@@ -72,6 +72,30 @@ class PatternFilePathMatcher:
                 verdict = False
         return verdict
 
+    def match_col(self, relpath: F.Column) -> F.Column:
+        """The same ordered include/exclude semantics compiled to a JVM
+        boolean expression (rlike + CASE chain) — the glob→regex
+        translation is shared with ``matches``, so the two paths cannot
+        diverge. Keeps directory scans inside whole-stage codegen with
+        no Python UDF (the globs are static, so there is nothing a UDF
+        could add). Python's ``re.escape`` only backslash-escapes
+        punctuation, which Java regex also accepts literally.
+        """
+        from functools import reduce
+
+        included = reduce(
+            lambda a, b: a | b,
+            [relpath.rlike(self._glob_to_re(p).pattern) for p in self.included],
+        )
+        # Last match wins: wrap later patterns OUTSIDE earlier ones so
+        # they are consulted first.
+        verdict = F.lit(True)
+        for p in self.excluded:
+            neg = p.startswith("!")
+            pat = self._glob_to_re(p[1:] if neg else p).pattern
+            verdict = F.when(relpath.rlike(pat), F.lit(neg)).otherwise(verdict)
+        return included & verdict
+
 
 def scan_dir(
     spark: SparkSession,
@@ -85,9 +109,10 @@ def scan_dir(
 
     The listing/content read is Spark's binaryFile source (executes
     distributed; partition count follows maxPartitionBytes). Pattern
-    filtering applies the matcher per-partition via a lightweight UDF
-    only when negation/exclusion is requested; the plain include case
-    pushes ``pathGlobFilter`` into the source (no Python in the scan).
+    filtering compiles the globs to a JVM rlike/CASE chain
+    (``match_col``) so the scan stays in whole-stage codegen; the plain
+    single-include case additionally pushes ``pathGlobFilter`` into the
+    source listing itself.
     """
     matcher = PatternFilePathMatcher(included_patterns, excluded_patterns)
     root = os.path.abspath(path)
@@ -114,10 +139,7 @@ def scan_dir(
         F.col("content"),
     )
     if not single_include and (included_patterns or excluded_patterns):
-        from pyspark.sql.types import BooleanType
-
-        match_udf = F.udf(matcher.matches, BooleanType())
-        df = df.filter(match_udf(F.col("relpath")))
+        df = df.filter(matcher.match_col(F.col("relpath")))
     if not binary:
         df = df.withColumn("text", decode_text(F.col("content")))
     return df
@@ -125,17 +147,22 @@ def scan_dir(
 
 def decode_text(content: F.Column) -> F.Column:
     """BOM-aware text decode (localfs/_source.py read_text semantics):
-    UTF-8/UTF-16 BOM detection with UTF-8 fallback."""
+    UTF-8/UTF-16 BOM detection with UTF-8 fallback. Works on any binary
+    column expression — the BOM-skip substrings are built from the
+    passed column, never a hard-coded name."""
+    # substring(col, pos, len): len > remaining returns the rest, so a
+    # max-int length is "everything from pos".
+    rest_from = lambda pos: F.substring(content, pos, 2147483647)  # noqa: E731
     head = F.substring(content, 1, 3)
     return (
-        F.when(head == bytes([0xEF, 0xBB, 0xBF]), F.decode(F.expr("substring(content, 4)"), "UTF-8"))
+        F.when(head == bytes([0xEF, 0xBB, 0xBF]), F.decode(rest_from(4), "UTF-8"))
         .when(
             F.substring(content, 1, 2) == bytes([0xFF, 0xFE]),
-            F.decode(F.expr("substring(content, 3)"), "UTF-16LE"),
+            F.decode(rest_from(3), "UTF-16LE"),
         )
         .when(
             F.substring(content, 1, 2) == bytes([0xFE, 0xFF]),
-            F.decode(F.expr("substring(content, 3)"), "UTF-16BE"),
+            F.decode(rest_from(3), "UTF-16BE"),
         )
         .otherwise(F.decode(content, "UTF-8"))
     )

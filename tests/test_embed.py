@@ -73,6 +73,32 @@ def test_token_bucket_rates():
     assert not slow.acquire(1, timeout=0.05)
 
 
+def test_token_bucket_unsatisfiable_raises():
+    """acquire(n) with n above capacity can never be satisfied — it must
+    raise instead of blocking the Spark task forever."""
+    import pytest
+
+    b = TokenBucket(rate_per_sec=100, burst=4)
+    with pytest.raises(ValueError, match="never be satisfied"):
+        b.acquire(5)
+    with pytest.raises(ValueError, match="never be satisfied"):
+        b.try_acquire(5)
+
+
+def test_embedder_caps_batch_at_limiter_capacity(spark):
+    """A limiter whose burst is below max_batch_size must not hang: the
+    embedder shrinks its chunk size to the bucket capacity."""
+    emb = PandasEmbedder(
+        lambda: FakeModel(dim=2),
+        VectorSchema(2),
+        max_batch_size=256,
+        rate_limiter=TokenBucket(rate_per_sec=1000, burst=8),
+    )
+    df = spark.createDataFrame([(f"t{i}",) for i in range(20)], "text STRING")
+    out = emb.embed_column(df, "text")
+    assert out.count() == 20
+
+
 def test_executor_bucket_shared():
     b1 = executor_bucket("api-x", 100)
     b2 = executor_bucket("api-x", 999)  # same name → same bucket, rate kept

@@ -4,8 +4,10 @@ body edits do, dep edits propagate)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from cocoindex_spark.engine.function import fn
-from cocoindex_spark.fingerprint import fp_logic, fp_value
+from cocoindex_spark.fingerprint import fp_col, fp_logic, fp_value
 
 
 def test_fp_value_canonical():
@@ -14,6 +16,30 @@ def test_fp_value_canonical():
     assert fp_value("1") != fp_value(1)
     assert fp_value(None) != fp_value("")
     assert fp_value(True) != fp_value(1)
+
+
+def test_fp_col_unambiguous_boundaries(spark):
+    """Two distinct rows must never share a fingerprint: values
+    containing the old joiner byte must not shift across field
+    boundaries, and complex types must encode structurally (the
+    reference's canonical-serde guarantee, rust/utils fingerprint)."""
+    df = spark.createDataFrame(
+        [("a\x1fb", "c"), ("a", "b\x1fc")], "x STRING, y STRING"
+    ).select(fp_col(F.col("x"), F.col("y")).alias("fp"))
+    fps = [r["fp"] for r in df.collect()]
+    assert fps[0] != fps[1]
+
+    arr = spark.createDataFrame([(["a, b"],), (["a", "b"],)], "v ARRAY<STRING>").select(
+        fp_col(F.col("v")).alias("fp")
+    )
+    a, b = [r["fp"] for r in arr.collect()]
+    assert a != b
+
+    nulls = spark.createDataFrame([(None,), ("null",), ("",)], "v STRING").select(
+        fp_col(F.col("v")).alias("fp")
+    )
+    seen = [r["fp"] for r in nulls.collect()]
+    assert len(set(seen)) == 3
 
 
 def test_fp_logic_docstring_invariant():

@@ -34,6 +34,44 @@ def test_pattern_matcher_single_star_no_dirs():
     assert not m.matches("nested/deep.md")
 
 
+def test_pattern_match_col_parity(spark):
+    """The JVM-compiled glob filter (match_col) must agree with the
+    Python matcher on every path — they share the glob→regex
+    translation, this pins the CASE-chain ordering (last match wins)."""
+    from pyspark.sql import functions as F
+
+    m = PatternFilePathMatcher(
+        included_patterns=["**/*.md", "**/*.py", "docs/?.txt"],
+        excluded_patterns=["**/vendor/**", "!**/vendor/keep.py", "**/tmp/**"],
+    )
+    paths = [
+        "a/b.md", "x.py", "x.rs", "src/vendor/lib.py", "src/vendor/keep.py",
+        "docs/a.txt", "docs/ab.txt", "tmp/x.md", "deep/tmp/y.py",
+        "src/vendor/tmp/keep.py", "weird*name.md", "dot.file.py",
+    ]
+    df = spark.createDataFrame([(p,) for p in paths], "relpath STRING")
+    got = {
+        r["relpath"]: r["ok"]
+        for r in df.select("relpath", m.match_col(F.col("relpath")).alias("ok")).collect()
+    }
+    assert got == {p: m.matches(p) for p in paths}
+
+
+def test_decode_text_any_column_name(spark):
+    """decode_text must work on derived/renamed binary columns (the BOM
+    branches used to hard-code the name 'content')."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_spark.sources.localfs import decode_text
+
+    df = spark.createDataFrame(
+        [(b"\xef\xbb\xbfutf8 bom",), (b"\xff\xfeh\x00i\x00",), (b"plain",)],
+        "blob BINARY",
+    )
+    out = [r["t"] for r in df.select(decode_text(F.col("blob")).alias("t")).collect()]
+    assert out == ["utf8 bom", "hi", "plain"]
+
+
 def test_scan_dir(spark, tmp_state):
     root = os.path.join(tmp_state, "corpus")
     os.makedirs(os.path.join(root, "sub"))
