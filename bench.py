@@ -122,6 +122,61 @@ def bench_incremental(spark, sf_dir: str, timings: dict) -> None:
         dele = app.sync_table(half, ["doc_id"], doc_stats, target)
         timings["pipe_delete"] = round(_time.perf_counter() - t0, 3)
         assert dele.deletes > 0 and dele.memo_misses == 0
+
+        # ---- two-level phases: metadata-only listing + load callable
+        # (the reference's cheap-version-first validation: a warm run
+        # touches ZERO content bytes — O(listing), not O(data)).
+        app2 = App("bench2", state_dir=root, spark=spark)
+        target2 = app2.target(
+            f"{root}/doc_stats2", ["doc_id"],
+            "doc_id LONG, n_tokens INT, n_chars INT, content_fp STRING",
+        )
+        docs = table(spark, sf_dir, "documents")
+        listing = docs.select("doc_id", "n_chars")  # parquet prunes text
+
+        def load_text(df):
+            return df.join(docs.select("doc_id", "text"), "doc_id", "left")
+
+        cold2 = app2.sync_table(
+            listing, ["doc_id"], doc_stats, target2,
+            cheap_fp_cols=["n_chars"], load=load_text,
+        )
+        assert cold2.memo_misses > 0
+
+        t0 = _time.perf_counter()
+        warm2 = app2.sync_table(
+            listing, ["doc_id"], doc_stats, target2,
+            cheap_fp_cols=["n_chars"], load=load_text,
+        )
+        timings["pipe_warm_cheap"] = round(_time.perf_counter() - t0, 3)
+        assert warm2.memo_misses == 0, "cheap-warm run must recompute nothing"
+        assert warm2.extra["loaded"] == 0, "cheap-warm run must load zero content rows"
+
+        # edit: one doc's cheap version changes → exactly one load+recompute
+        elist = listing.withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") == 0, F.col("n_chars") + 7).otherwise(F.col("n_chars")),
+        )
+
+        def load_edited(df):
+            return df.join(
+                docs.select(
+                    "doc_id",
+                    F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit(" EDITED")))
+                    .otherwise(F.col("text"))
+                    .alias("text"),
+                ),
+                "doc_id",
+                "left",
+            )
+
+        t0 = _time.perf_counter()
+        edit2 = app2.sync_table(
+            elist, ["doc_id"], doc_stats, target2,
+            cheap_fp_cols=["n_chars"], load=load_edited,
+        )
+        timings["pipe_edit_cheap"] = round(_time.perf_counter() - t0, 3)
+        assert edit2.extra["loaded"] == 1 and edit2.memo_misses == 1
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -92,6 +92,8 @@ class App:
         partial: bool = False,
         tombstone_col: str | None = None,
         validate_unique: bool = False,
+        cheap_fp_cols: list[str] | None = None,
+        load: Callable[[DataFrame], DataFrame] | None = None,
     ) -> SyncStats:
         """One catch-up update (app.update_blocking analog, §3.1).
 
@@ -110,6 +112,22 @@ class App:
         duplicate declarations, execution.rs:264-303; here it costs one
         extra aggregation job, so it's opt-in — without it the upsert
         MERGE picks an arbitrary winner among duplicates).
+
+        ``cheap_fp_cols`` enables **two-level change detection**
+        (reference: the cheap version — mtime/size/etag — is validated
+        before the content fingerprint is ever computed,
+        rust/core/src/engine/component.rs:86-101; data_types.mdx:37-39).
+        A per-component (cheap_fp → args_fp) mapping persists in the
+        state store; components whose cheap fp matches replay their
+        memoized result WITHOUT touching content columns, so a warm run
+        is O(listing), not O(data). With ``load`` given, ``source`` is a
+        metadata-only listing and ``load`` attaches content columns to
+        exactly the rows whose cheap fp missed (it must preserve its
+        input columns) — at 100 TB the warm path then reads zero content
+        bytes. Without ``load``, content columns may sit in ``source``
+        itself; column pruning keeps them out of the cheap-hit branch's
+        scan. Requires ``memo=True`` (without memoized results there is
+        nothing to replay); ignored under ``full_reprocess``.
         """
         t0 = time.perf_counter()
         spark = self.spark
@@ -134,22 +152,98 @@ class App:
                 self._path_col(component_prefix, key_cols).alias("component_path")
             ).distinct()
         src_cols = [c for c in source.columns]
-        keyed = source.withColumn(
-            "__args_fp", fp_col(F.lit(logic_fp), *[F.col(c) for c in src_cols])
-        ).withColumn("__component_path", self._path_col(component_prefix, key_cols))
+        memo_df = self.state.memo.read(spark).filter(F.col("logic_fp") == logic_fp)
+        memo_keys = memo_df.select(F.col("args_fp").alias("__args_fp"))
+
+        use_cheap = bool(cheap_fp_cols) and memo and not full_reprocess
+        cheap_listing = None
+        cheap_replay = None
+        if use_cheap:
+            # ---- level 1: cheap fp vs the stored source_fp map ----
+            cheap_listing = (
+                source.withColumn(
+                    "__cheap_fp",
+                    fp_col(F.lit(logic_fp), *[F.col(c) for c in cheap_fp_cols]),
+                )
+                .withColumn(
+                    "__component_path", self._path_col(component_prefix, key_cols)
+                )
+                .dropDuplicates(["__component_path", "__cheap_fp"])
+                .cache()
+            )
+            sfp = (
+                self.state.source_fp.read(spark)
+                .filter(F.col("component_path").startswith(component_prefix + "/"))
+                .select(
+                    F.col("component_path").alias("__component_path"),
+                    F.col("cheap_fp").alias("__cheap_fp"),
+                    F.col("args_fp").alias("__args_fp"),
+                )
+            )
+            cheap_hit = cheap_listing.join(
+                sfp, ["__component_path", "__cheap_fp"], "inner"
+            )
+            cheap_miss = cheap_listing.join(
+                sfp, ["__component_path", "__cheap_fp"], "left_anti"
+            )
+            # A cheap hit only skips loading if its memoized result still
+            # exists; a GC'd memo entry falls back to the load path.
+            cheap_replay = (
+                cheap_hit.join(memo_keys, "__args_fp", "left_semi")
+                .select("__args_fp", "__component_path")
+                .cache()
+            )
+            need_load = cheap_miss.unionByName(
+                cheap_hit.join(memo_keys, "__args_fp", "left_anti").drop("__args_fp")
+            ).cache()
+            # ---- level 2: load content for cheap misses only ----
+            # Counting first is a metadata-only job (listing ⋈ fp-map ⋈
+            # memo keys — no content column anywhere). When nothing needs
+            # loading we substitute a LITERAL empty frame: merely
+            # executing load()'s plan over an empty input would still
+            # scan its right side (a content join scans the content
+            # table even when the probe side is empty), which is exactly
+            # the O(data) warm cost this path exists to eliminate.
+            stats.extra["loaded"] = n_need = need_load.count()
+            loaded = load(need_load) if load is not None else need_load
+            if n_need == 0:
+                loaded = spark.createDataFrame([], loaded.schema)
+            # The content fingerprint (and the transform's view) excludes
+            # the volatile cheap columns: a touched mtime with identical
+            # content must memo-hit, not recompute (component.rs:97-101 —
+            # the content fp is over content, the cheap version is only a
+            # validation hint). Key columns are never stripped.
+            volatile = set(cheap_fp_cols) - set(key_cols)
+            src_cols = [
+                c
+                for c in loaded.columns
+                if c not in ("__cheap_fp", "__component_path") and c not in volatile
+            ]
+            keyed = loaded.withColumn(
+                "__args_fp", fp_col(F.lit(logic_fp), *[F.col(c) for c in src_cols])
+            )
+        else:
+            keyed = source.withColumn(
+                "__args_fp", fp_col(F.lit(logic_fp), *[F.col(c) for c in src_cols])
+            ).withColumn("__component_path", self._path_col(component_prefix, key_cols))
+        # __args_fp covers every source column (keys included), so equal
+        # fingerprints ⇒ fully-identical rows ⇒ the same component.
+        # Collapse them here: otherwise the memo flush would collect both
+        # copies' outputs under one fingerprint and each later hit would
+        # replay the doubled array (duplicate target declarations). The
+        # dedup partitions by __args_fp — the same key the memo join
+        # shuffles on — so the exchange is reused, not added.
+        keyed = keyed.dropDuplicates(["__args_fp"])
         keyed = keyed.cache()
 
         # ---- memo lookup join (§3.2: anti-join against _state/memo) ----
-        memo_df = self.state.memo.read(spark).filter(F.col("logic_fp") == logic_fp)
         if memo and not full_reprocess:
             hits_keys = keyed.join(
                 memo_df.select(F.col("args_fp").alias("__args_fp"), "result_json"),
                 "__args_fp",
                 "inner",
             )
-            miss_src = keyed.join(
-                memo_df.select(F.col("args_fp").alias("__args_fp")), "__args_fp", "left_anti"
-            )
+            miss_src = keyed.join(memo_keys, "__args_fp", "left_anti")
         else:
             hits_keys = keyed.limit(0).withColumn("result_json", F.lit(None).cast("string"))
             miss_src = keyed
@@ -168,9 +262,23 @@ class App:
         # ---- replay memo hits (deserialize carried results) ----
         from pyspark.sql.types import ArrayType
 
+        replay_src = hits_keys.select("__args_fp", "__component_path", "result_json")
+        if cheap_replay is not None:
+            # Cheap-fp hits never loaded content; their stored args_fp
+            # joins straight to the memoized result (semi-joined against
+            # memo above, so this inner join drops nothing).
+            replay_src = replay_src.unionByName(
+                cheap_replay.join(
+                    memo_df.select(
+                        F.col("args_fp").alias("__args_fp"), "result_json"
+                    ),
+                    "__args_fp",
+                    "inner",
+                ).select("__args_fp", "__component_path", "result_json")
+            )
         row_schema = miss_out.select(*out_cols).schema
         hit_rows = (
-            hits_keys.select(
+            replay_src.select(
                 "__args_fp",
                 "__component_path",
                 F.explode(
@@ -234,6 +342,12 @@ class App:
         if memo:
             stats.memo_misses = miss_src.count()
             stats.memo_hits = keyed.count() - stats.memo_misses
+            if use_cheap:
+                # Cheap-fp replays never reached the loaded set: they are
+                # memo hits that skipped content I/O entirely.
+                n_cheap = cheap_replay.count()
+                stats.memo_hits += n_cheap
+                stats.extra["cheap_hits"] = n_cheap
             if stats.memo_misses:
                 miss_memo = (
                     miss_out.groupBy("__args_fp")
@@ -310,6 +424,41 @@ class App:
             self.state.tracking.merge_upsert(applied, touched=bks)
             self.state.tracking.delete_keys(deleted)
 
+        # ---- source_fp map maintenance (two-level change detection) ----
+        if use_cheap:
+            # Every loaded row records (cheap_fp → args_fp) so the next
+            # run's level-1 check can skip it. Write order vs memo/
+            # tracking does not matter: whichever side is missing on the
+            # next run just falls back to load+recompute (convergent).
+            new_sfp = keyed.select(
+                F.col("__component_path").alias("component_path"),
+                F.col("__cheap_fp").alias("cheap_fp"),
+                F.col("__args_fp").alias("args_fp"),
+                F.lit(version).cast("long").alias("version"),
+            )
+            if stats.extra["loaded"]:
+                self.state.source_fp.merge_upsert(new_sfp)
+            if not partial and tombstone_col is None and stats.deletes:
+                # Full syncs enumerate the whole source: sweep map rows
+                # of vanished components (one metadata-sized anti-join).
+                # Gated on reconcile deletes — without any, no component
+                # vanished (a stale row would anyway only cost space: a
+                # returning component with an unchanged cheap fp replays
+                # the same memoized result, which is correct).
+                dead_sfp = (
+                    self.state.source_fp.read(spark)
+                    .filter(F.col("component_path").startswith(component_prefix + "/"))
+                    .join(
+                        cheap_listing.select(
+                            F.col("__component_path").alias("component_path")
+                        ),
+                        "component_path",
+                        "left_anti",
+                    )
+                    .select("component_path")
+                )
+                self.state.source_fp.delete_keys(dead_sfp)
+
         if memo_thread is not None:
             memo_thread.join()
             if memo_err:
@@ -319,8 +468,11 @@ class App:
         # materialized, and leaked cache blocks across many syncs in one
         # session evict each other (a bench run is 35+ plans) — the
         # recompute storms cost far more than the caching saved.
-        for cached in (plan.actions, miss_out, miss_src, keyed):
-            cached.unpersist()
+        for cached in (plan.actions, miss_out, miss_src, keyed, cheap_listing, cheap_replay):
+            if cached is not None:
+                cached.unpersist()
+        if use_cheap:
+            need_load.unpersist()
         stats.wall_sec = time.perf_counter() - t0
         return stats
 

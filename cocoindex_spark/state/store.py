@@ -244,6 +244,18 @@ USER_STATE_SCHEMA = _schema(
     ("version", "long"),
 )
 
+# Two-level change detection (reference: cheap version validated before
+# the content fingerprint, rust/core/src/engine/component.rs:86-101;
+# data_types.mdx:37-39): per-component mapping cheap_fp → the content
+# args_fp last computed under it. A cheap-fp match lets a warm run skip
+# loading content entirely.
+SOURCE_FP_SCHEMA = _schema(
+    ("component_path", "string"),
+    ("cheap_fp", "string"),
+    ("args_fp", "string"),
+    ("version", "long"),
+)
+
 
 class StateStore:
     """All engine state tables under one root directory."""
@@ -259,6 +271,9 @@ class StateStore:
         )
         self.user_state = ManagedTable(
             os.path.join(root, "user_state"), ["component_path", "state_key"], USER_STATE_SCHEMA
+        )
+        self.source_fp = ManagedTable(
+            os.path.join(root, "source_fp"), ["component_path"], SOURCE_FP_SCHEMA
         )
 
     def drop(self) -> None:

@@ -189,6 +189,94 @@ def test_duplicate_declaration_rejected(app, spark, tmp_state):
         app.sync_table(src, ["path", "text"], enrich, t, validate_unique=True)
 
 
+def test_two_level_cheap_fp(app, spark, tmp_state):
+    """Two-level change detection (cheap version checked before content
+    fingerprint, component.rs:86-101): a warm run loads ZERO content
+    rows; a cheap-only change (touched mtime, same content) loads but
+    does not recompute; a real edit recomputes exactly its row."""
+    target = _target(app, tmp_state)
+    content = {"a.md": "alpha", "b.md": "beta", "c.md": "gamma"}
+
+    def listing_df(revs):
+        return spark.createDataFrame(
+            [(p, r) for p, r in revs.items()], "path STRING, rev LONG"
+        )
+
+    def make_load(contents):
+        cdf = spark.createDataFrame(list(contents.items()), "path STRING, text STRING")
+
+        def load(df):
+            return df.join(cdf, "path", "left")
+
+        return load
+
+    revs = {"a.md": 1, "b.md": 1, "c.md": 1}
+    kw = dict(cheap_fp_cols=["rev"], load=make_load(content))
+    s1 = app.sync_table(listing_df(revs), ["path"], enrich, target, **kw)
+    assert s1.memo_misses == 3 and s1.inserts == 3
+    assert s1.extra["cheap_hits"] == 0 and s1.extra["loaded"] == 3
+
+    # warm: every component replays off the cheap fp — nothing loaded
+    s2 = app.sync_table(listing_df(revs), ["path"], enrich, target, **kw)
+    assert s2.memo_misses == 0 and s2.noops == 3
+    assert s2.extra["cheap_hits"] == 3 and s2.extra["loaded"] == 0
+
+    # touch: rev bumps but content identical ⇒ load happens, memo still
+    # hits (content fp unchanged), reconcile no-ops
+    revs2 = {"a.md": 2, "b.md": 1, "c.md": 1}
+    s3 = app.sync_table(listing_df(revs2), ["path"], enrich, target, **kw)
+    assert s3.extra["cheap_hits"] == 2 and s3.extra["loaded"] == 1
+    assert s3.memo_misses == 0 and s3.noops == 3
+
+    # real edit: rev bump + content change ⇒ one load, one recompute
+    revs3 = {"a.md": 3, "b.md": 1, "c.md": 1}
+    content3 = dict(content, **{"a.md": "ALPHA EDITED"})
+    s4 = app.sync_table(
+        listing_df(revs3), ["path"], enrich, target,
+        cheap_fp_cols=["rev"], load=make_load(content3),
+    )
+    assert s4.extra["loaded"] == 1 and s4.memo_misses == 1
+    assert s4.updates == 1 and s4.noops == 2
+    assert _contents(target, spark)["a.md"] == ("ALPHA EDITED", 12)
+
+    # delete: component vanishes ⇒ target row swept AND its source_fp
+    # map row swept (no stale cheap entry left behind)
+    revs4 = {"a.md": 3, "b.md": 1}
+    s5 = app.sync_table(
+        listing_df(revs4), ["path"], enrich, target,
+        cheap_fp_cols=["rev"], load=make_load(content3),
+    )
+    assert s5.deletes == 1
+    sfp_paths = {
+        r["component_path"] for r in app.state.source_fp.read(spark).collect()
+    }
+    assert sfp_paths == {"t/docs_out/a.md", "t/docs_out/b.md"}
+
+    # returning after delete: cold for that component again
+    s6 = app.sync_table(
+        listing_df(revs3), ["path"], enrich, target,
+        cheap_fp_cols=["rev"], load=make_load(content3),
+    )
+    assert s6.inserts == 1 and s6.extra["cheap_hits"] == 2
+
+
+def test_identical_duplicate_rows_collapse(app, spark, tmp_state):
+    """Two fully-identical source rows (same key AND content) are one
+    component: the memo must store exactly one copy of the result, and
+    warm replays must not double the desired rows."""
+    target = _target(app, tmp_state)
+    src = _source(spark, [("a.md", "dup"), ("a.md", "dup"), ("b.md", "solo")])
+    s1 = app.sync_table(src, ["path"], enrich, target)
+    assert s1.inserts == 2 and target.read(spark).count() == 2
+
+    # warm: replay path — the memoized entry holds ONE copy, so the
+    # explode yields 2 desired rows (not 3 or 4) and everything noops
+    s2 = app.sync_table(src, ["path"], enrich, target)
+    assert s2.memo_misses == 0 and s2.noops == 2
+    assert s2.inserts == 0 and s2.updates == 0 and s2.deletes == 0
+    assert _contents(target, spark) == {"a.md": ("DUP", 3), "b.md": ("SOLO", 4)}
+
+
 def test_empty_source_wipes_target(app, spark, tmp_state):
     """Source shrinking to zero rows deletes every target state and
     leaves a re-populatable app (delete-all then re-insert)."""
