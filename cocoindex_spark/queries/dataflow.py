@@ -232,9 +232,13 @@ LIMIT 20
 """,
 )
 def q63_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.rank import global_row_number
+
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    sem = (
+    # Ranks via two-phase distributed row_number — a bare Window.orderBy
+    # would single-task the whole corpus.
+    sem_scored = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select("vec_id", cosine_from_fixed(
@@ -242,19 +246,21 @@ def q63_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             sqnorm_fixed(F.col("embedding")),
             sqnorm_fixed(F.col("q_emb")),
         ).alias("sim"))
-        .withColumn("rk_s", F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("vec_id"))))
-        .select(F.col("vec_id").alias("id"), "rk_s")
+    )
+    sem = global_row_number(sem_scored, [F.desc("sim"), F.asc("vec_id")], "rk_s").select(
+        F.col("vec_id").alias("id"), "rk_s"
     )
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split(F.trim(F.col("text")), " ")).alias("w")
     )
     qd = d.filter(F.col("doc_id") == 0).select(F.col("w").alias("q_w"))
-    lex = (
+    lex_scored = (
         d.filter(F.col("doc_id") != 0)
         .crossJoin(F.broadcast(qd))
         .select("doc_id", F.size(F.array_intersect(F.col("w"), F.col("q_w"))).alias("overlap"))
-        .withColumn("rk_l", F.row_number().over(Window.orderBy(F.desc("overlap"), F.asc("doc_id"))))
-        .select(F.col("doc_id").alias("id"), "rk_l")
+    )
+    lex = global_row_number(lex_scored, [F.desc("overlap"), F.asc("doc_id")], "rk_l").select(
+        F.col("doc_id").alias("id"), "rk_l"
     )
     rrf = F.lit(1.0) / (F.lit(60) + F.col("rk_s")) + F.lit(1.0) / (F.lit(60) + F.col("rk_l"))
     return (

@@ -307,10 +307,11 @@ def q45_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(key, 17, 4),
         F.substring(key, 21, 12),
     )
-    w = Window.orderBy("doc_id")
-    return d.select(
-        "doc_id",
-        key.alias("content_key"),
-        uuid.alias("stable_uuid"),
-        F.row_number().over(w).cast("long").alias("ordinal"),
+    from cocoindex_spark.operators.rank import global_row_number
+
+    # Two-phase distributed rank — a bare Window.orderBy would funnel
+    # the whole table through one task (single-partition Exchange).
+    withkeys = d.select("doc_id", key.alias("content_key"), uuid.alias("stable_uuid"))
+    return global_row_number(withkeys, [F.asc("doc_id")], "ordinal").select(
+        "doc_id", "content_key", "stable_uuid", "ordinal"
     )
