@@ -43,14 +43,154 @@ CHUNK_SCHEMA = StructType(
     ]
 )
 
-# Separator hierarchies per "language" — the recursive splitter's
-# fallback configs (text.mdx separator-fallback languages).
+# Separator hierarchies per language — the recursive splitter's
+# boundary configs. The reference splits these 31 languages
+# syntax-aware via tree-sitter (docs ops/text.mdx "Supported
+# languages"; rust/ops_text/src/split/recursive.rs) and falls back to
+# separator hierarchies for the rest; without tree-sitter in this
+# container, every language gets a per-language boundary hierarchy
+# (function/class/impl/section patterns first, then blank lines,
+# lines, sentences, whitespace) — the reference's own fallback
+# strategy, with language-specific coarse levels.
+_TAIL = [r"\n\n+", r"\n", r"(?<=[.!?])\s+", r"\s+"]
+
+
+def _lang(*coarse: str) -> list[str]:
+    return [*coarse, *_TAIL]
+
+
+# Every boundary pattern consumes ONLY the newline and looks ahead at
+# the construct keyword — the split drops separator-matched text from
+# the output, so a pattern that consumed "def " would lose it from the
+# chunk. `\n(?=...)` keeps boundaries zero-width beyond the newline.
 LANGUAGE_SEPARATORS: dict[str, list[str]] = {
-    "text": [r"\n\n+", r"\n", r"(?<=[.!?])\s+", r"\s+"],
-    "markdown": [r"\n#{1,6}\s", r"\n\n+", r"\n", r"(?<=[.!?])\s+", r"\s+"],
-    "python": [r"\nclass\s", r"\ndef\s|\n\tdef\s|\n    def\s", r"\n\n+", r"\n", r"\s+"],
-    "rust": [r"\nfn\s|\nimpl\s|\nmod\s", r"\n\n+", r"\n", r"\s+"],
+    "text": list(_TAIL),
+    # -- the reference's 31 tree-sitter languages (text.mdx table) --
+    "astro": _lang(r"\n(?=---\s*\n)", r"\n(?=<[A-Za-z][^>\n]*>)"),
+    "c": _lang(
+        r"\n(?=(?:struct|enum|union|typedef)\s)",
+        r"\n(?=[A-Za-z_][\w \t\*]*\([^\n]*\)\s*\{)",
+    ),
+    "cpp": _lang(
+        r"\n(?=(?:class|struct|enum|union|typedef|namespace|template)\s)",
+        r"\n(?=[A-Za-z_][\w :<>,&\t\*]*\([^\n]*\)\s*\{)",
+    ),
+    "c_sharp": _lang(
+        r"\n(?=\s*(?:public|private|protected|internal|static|sealed|abstract)?\s*(?:class|interface|struct|enum|record)\s)",
+        r"\n(?=\s+(?:public|private|protected|internal|static|override|virtual|async)[\w <>,\[\]]*\([^\n]*\))",
+    ),
+    "css": _lang(r"\n(?=@\w)", r"(?<=\})\s*\n"),
+    "fortran": _lang(r"(?i)\n(?=\s*(?:subroutine|function|module|program|contains)\b)"),
+    "go": _lang(r"\n(?=(?:func|type)\s)", r"\n(?=(?:var|const)\s)"),
+    "html": _lang(
+        r"\n(?=<(?:div|section|article|head|body|table|h[1-6])\b)",
+        r"\n(?=<[A-Za-z][^>\n]*>)",
+    ),
+    "java": _lang(
+        r"\n(?=\s*(?:public|private|protected)?\s*(?:abstract\s+|final\s+|static\s+)*(?:class|interface|enum|record)\s)",
+        r"\n(?=\s+(?:public|private|protected|static|final|synchronized)[\w <>,\[\]]*\([^\n]*\))",
+    ),
+    "javascript": _lang(
+        r"\n(?=(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s|(?:export\s+)?class\s)",
+        r"\n(?=(?:export\s+)?(?:const|let|var)\s|\s+[A-Za-z_$][\w$]*\s*\([^\n]*\)\s*\{)",
+    ),
+    "json": [r"(?<=,)\n", *_TAIL],
+    "julia": _lang(r"\n(?=(?:function|module|struct|macro|mutable struct)\s)"),
+    "kotlin": _lang(
+        r"\n(?=\s*(?:data\s+|sealed\s+|abstract\s+|open\s+)*(?:class|interface|object)\s)",
+        r"\n(?=\s*(?:override\s+|suspend\s+|private\s+|public\s+|internal\s+)*fun\s)",
+    ),
+    "markdown": [r"\n(?=#{1,6}\s)", r"\n(?=(?:---+|\*\*\*+)\s*\n)", *_TAIL],
+    "pascal": _lang(
+        r"(?i)\n(?=\s*(?:procedure|function|unit|interface|implementation|begin)\b)"
+    ),
+    "php": _lang(
+        r"\n(?=(?:namespace|class|interface|trait)\s)",
+        r"\n(?=\s*(?:public\s+|private\s+|protected\s+|static\s+)*function\s)",
+    ),
+    "python": _lang(r"\n(?=class\s)", r"\n(?=[ \t]*(?:async\s+)?def\s)"),
+    "r": _lang(r"\n(?=[A-Za-z._][\w.]*\s*(?:<-|=)\s*function)"),
+    "ruby": _lang(r"\n(?=\s*(?:class|module)\s)", r"\n(?=\s*def\s)"),
+    "rust": _lang(
+        r"\n(?=(?:pub\s+)?(?:fn|impl|mod|trait|enum|struct|macro_rules!)\s)",
+    ),
+    "scala": _lang(
+        r"\n(?=\s*(?:case\s+)?(?:class|object|trait)\s)",
+        r"\n(?=\s*(?:override\s+|private\s+|protected\s+)*def\s)",
+    ),
+    "solidity": _lang(
+        r"\n(?=\s*(?:contract|library|interface)\s)",
+        r"\n(?=\s*(?:function|modifier|event)\s)",
+    ),
+    "sql": [
+        r"(?<=;)\s*\n",
+        r"(?i)\n(?=(?:CREATE|ALTER|DROP|INSERT|UPDATE|DELETE|SELECT|WITH|BEGIN|GRANT)\b)",
+        *_TAIL,
+    ],
+    "svelte": _lang(r"\n(?=<(?:script|style|template)\b)", r"\n(?=<[A-Za-z][^>\n]*>)"),
+    "swift": _lang(r"\n(?=\s*(?:func|class|struct|enum|extension|protocol)\s)"),
+    "toml": [r"\n(?=\[{1,2}[^\]\n]+\]{1,2}\s*\n)", *_TAIL],
+    "tsx": _lang(
+        r"\n(?=(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s|(?:export\s+)?(?:abstract\s+)?class\s)",
+        r"\n(?=(?:export\s+)?(?:const|let|var|type|interface)\s)",
+    ),
+    "typescript": _lang(
+        r"\n(?=(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s|(?:export\s+)?(?:abstract\s+)?class\s)",
+        r"\n(?=(?:export\s+)?(?:const|let|var|type|interface)\s)",
+    ),
+    "vue": _lang(r"\n(?=<(?:script|style|template)\b)", r"\n(?=<[A-Za-z][^>\n]*>)"),
+    "xml": _lang(r"\n(?=<[A-Za-z][^>\n]*>)"),
+    "yaml": [r"\n(?=---\s*\n)", r"\n(?=\S[^\n]*:)", *_TAIL],
+    # -- separator-fallback languages the reference names (text.mdx) --
+    "bash": _lang(r"\n(?=(?:function\s+)?[A-Za-z_]\w*\s*\(\)\s*\{|function\s)"),
+    "dart": _lang(
+        r"\n(?=\s*(?:class|mixin|enum|extension)\s)",
+        r"\n(?=\s*(?:void|Future|Stream|[A-Z]\w*)\s+\w+\s*\()",
+    ),
+    "elixir": _lang(
+        r"\n(?=\s*(?:defmodule|defprotocol|defimpl)\s)",
+        r"\n(?=\s*(?:def|defp|defmacro)\s)",
+    ),
+    "elm": _lang(r"\n(?=[a-z]\w*\s*:)", r"\n(?=(?:type|module|import)\s)"),
+    "haskell": _lang(
+        r"\n(?=[a-z_][\w']*\s*::)",
+        r"\n(?=(?:data|newtype|type|class|instance|module)\s)",
+    ),
+    "lua": _lang(r"\n(?=(?:local\s+)?function\s)"),
+    "perl": _lang(r"\n(?=sub\s+\w+)", r"\n(?=(?:package|use)\s)"),
 }
+
+# Case-insensitive aliases (the reference resolves languages via
+# UniCase + alias tables, recursive.rs RecursiveChunker::new).
+LANGUAGE_ALIASES: dict[str, str] = {
+    "c++": "cpp", "cxx": "cpp", "cc": "cpp",
+    "csharp": "c_sharp", "cs": "c_sharp", "c#": "c_sharp",
+    "js": "javascript", "mjs": "javascript", "cjs": "javascript", "jsx": "javascript",
+    "ts": "typescript",
+    "py": "python",
+    "md": "markdown",
+    "yml": "yaml",
+    "rs": "rust",
+    "golang": "go",
+    "sh": "bash", "shell": "bash", "zsh": "bash",
+    "plaintext": "text", "txt": "text", "plain": "text",
+    "htm": "html",
+    "kt": "kotlin", "kts": "kotlin",
+    "f90": "fortran", "f95": "fortran",
+    "pas": "pascal",
+    "rb": "ruby",
+    "jl": "julia",
+    "pl": "perl",
+}
+
+
+def resolve_language(language: str | None) -> str:
+    """Canonical language key: case-insensitive, alias-resolved,
+    unknown → 'text' (the reference degrades unknown languages to the
+    default splitter, recursive.rs split routing)."""
+    key = (language or "text").lower()
+    key = LANGUAGE_ALIASES.get(key, key)
+    return key if key in LANGUAGE_SEPARATORS else "text"
 
 
 @dataclass
@@ -128,12 +268,17 @@ def split_recursive(
     min_chunk_size: int = 0,
     language: str = "text",
     separators: list[str] | None = None,
+    chunk_overlap: int = 0,
 ) -> list[Chunk]:
     """RecursiveSplitter.split (ops/text.py:121-155): try the coarsest
     separator first; any piece still larger than ``chunk_size`` is
     re-split with the next separator; last resort is a hard character
-    cut. Adjacent undersized pieces (< min_chunk_size) are merged."""
-    seps = separators or LANGUAGE_SEPARATORS.get(language, LANGUAGE_SEPARATORS["text"])
+    cut. Adjacent undersized pieces (< min_chunk_size) are merged.
+    ``chunk_overlap`` reaches each chunk's start back into its
+    predecessor by up to that many chars (clamped so a chunk never
+    exceeds ``chunk_size`` — the reference clamps overlap to
+    min_chunk_size similarly, recursive.rs split())."""
+    seps = separators or LANGUAGE_SEPARATORS[resolve_language(language)]
     idx = _LineIndex(text)
 
     def rec(start: int, end: int, level: int) -> list[tuple[int, int]]:
@@ -185,6 +330,16 @@ def split_recursive(
             else:
                 merged.append((s, e))
         spans = merged
+    # overlap: each chunk (except the first) starts up to chunk_overlap
+    # chars inside its predecessor, never crossing the predecessor's
+    # start and never growing past chunk_size.
+    if chunk_overlap > 0 and len(spans) > 1:
+        out_spans = [spans[0]]
+        for i in range(1, len(spans)):
+            s, e = spans[i]
+            prev_s = spans[i - 1][0]
+            out_spans.append((max(s - chunk_overlap, prev_s, e - chunk_size, 0), e))
+        spans = out_spans
     return [_mk_chunk(text, idx, s, e) for s, e in spans if e > s]
 
 
@@ -223,6 +378,7 @@ def split_udf(
                             chunk_size=chunk_size,
                             min_chunk_size=min_chunk_size,
                             language=language,
+                            chunk_overlap=chunk_overlap,
                         )
                     )
                 )

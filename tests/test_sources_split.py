@@ -134,6 +134,88 @@ def test_split_recursive_min_chunk_merge():
     assert all(len(c.text) >= 5 for c in merged[:-1])
 
 
+def test_language_table_covers_reference():
+    """Every language in the reference's tree-sitter table
+    (docs ops/text.mdx) plus its named separator-fallback languages has
+    a boundary hierarchy; all patterns compile; aliases resolve."""
+    import re as _re
+
+    from cocoindex_spark.operators.split import (
+        LANGUAGE_SEPARATORS,
+        resolve_language,
+    )
+
+    reference_langs = [
+        "astro", "c", "cpp", "c_sharp", "css", "fortran", "go", "html",
+        "java", "javascript", "json", "julia", "kotlin", "markdown",
+        "pascal", "php", "python", "r", "ruby", "rust", "scala",
+        "solidity", "sql", "svelte", "swift", "toml", "tsx",
+        "typescript", "vue", "xml", "yaml",
+    ]
+    assert len(reference_langs) == 31
+    for lang in reference_langs:
+        assert lang in LANGUAGE_SEPARATORS, lang
+        for pat in LANGUAGE_SEPARATORS[lang]:
+            _re.compile(pat)
+    assert resolve_language("C++") == "cpp"
+    assert resolve_language("JS") == "javascript"
+    assert resolve_language("no-such-lang") == "text"
+    assert resolve_language(None) == "text"
+
+
+_SNIPPETS = {
+    "python": "class A:\n    def f(self):\n        pass\n\ndef g():\n    return 1\n",
+    "go": "package m\n\nfunc A() int {\n\treturn 1\n}\n\nfunc B() int {\n\treturn 2\n}\n",
+    "rust": "fn a() -> i32 { 1 }\n\nimpl Foo {\n    fn b(&self) {}\n}\n",
+    "sql": "CREATE TABLE t (x INT);\nINSERT INTO t VALUES (1);\nSELECT * FROM t;\n",
+    "yaml": "top:\n  a: 1\n---\nother:\n  b: 2\n",
+    "java": "public class A {\n  public int f() { return 1; }\n  private void g() {}\n}\n",
+    "javascript": "export function a() {}\n\nconst b = () => 2;\n\nclass C {}\n",
+    "markdown": "# Title\n\nintro text\n\n## Section\n\nbody text\n",
+}
+
+
+def test_split_recursive_all_languages():
+    """Per-language boundary splitting: spans ordered, in-bounds, sized,
+    and coarse boundaries actually used (a function/class start begins
+    a chunk for code languages)."""
+    from cocoindex_spark.operators.split import (
+        LANGUAGE_SEPARATORS,
+        split_recursive,
+    )
+
+    generic = "word " * 40 + "\n\n" + "tail " * 40
+    for lang in LANGUAGE_SEPARATORS:
+        text = _SNIPPETS.get(lang, generic)
+        chunks = split_recursive(text, chunk_size=40, language=lang)
+        assert chunks, lang
+        prev_end = 0
+        for c in chunks:
+            assert 0 <= c.start_char < c.end_char <= len(text), lang
+            assert c.start_char >= prev_end or c.start_char >= 0, lang
+            assert len(c.text) <= 40, (lang, c.text)
+            prev_end = c.end_char
+
+    # boundary sanity: each def/func starts a fresh chunk
+    py = split_recursive(_SNIPPETS["python"], chunk_size=40, language="python")
+    assert any(c.text.startswith("def g") for c in py)
+    go = split_recursive(_SNIPPETS["go"], chunk_size=40, language="go")
+    assert any(c.text.startswith("func B") for c in go)
+
+
+def test_split_recursive_overlap():
+    from cocoindex_spark.operators.split import split_recursive
+
+    text = ("alpha " * 10 + "\n\n") * 4  # 4 paragraphs of 60 chars
+    plain = split_recursive(text, chunk_size=70, language="text")
+    lapped = split_recursive(text, chunk_size=70, language="text", chunk_overlap=12)
+    assert len(plain) == len(lapped) > 1
+    for p, q in zip(plain[1:], lapped[1:]):
+        assert q.start_char == max(p.start_char - 12, p.end_char - 70, 0)
+        assert q.end_char == p.end_char
+        assert len(q.text) <= 70
+
+
 def test_explode_chunks_spark(spark):
     df = spark.createDataFrame(
         [("d1", "one two three four five six seven eight")], "id STRING, body STRING"
