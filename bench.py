@@ -45,6 +45,7 @@ HEADLINE = [
     "q44_chunk_documents",
     "q46_code_language",
     "q47_code_pattern",
+    "q48_structural_captures",
     "q50_tumbling_daily",
     "q51_sessionization",
     "q60_reconcile_actions",

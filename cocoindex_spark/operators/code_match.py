@@ -1,0 +1,396 @@
+"""Structural code pattern matching with captures.
+
+Reference surface: ``CodePattern`` — by-example patterns with a ``\\``
+sigil for metavariables, compiled once and matched against many
+sources (python/cocoindex/ops/code.py:115-160; semantics
+rust/code_match/src/lexer.rs metavar table and matcher.rs "metavars
+snap to node boundaries").
+
+The reference matches a flattened tree-sitter leaf frontier; without
+tree-sitter in this container, this module matches a **token stream
+with balanced-delimiter grouping** — a single metavariable binds one
+token or one balanced ``(...)``/``[...]``/``{...}`` group (the
+poor-man's node snap), and sibling runs never cross an unmatched
+closing delimiter (the same "same-level contiguous run" restriction
+the reference enforces for ``\\(X*\\)``). Supported metavar syntax
+(lexer.rs table):
+
+    ``\\NAME``          single, named
+    ``\\(NAME\\)``      single, named
+    ``\\(NAME*\\)``     zero or more same-level sibling units
+    ``\\(NAME+\\)``     one or more
+    ``\\(NAME?\\)``     zero or one
+    ``\\_  \\*  \\+  \\?``  anonymous forms
+    ``\\(NAME:/re/\\)`` regex-constrained (anchored ``^(?:re)$``)
+    ``\\/re/``          anonymous regex-constrained single
+    ``\\\\``            literal sigil
+
+Repeated metavar names enforce capture equality (matcher.rs bindings
+threaded forward). Containment (``\\{{ ... \\}}``) is not supported.
+
+Spark surface: ``match_code_df`` wraps matching in an Arrow-batched
+pandas UDF (per-row, embarrassingly parallel, no shuffle) behind the
+same cheap ``contains``-prefilter plan as ``code_ops.match_pattern``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+_WORD = re.compile(r"[A-Za-z_]\w*|\d[\w.]*")
+_STRING = re.compile(r"\"(?:[^\"\\\n]|\\.)*\"|'(?:[^'\\\n]|\\.)*'")
+# longest-match first for multi-char operators
+_OPS = [
+    "<<=", ">>=", "===", "!==", "...", "->", "=>", "::", "==", "!=", "<=",
+    ">=", "&&", "||", "+=", "-=", "*=", "/=", "**", "//", "<<", ">>", "??",
+]
+_OPENERS = {"(": ")", "[": "]", "{": "}"}
+_CLOSERS = {v: k for k, v in _OPENERS.items()}
+
+# Comment syntax by language family (skipped during tokenization).
+_LINE_COMMENT = {
+    "python": "#", "ruby": "#", "bash": "#", "yaml": "#", "toml": "#",
+    "elixir": "#", "perl": "#", "r": "#",
+    "sql": "--", "haskell": "--", "elm": "--", "lua": "--",
+}
+_C_FAMILY = {
+    "c", "cpp", "c_sharp", "java", "javascript", "typescript", "tsx", "go",
+    "rust", "kotlin", "scala", "swift", "php", "dart", "solidity", "css",
+}
+
+
+@dataclass
+class Tok:
+    text: str
+    start: int
+    end: int
+
+
+def tokenize(text: str, language: str = "text") -> list[Tok]:
+    """Lex source into (word | string | operator | punctuation) tokens,
+    skipping whitespace and comments. The same lexer tokenizes pattern
+    literals, so pattern and source can never disagree on token
+    boundaries (the reference shares its op-token table the same way,
+    code_match/src/config.rs)."""
+    line_c = _LINE_COMMENT.get(language)
+    c_family = language in _C_FAMILY
+    toks: list[Tok] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if line_c and text.startswith(line_c, i):
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c_family and text.startswith("//", i):
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c_family and text.startswith("/*", i):
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        m = _STRING.match(text, i)
+        if m:
+            toks.append(Tok(m.group(), i, m.end()))
+            i = m.end()
+            continue
+        m = _WORD.match(text, i)
+        if m:
+            toks.append(Tok(m.group(), i, m.end()))
+            i = m.end()
+            continue
+        op = next((o for o in _OPS if text.startswith(o, i)), None)
+        if op:
+            toks.append(Tok(op, i, i + len(op)))
+            i += len(op)
+            continue
+        toks.append(Tok(ch, i, i + 1))
+        i += 1
+    return toks
+
+
+@dataclass
+class _Meta:
+    name: str | None  # None = anonymous
+    card: str  # "one" | "many" | "one_or_more" | "optional"
+    regex: re.Pattern | None = None
+
+
+@dataclass
+class _Lit:
+    text: str
+
+
+_META_LONG = re.compile(
+    r"\\\(\s*(?:(?P<name>[A-Za-z0-9_]+)|(?P<anon>[_*+?]))?"
+    r"(?:\s*:\s*/(?P<re1>(?:[^/\\]|\\.)*)/)?"
+    r"\s*(?P<card>[*+?])?"
+    r"(?:\s*:\s*/(?P<re2>(?:[^/\\]|\\.)*)/)?"
+    r"\s*\\\)"
+)
+_META_SHORT = re.compile(r"\\(?:(?P<name>[A-Za-z0-9_]+)|(?P<anon>[_*+?])|/(?P<re>(?:[^/\\]|\\.)*)/)")
+_CARD = {"*": "many", "+": "one_or_more", "?": "optional", "_": "one", None: "one"}
+
+
+@dataclass
+class StructMatch:
+    text: str
+    start: int
+    end: int
+    captures: dict[str, str] = field(default_factory=dict)
+
+
+class StructuralPattern:
+    """Compile once, match many sources (the reference's CodePattern
+    contract — compilation is not free, reuse it)."""
+
+    def __init__(self, pattern: str, language: str = "text", min_len: int = 3):
+        self.language = language
+        self.min_len = min_len
+        self.items = self._lex_pattern(pattern)
+        self.literals = [
+            it.text
+            for it in self.items
+            if isinstance(it, _Lit) and len(it.text) >= min_len
+        ]
+
+    def _lex_pattern(self, pattern: str) -> list[_Lit | _Meta]:
+        items: list[_Lit | _Meta] = []
+        i, n = 0, len(pattern)
+        plain_start = i
+
+        def flush(upto: int) -> None:
+            seg = pattern[plain_start:upto]
+            items.extend(_Lit(t.text) for t in tokenize(seg, self.language))
+
+        while i < n:
+            if pattern[i] != "\\":
+                i += 1
+                continue
+            if pattern.startswith("\\\\", i):  # literal sigil
+                flush(i)
+                items.append(_Lit("\\"))
+                i += 2
+                plain_start = i
+                continue
+            m = _META_LONG.match(pattern, i) or _META_SHORT.match(pattern, i)
+            if not m:
+                raise ValueError(f"bad metavariable at offset {i}: {pattern[i:i+12]!r}")
+            flush(i)
+            gd = m.groupdict()
+            anon = gd.get("anon")
+            card = _CARD[gd.get("card") or (anon if anon and anon in "*+?" else None)]
+            rx = gd.get("re") or gd.get("re1") or gd.get("re2")
+            name = gd.get("name")
+            if name == "_":  # `\_` / `\(_\)` are anonymous (lexer.rs)
+                name = None
+            items.append(
+                _Meta(
+                    name=name,
+                    card=card,
+                    regex=re.compile(f"^(?:{rx})$") if rx else None,
+                )
+            )
+            i = m.end()
+            plain_start = i
+        flush(n)
+        return items
+
+    # -- prefilter ---------------------------------------------------------
+    def might_match(self, source: str) -> bool:
+        """Parse-free lexical prefilter: every literal pattern token of
+        length >= min_len must occur in the source (ops/code.py:143)."""
+        return all(t in source for t in self.literals)
+
+    # -- matching ----------------------------------------------------------
+    @staticmethod
+    def _unit_end(toks: list[Tok], i: int) -> int:
+        """End index (exclusive) of the balanced unit starting at i —
+        one token, or a whole delimiter group (the node-snap analog)."""
+        opener = toks[i].text
+        if opener not in _OPENERS:
+            return i + 1
+        depth, j = 0, i
+        while j < len(toks):
+            if toks[j].text in _OPENERS:
+                depth += 1
+            elif toks[j].text in _CLOSERS:
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+        return i + 1  # unbalanced: degrade to one token
+
+    def match(self, source: str) -> list[StructMatch]:
+        toks = tokenize(source, self.language)
+        out: list[StructMatch] = []
+        i = 0
+        while i < len(toks):
+            res = self._try_at(source, toks, i)
+            if res is not None:
+                out.append(res)
+                # advance past the match (non-overlapping, like finditer)
+                i = next(
+                    (k for k in range(i + 1, len(toks)) if toks[k].start >= res.end),
+                    len(toks),
+                )
+            else:
+                i += 1
+        return out
+
+    def _try_at(self, source: str, toks: list[Tok], start: int) -> StructMatch | None:
+        bind: dict[str, tuple[int, int]] = {}  # name -> (tok_lo, tok_hi)
+
+        def capture_ok(meta: _Meta, lo: int, hi: int) -> bool:
+            if meta.regex is not None:
+                if meta.card in ("many", "one_or_more"):
+                    # regex constrains EVERY node of a run (lexer.rs)
+                    for k in range(lo, hi):
+                        if not meta.regex.match(toks[k].text):
+                            return False
+                else:
+                    span = source[toks[lo].start : toks[hi - 1].end] if hi > lo else ""
+                    if not meta.regex.match(span):
+                        return False
+            if meta.name is not None:
+                if meta.name in bind:
+                    plo, phi = bind[meta.name]
+                    prev = source[toks[plo].start : toks[phi - 1].end] if phi > plo else ""
+                    cur = source[toks[lo].start : toks[hi - 1].end] if hi > lo else ""
+                    return prev == cur
+                bind[meta.name] = (lo, hi)
+            return True
+
+        def unbind(meta: _Meta, had: bool) -> None:
+            if meta.name is not None and not had:
+                bind.pop(meta.name, None)
+
+        def rec(pi: int, ti: int) -> int | None:
+            """Match items[pi:] at token ti; return end token index."""
+            if pi == len(self.items):
+                return ti
+            it = self.items[pi]
+            if isinstance(it, _Lit):
+                if ti < len(toks) and toks[ti].text == it.text:
+                    return rec(pi + 1, ti + 1)
+                return None
+            # metavariable
+            had = it.name in bind if it.name else False
+            if it.card == "one":
+                if ti >= len(toks) or toks[ti].text in _CLOSERS:
+                    return None
+                hi = self._unit_end(toks, ti)
+                if capture_ok(it, ti, hi):
+                    r = rec(pi + 1, hi)
+                    if r is not None:
+                        return r
+                unbind(it, had)
+                return None
+            if it.card == "optional":
+                if ti < len(toks) and toks[ti].text not in _CLOSERS:
+                    hi = self._unit_end(toks, ti)
+                    if capture_ok(it, ti, hi):
+                        r = rec(pi + 1, hi)
+                        if r is not None:
+                            return r
+                    unbind(it, had)
+                if capture_ok(it, ti, ti):
+                    r = rec(pi + 1, ti)
+                    if r is not None:
+                        return r
+                unbind(it, had)
+                return None
+            # runs: collect same-level unit boundaries, try longest first
+            # (greedy, like the reference's descending extension order)
+            bounds = [ti]
+            j = ti
+            while j < len(toks) and toks[j].text not in _CLOSERS:
+                j = self._unit_end(toks, j)
+                bounds.append(j)
+            lo_units = 1 if it.card == "one_or_more" else 0
+            for hi in reversed(bounds[lo_units:]):
+                if capture_ok(it, ti, hi):
+                    r = rec(pi + 1, hi)
+                    if r is not None:
+                        return r
+                unbind(it, had)
+            return None
+
+        end_ti = rec(0, start)
+        if end_ti is None or end_ti == start:
+            return None
+        s, e = toks[start].start, toks[end_ti - 1].end
+        caps = {
+            name: (source[toks[lo].start : toks[hi - 1].end] if hi > lo else "")
+            for name, (lo, hi) in bind.items()
+        }
+        return StructMatch(source[s:e], s, e, caps)
+
+
+# --- Spark surface --------------------------------------------------------
+
+
+def match_code_df(df, text_col: str, pattern: str, language: str = "text"):
+    """Two-phase distributed plan: JVM contains-prefilter on the
+    pattern's literal tokens (rows that can't match never reach
+    Python), then an Arrow-batched pandas UDF running the structural
+    matcher per row; one output row per match with a captures map."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cocoindex_spark.operators.code_ops import might_match
+
+    cp = StructuralPattern(pattern, language)
+    schema = ArrayType(
+        StructType(
+            [
+                StructField("match_text", StringType()),
+                StructField("start", IntegerType()),
+                StructField("end", IntegerType()),
+                StructField("captures", MapType(StringType(), StringType())),
+            ]
+        )
+    )
+
+    def run(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                []
+                if t is None
+                else [
+                    {
+                        "match_text": m.text,
+                        "start": m.start,
+                        "end": m.end,
+                        "captures": m.captures,
+                    }
+                    for m in cp.match(t)
+                ]
+                for t in texts
+            ]
+        )
+
+    udf = F.pandas_udf(run, schema)
+    if cp.literals:
+        df = df.filter(might_match(F.col(text_col), cp.literals))
+    return df.withColumn("__m", F.explode(udf(F.col(text_col)))).select(
+        *df.columns,
+        F.col("__m.match_text").alias("match_text"),
+        F.col("__m.start").alias("match_start"),
+        F.col("__m.end").alias("match_end"),
+        F.col("__m.captures").alias("captures"),
+    )

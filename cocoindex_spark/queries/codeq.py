@@ -80,3 +80,49 @@ def q47_code_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     matched = match_pattern(d, "text", _PATTERN, capture_group=1, prefilter_tokens=["join"])
     return matched.groupBy(F.col("match")).agg(F.count("*").alias("n"))
+
+
+# --- q48: STRUCTURAL pattern matching with metavariable captures
+#     (CodePattern `\NAME` / `\(A*\)` syntax, ops/code.py:115-160;
+#     rust/code_match/src/lexer.rs metavar table, matcher.rs node-snap
+#     semantics — here the token/balanced-group matcher,
+#     operators/code_match.py). A synthetic code corpus is derived
+#     deterministically from doc_id — four shapes, two of which contain
+#     a function definition — and the oracle reconstructs the expected
+#     captures (function name, arg list, returned expr) independently
+#     with pure string SQL, so any matcher deviation (wrong span, wrong
+#     capture, missed/extra match) hash-diverges.
+@register(
+    "q48_structural_captures",
+    oracle="""
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN 'f' || CAST(doc_id AS VARCHAR)
+       ELSE 'g' || CAST(doc_id AS VARCHAR) END AS fn_name,
+  CASE WHEN doc_id % 4 = 0 THEN '' ELSE 'x, y=2' END AS args,
+  CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id AS VARCHAR) ELSE 'x' END AS ret
+FROM documents
+WHERE doc_id % 4 IN (0, 1)
+""",
+)
+def q48_structural_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import match_code_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    snippet = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("def f"), sid, F.lit("(): return "), sid))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("def g"), sid, F.lit("(x, y=2): return x")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("class C"), sid, F.lit(": pass")))
+        .otherwise(F.concat(F.lit("v"), sid, F.lit(" = compute("), sid, F.lit(", 7)")))
+    )
+    code = d.withColumn("code", snippet)
+    matched = match_code_df(code, "code", r"def \NAME(\(A*\)): return \R", "python")
+    return matched.select(
+        "doc_id",
+        F.col("captures")["NAME"].alias("fn_name"),
+        F.col("captures")["A"].alias("args"),
+        F.col("captures")["R"].alias("ret"),
+    )

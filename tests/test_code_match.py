@@ -1,0 +1,104 @@
+"""Structural pattern matcher tests — the metavar surface of the
+reference's CodePattern (ops/code.py docstring examples; lexer.rs
+metavar table semantics: runs are same-level, repeated names enforce
+equality, regexes anchor to the whole captured node)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cocoindex_spark.operators.code_match import (
+    StructuralPattern,
+    tokenize,
+)
+
+
+def test_tokenize_basics():
+    toks = [t.text for t in tokenize('def f(a, b="x y"): # comment\n  return a', "python")]
+    assert toks == ["def", "f", "(", "a", ",", "b", "=", '"x y"', ")", ":", "return", "a"]
+    # c-family comments
+    toks = [t.text for t in tokenize("a /* mid */ -> b // tail\nc", "rust")]
+    assert toks == ["a", "->", "b", "c"]
+
+
+def test_single_metavar_and_run():
+    p = StructuralPattern(r"def \NAME(\(A*\)): return \R", "python")
+    src = "x = 1\ndef foo(a, b=2): return a\nclass C: pass\ndef bar(): return 7\n"
+    ms = p.match(src)
+    assert [(m.captures["NAME"], m.captures["A"], m.captures["R"]) for m in ms] == [
+        ("foo", "a, b=2", "a"),
+        ("bar", "", "7"),
+    ]
+    # match text is the exact source span
+    assert ms[0].text == "def foo(a, b=2): return a"
+    assert src[ms[0].start : ms[0].end] == ms[0].text
+
+
+def test_prefilter():
+    p = StructuralPattern(r"def \NAME(\(A*\)): return \R", "python")
+    assert p.literals == ["def", "return"]
+    assert not p.might_match("x = 1")
+    assert p.might_match("def f(): return 1")
+
+
+def test_node_snap_balanced_group():
+    """A single metavar binds one token OR one balanced group — the
+    matcher's node-boundary snap (matcher.rs)."""
+    p = StructuralPattern(r"f(\X)", "python")
+    ms = p.match("f((a + b)) ; f(c)")
+    assert [m.captures["X"] for m in ms] == ["(a + b)", "c"]
+
+
+def test_repeated_name_equality():
+    p = StructuralPattern(r"\X = \X + 1", "python")
+    ms = p.match("a = a + 1\nb = c + 1\n")
+    assert [m.captures for m in ms] == [{"X": "a"}]
+
+
+def test_one_or_more_vs_many():
+    many = StructuralPattern(r"g(\(A*\))", "python")
+    plus = StructuralPattern(r"g(\(A+\))", "python")
+    assert len(many.match("g()")) == 1
+    assert len(plus.match("g()")) == 0
+    assert plus.match("g(x)")[0].captures["A"] == "x"
+
+
+def test_regex_constrained_and_anonymous():
+    p = StructuralPattern(r"\(F:/get_.*/\)(\(_*\))", "python")
+    ms = p.match("get_x(1); set_y(2); get_z(a,b)")
+    assert [m.captures["F"] for m in ms] == ["get_x", "get_z"]
+    # anonymous `\_` run captured nothing
+    assert all("_" not in m.captures for m in ms)
+
+
+def test_run_stays_same_level():
+    """A run never crosses an unmatched closing delimiter."""
+    p = StructuralPattern(r"[\(A*\)]", "python")
+    ms = p.match("[1, 2, f(3, 4)] + [5]")
+    assert [m.captures["A"] for m in ms] == ["1, 2, f(3, 4)", "5"]
+
+
+def test_literal_sigil():
+    p = StructuralPattern(r"\\\NAME", "text")
+    ms = p.match(r"use \alpha and \beta")
+    assert [m.captures["NAME"] for m in ms] == ["alpha", "beta"]
+
+
+def test_bad_pattern_raises():
+    with pytest.raises(ValueError, match="bad metavariable"):
+        StructuralPattern(r"def \(unclosed", "python")
+
+
+def test_match_code_df_spark(spark):
+    from pyspark.sql import functions as F
+
+    from cocoindex_spark.operators.code_match import match_code_df
+
+    df = spark.createDataFrame(
+        [(0, "def a(): return 1"), (1, "no code here"), (2, "def b(x): return x")],
+        "id LONG, code STRING",
+    )
+    out = match_code_df(df, "code", r"def \NAME(\(A*\)): return \R", "python")
+    rows = {r["id"]: r["captures"] for r in out.collect()}
+    assert set(rows) == {0, 2}
+    assert rows[2]["NAME"] == "b" and rows[2]["A"] == "x" and rows[2]["R"] == "x"
