@@ -1,0 +1,146 @@
+"""SqlTableTarget (wire SQL sink) tests — the TableTarget contract
+exercised against a real SQL database (sqlite, the stand-in DB-API
+driver; the SQL dialect is the same INSERT..ON CONFLICT the reference
+sends to PostgreSQL, postgres/_target.py:742-836)."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cocoindex_spark.engine.app import App
+from cocoindex_spark.engine.function import fn
+from cocoindex_spark.sinks.sql_table import SqlTableTarget, _sanitize
+
+
+def _factory(db_path):
+    def connect():
+        return sqlite3.connect(db_path, timeout=30)
+
+    return connect
+
+
+def _target(tmp_state, name="t1", pk=None, ddl="k STRING, v STRING, n LONG"):
+    return SqlTableTarget(
+        name,
+        pk or ["k"],
+        StructType.fromDDL(ddl),
+        _factory(os.path.join(tmp_state, "db.sqlite")),
+        num_writers=2,
+    )
+
+
+def test_upsert_delete_roundtrip(spark, tmp_state):
+    t = _target(tmp_state)
+    df = spark.createDataFrame(
+        [("a", "1", 1), ("b", "2", 2), ("c", "3", 3)], t.schema
+    )
+    t.upsert(df)
+    got = {r["k"]: (r["v"], r["n"]) for r in t.read(spark).collect()}
+    assert got == {"a": ("1", 1), "b": ("2", 2), "c": ("3", 3)}
+
+    # upsert is a MERGE: same pk overwrites, repeat application converges
+    df2 = spark.createDataFrame([("b", "2x", 20), ("d", "4", 4)], t.schema)
+    t.upsert(df2)
+    t.upsert(df2)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {"a": "1", "b": "2x", "c": "3", "d": "4"}
+
+    t.delete(spark.createDataFrame([("a",), ("d",)], "k STRING"))
+    assert {r["k"] for r in t.read(spark).collect()} == {"b", "c"}
+
+
+def test_chunking_small_bind_limit(spark, tmp_state):
+    """A bind limit smaller than the batch forces multiple chunks per
+    partition; every row must still land exactly once."""
+    t = SqlTableTarget(
+        "chunked",
+        ["k"],
+        StructType.fromDDL("k LONG, v STRING"),
+        _factory(os.path.join(tmp_state, "db.sqlite")),
+        bind_limit=7,  # 3 rows of 2 params per statement
+        num_writers=2,
+    )
+    df = spark.range(100).select(F.col("id").alias("k"), F.col("id").cast("string").alias("v"))
+    t.upsert(df)
+    assert t.read(spark).count() == 100
+    t.delete(spark.range(60).select(F.col("id").alias("k")))
+    assert t.read(spark).count() == 40
+
+
+def test_composite_pk_delete(spark, tmp_state):
+    t = _target(tmp_state, name="t2", pk=["k", "v"])
+    df = spark.createDataFrame(
+        [("a", "1", 1), ("a", "2", 2), ("b", "1", 3)], t.schema
+    )
+    t.upsert(df)
+    t.delete(spark.createDataFrame([("a", "2")], "k STRING, v STRING"))
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {("a", "1"), ("b", "1")}
+
+
+def test_nul_sanitization(spark, tmp_state):
+    assert _sanitize("a\x00b") == "ab"
+    t = _target(tmp_state, name="t3")
+    df = spark.createDataFrame([("k1", "has\x00nul", 1)], t.schema)
+    t.upsert(df)
+    assert t.read(spark).collect()[0]["v"] == "hasnul"
+
+
+def test_contract_and_index_metadata(tmp_state):
+    t = _target(tmp_state, name="t4")
+    assert t.stored_contract() is None
+    t.store_contract()
+    assert t.stored_contract() == {
+        "pk": ["k"],
+        "columns": [["k", "string"], ["v", "string"], ["n", "bigint"]],
+    }
+    t.declare_index("vector", "v", metric="cosine")
+    t.declare_index("vector", "v", metric="cosine")  # idempotent
+    assert t.indexes() == [{"kind": "vector", "column": "v", "metric": "cosine"}]
+
+
+@fn(memo=True)
+def _enrich(df):
+    return df.select(
+        "__args_fp",
+        "__component_path",
+        F.col("path").alias("k"),
+        F.upper(F.col("text")).alias("v"),
+        F.length(F.col("text")).cast("long").alias("n"),
+    )
+
+
+def test_full_sync_loop_against_sql_sink(spark, tmp_state):
+    """The whole engine loop (reconcile + memo + schema contract)
+    running against the wire sink: cold, warm no-op, edit, delete."""
+    app = App("sqlsync", state_dir=tmp_state, spark=spark)
+    t = SqlTableTarget(
+        "docs",
+        ["k"],
+        StructType.fromDDL("k STRING, v STRING, n LONG"),
+        _factory(os.path.join(tmp_state, "db.sqlite")),
+        num_writers=2,
+    )
+    src = spark.createDataFrame(
+        [("a.md", "hello"), ("b.md", "world")], "path STRING, text STRING"
+    )
+    s1 = app.sync_table(src, ["path"], _enrich, t)
+    assert s1.inserts == 2
+    assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {
+        "a.md": "HELLO",
+        "b.md": "WORLD",
+    }
+
+    s2 = app.sync_table(src, ["path"], _enrich, t)
+    assert s2.memo_misses == 0 and s2.noops == 2
+
+    src2 = spark.createDataFrame([("a.md", "hello!")], "path STRING, text STRING")
+    s3 = app.sync_table(src2, ["path"], _enrich, t)
+    assert s3.updates == 1 and s3.deletes == 1
+    assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {"a.md": "HELLO!"}
+    app.drop()
