@@ -21,11 +21,17 @@ consumer's state build.
 from __future__ import annotations
 
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Offsets are (batch_seq << _BATCH_SHIFT) + per-key ordinal: the stride
+# is far larger than any realistic per-key row count in one batch, so
+# batch ordering can never interleave with within-batch ordinals (the
+# old microsecond-timestamp seq could collide across produce calls and
+# overflow its stride — ADVICE sinks/topic.py finding).
+_BATCH_SHIFT = 32
 
 
 class TopicTarget:
@@ -37,17 +43,44 @@ class TopicTarget:
         os.makedirs(path, exist_ok=True)
 
     def _next_batch_seq(self) -> int:
-        return int(time.time() * 1e6)
+        """Strictly-increasing persisted batch counter (atomic replace).
+        A real broker assigns offsets server-side; this file-backed
+        analog assumes one producer process per topic directory, like
+        its single append-only directory already does."""
+        seq_path = os.path.join(self.path, "_seq")
+        try:
+            with open(seq_path) as f:
+                cur = int(f.read().strip() or 0)
+        except FileNotFoundError:
+            cur = 0
+        nxt = cur + 1
+        tmp = seq_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, seq_path)
+        return nxt
 
     # -- produce (declare_target_state per key, kafka/_target.py:231)
-    def produce(self, records: DataFrame, key_col: str, value_col: str) -> None:
-        """Append upsert records. Monotone batch seq orders batches;
-        within a batch, later rows win for the same key (matching
-        producer append order via a per-key ordinal)."""
+    def produce(
+        self,
+        records: DataFrame,
+        key_col: str,
+        value_col: str,
+        ordinal_col: str | None = None,
+    ) -> None:
+        """Append upsert records. The monotone batch seq orders batches;
+        within a batch, per-key order follows ``ordinal_col`` when the
+        caller supplies one (producer append order), else a
+        deterministic value sort — never ``monotonically_increasing_id``,
+        whose within-batch order is plan-dependent, so replaying the
+        same batch would permute offsets and flip last-writer-wins."""
         seq = self._next_batch_seq()
-        w = Window.partitionBy(key_col).orderBy(F.monotonically_increasing_id())
+        order = F.col(ordinal_col) if ordinal_col else F.col(value_col).cast("string")
+        w = Window.partitionBy(key_col).orderBy(order)
         out = records.select(
-            (F.lit(seq) + F.row_number().over(w) - 1).alias("offset"),
+            (F.lit(seq * (1 << _BATCH_SHIFT)) + F.row_number().over(w) - 1).alias(
+                "offset"
+            ),
             F.col(key_col).cast("string").alias("key"),
             F.to_json(F.struct(F.col(value_col))).alias("value"),
             F.lit(False).alias("tombstone"),
@@ -58,7 +91,7 @@ class TopicTarget:
     def produce_tombstones(self, keys: DataFrame, key_col: str) -> None:
         seq = self._next_batch_seq()
         out = keys.select(
-            F.lit(seq).alias("offset"),
+            F.lit(seq * (1 << _BATCH_SHIFT)).alias("offset"),
             F.col(key_col).cast("string").alias("key"),
             F.lit(None).cast("string").alias("value"),
             F.lit(True).alias("tombstone"),

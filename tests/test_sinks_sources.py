@@ -75,6 +75,42 @@ def test_topic_compaction_last_wins_and_tombstone(spark, tmp_state):
     assert t.read_log(spark).count() == 4
 
 
+def test_topic_offsets_deterministic_replay(spark, tmp_state):
+    """Replaying an identical batch must assign identical within-batch
+    per-key ordinals (byte-stable modulo the batch seq) — the old
+    monotonically_increasing_id ordering was plan-dependent. Batch seqs
+    are strictly increasing with a stride larger than any per-key
+    count, so two produce calls can never interleave offsets."""
+    rows = [("k1", f"o{i}", f"v{i}") for i in range(10)] + [("k2", "o0", "w")]
+    df = spark.createDataFrame(rows, "k string, o string, v string").repartition(8)
+
+    t1 = TopicTarget(os.path.join(tmp_state, "t1"))
+    t2 = TopicTarget(os.path.join(tmp_state, "t2"))
+    for t in (t1, t2):
+        t.produce(df, "k", "v", ordinal_col="o")
+
+    def rel_offsets(t):
+        log = t.read_log(spark).collect()
+        base = min(r.offset for r in log)
+        return sorted((r.key, r.value, r.offset - base) for r in log)
+
+    assert rel_offsets(t1) == rel_offsets(t2)
+
+    # last-wins respects the caller's ordinal, not plan order
+    assert "v9" in {r.value for r in t1.read_compacted(spark).collect() if r.key == "k1"}.pop()
+
+    # consecutive batches never collide even when produced back-to-back:
+    # offsets are unique per key (each key is its own partition-let —
+    # the read_compacted ordering domain), and the second batch's
+    # offsets all sort after the first's for the same key
+    t1.produce(df, "k", "v", ordinal_col="o")
+    per_key = {}
+    for r in t1.read_log(spark).collect():
+        per_key.setdefault(r.key, []).append(r.offset)
+    for key, offs in per_key.items():
+        assert len(offs) == len(set(offs)), key
+
+
 def test_object_store_listing_and_cheap_fp(spark, tmp_path):
     (tmp_path / "a.txt").write_text("hello")
     (tmp_path / "b.md").write_text("world")
