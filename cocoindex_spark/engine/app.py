@@ -473,6 +473,11 @@ class App:
                 cached.unpersist()
         if use_cheap:
             need_load.unpersist()
+
+        # Adaptive state sharding: safe here — the sync's scoped bucket
+        # ids are all consumed; growth rehashes before the next sync.
+        for t in (self.state.tracking, self.state.memo, self.state.source_fp):
+            t.maybe_grow(spark)
         stats.wall_sec = time.perf_counter() - t0
         return stats
 

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,32 +53,43 @@ class ManagedTable:
     """
 
     def __init__(self, path: str, key_cols: list[str], schema: StructType, n_buckets: int = 16):
+        from cocoindex_spark.state.fs import fs_for
+
         self.path = path
         self.key_cols = key_cols
         self.schema = schema
-        self.n_buckets = n_buckets
-        os.makedirs(path, exist_ok=True)
+        self.n_buckets = n_buckets  # initial count; live count is in the pointer
+        self.fs = fs_for(path)
+        self.fs.makedirs(path)
 
     # -- pointer plumbing ---------------------------------------------------
+    def _meta(self) -> tuple[int, dict[str, str]]:
+        """(live bucket count, bucket(str) → version dir name). The
+        bucket count persists in the pointer so every reader/writer
+        hashes consistently even after adaptive growth; a legacy
+        flat-mapping pointer implies the constructor count."""
+        text = self.fs.read_text(os.path.join(self.path, _POINTER))
+        if text is None:
+            return self.n_buckets, {}
+        doc = json.loads(text)
+        if "buckets" in doc:
+            return int(doc.get("n_buckets", self.n_buckets)), doc["buckets"]
+        return self.n_buckets, doc  # legacy format
+
     def _pointer(self) -> dict[str, str]:
-        """bucket(str) → version dir name (missing = empty bucket)."""
-        ptr = os.path.join(self.path, _POINTER)
-        if not os.path.exists(ptr):
-            return {}
-        with open(ptr) as f:
-            return json.load(f)
+        return self._meta()[1]
 
-    def _swap_pointer(self, mapping: dict[str, str]) -> None:
-        ptr = os.path.join(self.path, _POINTER)
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(mapping, f)
-        os.replace(tmp, ptr)  # atomic on POSIX
+    def _swap_pointer(self, mapping: dict[str, str], n_buckets: int | None = None) -> None:
+        doc = {
+            "n_buckets": n_buckets if n_buckets is not None else self._meta()[0],
+            "buckets": mapping,
+        }
+        self.fs.write_atomic(os.path.join(self.path, _POINTER), json.dumps(doc))
 
-    def _bucket_expr(self) -> F.Column:
+    def _bucket_expr(self, n_buckets: int) -> F.Column:
         return F.pmod(
             F.xxhash64(*[F.col(c).cast("string") for c in self.key_cols]),
-            F.lit(self.n_buckets),
+            F.lit(n_buckets),
         )
 
     def _bucket_paths(self, mapping: dict[str, str], buckets: list[int] | None = None) -> list[str]:
@@ -88,16 +98,16 @@ class ManagedTable:
             if buckets is not None and int(b) not in buckets:
                 continue
             p = os.path.join(self.path, ver, f"{_BUCKET_COL}={b}")
-            if os.path.isdir(p):
+            if self.fs.isdir(p):
                 out.append(p)
         return out
 
     def _gc(self) -> None:
         referenced = set(self._pointer().values())
-        versions = sorted(d for d in os.listdir(self.path) if d.startswith("v_"))
+        versions = sorted(d for d in self.fs.listdir(self.path) if d.startswith("v_"))
         stale = [d for d in versions if d not in referenced]
         for d in stale[:-_KEEP_UNREFERENCED] if len(stale) > _KEEP_UNREFERENCED else []:
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            self.fs.rmtree(os.path.join(self.path, d))
 
     # -- read/write -------------------------------------------------------
     def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
@@ -106,50 +116,70 @@ class ManagedTable:
             return spark.createDataFrame([], self.schema)
         return spark.read.schema(self.schema).parquet(*paths)
 
-    def _write_version(self, df: DataFrame) -> tuple[str, list[int]]:
+    def _write_version(self, df: DataFrame, n_buckets: int) -> tuple[str, list[int]]:
         """Write df (bucketed) into a new version dir; returns (version
         name, buckets actually written — empty buckets produce no dir)."""
         version_name = f"v_{int(time.time() * 1e6)}_{os.getpid()}"
         out = os.path.join(self.path, version_name)
         (
-            df.withColumn(_BUCKET_COL, self._bucket_expr())
+            df.withColumn(_BUCKET_COL, self._bucket_expr(n_buckets))
             # One task (and one file) per bucket: state tables are
             # metadata-sized relative to the data they track, so fewer,
             # fuller files beat 32×n_buckets fragments.
-            .repartition(self.n_buckets, F.col(_BUCKET_COL))
+            .repartition(n_buckets, F.col(_BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(_BUCKET_COL)
             .parquet(out)
         )
         written = [
             int(d.split("=", 1)[1])
-            for d in os.listdir(out)
+            for d in self.fs.listdir(out)
             if d.startswith(f"{_BUCKET_COL}=")
         ]
         return version_name, written
 
-    def overwrite(self, df: DataFrame) -> None:
-        version_name, written = self._write_version(df)
-        self._swap_pointer({str(b): version_name for b in written})
+    def overwrite(self, df: DataFrame, n_buckets: int | None = None) -> None:
+        n = n_buckets if n_buckets is not None else self._meta()[0]
+        version_name, written = self._write_version(df, n)
+        self._swap_pointer({str(b): version_name for b in written}, n_buckets=n)
         self._gc()
 
     def _merge_into_buckets(self, touched: list[int], replacement: DataFrame) -> None:
         """Swap the touched buckets to a freshly-written version; other
         buckets keep pointing at their current versions."""
-        version_name, written = self._write_version(replacement)
-        mapping = self._pointer()
+        n, mapping = self._meta()
+        version_name, written = self._write_version(replacement, n)
         for b in touched:
             mapping.pop(str(b), None)  # bucket emptied unless re-written
         for b in written:
             mapping[str(b)] = version_name
-        self._swap_pointer(mapping)
+        self._swap_pointer(mapping, n_buckets=n)
         self._gc()
 
     def _touched_buckets(self, keys: DataFrame) -> list[int]:
+        n = self._meta()[0]
         rows = (
-            keys.select(self._bucket_expr().alias(_BUCKET_COL)).distinct().collect()
+            keys.select(self._bucket_expr(n).alias(_BUCKET_COL)).distinct().collect()
         )  # bounded by n_buckets — a constant, never data-sized
         return [r[_BUCKET_COL] for r in rows]
+
+    # -- adaptive sharding -------------------------------------------------
+    def maybe_grow(self, spark: SparkSession, max_bucket_bytes: int = 256 << 20) -> bool:
+        """Double the bucket count when the average referenced bucket
+        exceeds ``max_bucket_bytes`` (fixed 16 buckets under-shards a
+        100 TB tracking table; doubling keeps rewrites amortized).
+        Rehashing rewrites the whole table, so callers invoke this only
+        BETWEEN syncs — never between a touched_buckets() and the
+        merges that reuse those ids. Returns True if it grew."""
+        n, mapping = self._meta()
+        if not mapping or n >= 65536:
+            return False
+        vers = {v for v in mapping.values()}
+        size = sum(self.fs.total_bytes(os.path.join(self.path, v)) for v in vers)
+        if size / n <= max_bucket_bytes:
+            return False
+        self.overwrite(self.read(spark), n_buckets=n * 2)
+        return True
 
     def touched_buckets(self, keys: DataFrame) -> list[int]:
         """Bucket ids the given key rows hash into. Callers that drive
@@ -277,7 +307,9 @@ class StateStore:
         )
 
     def drop(self) -> None:
-        shutil.rmtree(self.root, ignore_errors=True)
+        from cocoindex_spark.state.fs import fs_for
+
+        fs_for(self.root).rmtree(self.root)
 
 
 def empty_df(spark: SparkSession, schema: StructType) -> DataFrame:

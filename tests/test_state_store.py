@@ -58,3 +58,45 @@ def test_version_gc(spark, tmp_state):
     versions = [d for d in os.listdir(t.path) if d.startswith("v_")]
     assert len(versions) <= 5  # keep window + current
     assert _rows(t, spark) == {("a", 7)}
+
+
+def test_adaptive_bucket_growth(spark, tmp_state):
+    """maybe_grow doubles the bucket count once the average referenced
+    bucket exceeds the threshold; the count persists in the pointer,
+    data survives the rehash, and scoped merges keep working under the
+    new count."""
+    t = ManagedTable(os.path.join(tmp_state, "t"), ["k"], _schema(), n_buckets=4)
+    rows = [(f"k{i}", i) for i in range(50)]
+    t.merge_upsert(spark.createDataFrame(rows, _schema()))
+    assert t._meta()[0] == 4
+
+    # no growth under a huge threshold
+    assert t.maybe_grow(spark, max_bucket_bytes=1 << 40) is False
+    # forced growth under a 1-byte threshold
+    assert t.maybe_grow(spark, max_bucket_bytes=1) is True
+    assert t._meta()[0] == 8
+    assert _rows(t, spark) == set(rows)
+
+    # a fresh handle (new process analog) sees the grown count
+    t2 = ManagedTable(os.path.join(tmp_state, "t"), ["k"], _schema(), n_buckets=4)
+    assert t2._meta()[0] == 8
+    t2.merge_upsert(spark.createDataFrame([("k1", 100), ("new", 1)], _schema()))
+    got = dict(_rows(t2, spark))
+    assert got["k1"] == 100 and got["new"] == 1 and len(got) == 51
+
+
+def test_legacy_pointer_format(spark, tmp_state):
+    """A pre-adaptive pointer (flat bucket→version map) still reads;
+    the constructor bucket count applies."""
+    import json
+
+    t = ManagedTable(os.path.join(tmp_state, "t"), ["k"], _schema(), n_buckets=4)
+    t.merge_upsert(spark.createDataFrame([("a", 1), ("b", 2)], _schema()))
+    ptr_path = os.path.join(t.path, "_CURRENT")
+    with open(ptr_path) as f:
+        doc = json.load(f)
+    with open(ptr_path, "w") as f:
+        json.dump(doc["buckets"], f)  # rewrite in the legacy flat format
+    t2 = ManagedTable(os.path.join(tmp_state, "t"), ["k"], _schema(), n_buckets=4)
+    assert t2._meta()[0] == 4
+    assert _rows(t2, spark) == {("a", 1), ("b", 2)}
