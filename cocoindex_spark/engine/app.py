@@ -94,6 +94,7 @@ class App:
         validate_unique: bool = False,
         cheap_fp_cols: list[str] | None = None,
         load: Callable[[DataFrame], DataFrame] | None = None,
+        error_col: str | None = None,
     ) -> SyncStats:
         """One catch-up update (app.update_blocking analog, §3.1).
 
@@ -128,6 +129,18 @@ class App:
         itself; column pruning keeps them out of the cheap-hit branch's
         scan. Requires ``memo=True`` (without memoized results there is
         nothing to replay); ignored under ``full_reprocess``.
+
+        ``error_col`` opts into **failure isolation** (the reference's
+        rule: a failed component is logged and skipped, siblings
+        continue — processing_component.mdx "What happens when a
+        component fails"). The transform reports per-row failures by
+        emitting that column (null = ok, else the error message; the
+        embedder's split-retry shape). Any component with a failed row
+        writes nothing — its previous target rows stay untouched, it is
+        NOT memoized (so the next run retries it), and one row per
+        failing component lands in the ``errors`` side table (cleared
+        on recovery). ``stats.extra['errors']`` carries the count (the
+        reference's UpdateStats error counts).
         """
         t0 = time.perf_counter()
         spark = self.spark
@@ -259,6 +272,30 @@ class App:
             raise ValueError("transform must preserve the __args_fp column")
         miss_out = miss_out.cache()
 
+        # ---- failure isolation (error_col contract) ----
+        failed_paths = None
+        miss_out_raw = miss_out
+        if error_col is not None:
+            if error_col not in miss_out.columns:
+                raise ValueError(
+                    f"error_col {error_col!r} not in transform output columns"
+                )
+            out_cols = [c for c in out_cols if c != error_col]
+            failed_paths = (
+                miss_out.filter(F.col(error_col).isNotNull())
+                .groupBy("__component_path")
+                .agg(F.min(error_col).alias("error"))
+                .cache()
+            )
+            stats.extra["errors"] = failed_paths.count()
+            # Component granularity: one failed row fails the whole
+            # component — none of its rows are declared or memoized.
+            # (The pre-filter frame stays cached; this derives from it.)
+            miss_out = miss_out.join(
+                failed_paths.select("__component_path"), "__component_path", "left_anti"
+            ).drop(error_col)
+            miss_out = miss_out.cache()
+
         # ---- replay memo hits (deserialize carried results) ----
         from pyspark.sql.types import ArrayType
 
@@ -321,6 +358,20 @@ class App:
             # Live mode: reconcile only this batch's components; keys not
             # in the batch keep their tracked state untouched.
             tracked = tracked.join(F.broadcast(scope_paths), "component_path", "left_semi")
+        if failed_paths is not None and stats.extra.get("errors"):
+            # Failed components leave the reconcile scope entirely:
+            # absent from desired AND masked from tracked, so their
+            # previous target rows are neither deleted nor rewritten
+            # (the reference keeps a failed child's prior state).
+            tracked = tracked.join(
+                F.broadcast(
+                    failed_paths.select(
+                        F.col("__component_path").alias("component_path")
+                    )
+                ),
+                "component_path",
+                "left_anti",
+            )
         plan = reconcile(desired, tracked, full_reprocess=full_reprocess)
         plan.actions = plan.actions.cache()
         counts = plan.counts()
@@ -459,6 +510,23 @@ class App:
                 )
                 self.state.source_fp.delete_keys(dead_sfp)
 
+        # ---- error side table maintenance (opt-in) ----
+        if error_col is not None:
+            if stats.extra.get("errors"):
+                self.state.errors.merge_upsert(
+                    failed_paths.select(
+                        F.col("__component_path").alias("component_path"),
+                        "error",
+                        F.lit(version).cast("long").alias("version"),
+                    )
+                )
+            # components that produced clean output this run recovered
+            self.state.errors.delete_keys(
+                miss_out.select(
+                    F.col("__component_path").alias("component_path")
+                ).distinct()
+            )
+
         if memo_thread is not None:
             memo_thread.join()
             if memo_err:
@@ -468,7 +536,16 @@ class App:
         # materialized, and leaked cache blocks across many syncs in one
         # session evict each other (a bench run is 35+ plans) — the
         # recompute storms cost far more than the caching saved.
-        for cached in (plan.actions, miss_out, miss_src, keyed, cheap_listing, cheap_replay):
+        for cached in (
+            plan.actions,
+            miss_out,
+            miss_out_raw,
+            miss_src,
+            keyed,
+            cheap_listing,
+            cheap_replay,
+            failed_paths,
+        ):
             if cached is not None:
                 cached.unpersist()
         if use_cheap:
@@ -502,6 +579,18 @@ class App:
         if n:
             self.state.memo.delete_keys(dead)
         return n
+
+    def errors(self, target: TableTarget | None = None) -> DataFrame:
+        """Currently-failing components (the exception-handler /
+        progress-monitoring surface: UpdateStats error counts +
+        per-component messages). Scoped to one target's prefix when
+        given."""
+        df = self.state.errors.read(self.spark)
+        if target is not None:
+            df = df.filter(
+                F.col("component_path").startswith(f"{self.name}/{target.name}/")
+            )
+        return df.select("component_path", "error")
 
     def children(self, target: TableTarget) -> DataFrame:
         """Current child components of a target's sync prefix (the

@@ -274,6 +274,16 @@ USER_STATE_SCHEMA = _schema(
     ("version", "long"),
 )
 
+# Failure isolation (reference: a failed component is logged and
+# skipped, siblings continue; UpdateStats exposes error counts —
+# processing_component.mdx "What happens when a component fails").
+# One row per currently-failing component; cleared on recovery.
+ERRORS_SCHEMA = _schema(
+    ("component_path", "string"),
+    ("error", "string"),
+    ("version", "long"),
+)
+
 # Two-level change detection (reference: cheap version validated before
 # the content fingerprint, rust/core/src/engine/component.rs:86-101;
 # data_types.mdx:37-39): per-component mapping cheap_fp → the content
@@ -304,6 +314,9 @@ class StateStore:
         )
         self.source_fp = ManagedTable(
             os.path.join(root, "source_fp"), ["component_path"], SOURCE_FP_SCHEMA
+        )
+        self.errors = ManagedTable(
+            os.path.join(root, "errors"), ["component_path"], ERRORS_SCHEMA
         )
 
     def drop(self) -> None:

@@ -189,6 +189,51 @@ def test_duplicate_declaration_rejected(app, spark, tmp_state):
         app.sync_table(src, ["path", "text"], enrich, t, validate_unique=True)
 
 
+def test_error_isolation_side_table(app, spark, tmp_state):
+    """Failure isolation (processing_component.mdx): a failing
+    component writes nothing, keeps its previous target rows, lands in
+    the errors side table, is retried (not memoized), and recovers —
+    clearing its error row — once the input is fixed."""
+    target = _target(app, tmp_state)
+
+    @fn(memo=True)
+    def enrich_checked(df):
+        err = F.when(F.col("text").contains("POISON"), F.lit("poison input"))
+        return df.select(
+            "__args_fp",
+            "__component_path",
+            F.col("path"),
+            F.upper(F.col("text")).alias("text_upper"),
+            F.length(F.col("text")).alias("text_len"),
+            err.alias("__error"),
+        )
+
+    src1 = _source(spark, [("a.md", "good"), ("b.md", "fine")])
+    s1 = app.sync_table(src1, ["path"], enrich_checked, target, error_col="__error")
+    assert s1.inserts == 2 and s1.extra["errors"] == 0
+
+    # b.md turns poisonous: it writes nothing, keeps its old row, and
+    # is recorded; a.md's unchanged row no-ops normally
+    src2 = _source(spark, [("a.md", "good"), ("b.md", "POISON now")])
+    s2 = app.sync_table(src2, ["path"], enrich_checked, target, error_col="__error")
+    assert s2.extra["errors"] == 1
+    assert s2.inserts == 0 and s2.updates == 0 and s2.deletes == 0
+    assert _contents(target, spark) == {"a.md": ("GOOD", 4), "b.md": ("FINE", 4)}
+    errs = {r["component_path"]: r["error"] for r in app.errors(target).collect()}
+    assert errs == {"t/docs_out/b.md": "poison input"}
+
+    # unchanged poison input: retried (never memoized), still failing
+    s3 = app.sync_table(src2, ["path"], enrich_checked, target, error_col="__error")
+    assert s3.memo_misses == 1 and s3.extra["errors"] == 1
+
+    # fixed input: recomputes, writes, clears the error row
+    src3 = _source(spark, [("a.md", "good"), ("b.md", "healed")])
+    s4 = app.sync_table(src3, ["path"], enrich_checked, target, error_col="__error")
+    assert s4.extra["errors"] == 0 and s4.updates == 1
+    assert _contents(target, spark)["b.md"] == ("HEALED", 6)
+    assert app.errors(target).count() == 0
+
+
 def test_two_level_cheap_fp(app, spark, tmp_state):
     """Two-level change detection (cheap version checked before content
     fingerprint, component.rs:86-101): a warm run loads ZERO content
