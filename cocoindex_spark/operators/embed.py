@@ -156,12 +156,37 @@ def _encode_with_split_retry(model, texts: list[str]) -> list[list[float] | None
         )
 
 
+class GpuRunner:
+    """The ``runner=coco.GPU`` analog (reference
+    python/cocoindex/_internal/runner.py:38-485: route a function's
+    execution onto GPU capacity). Spark-first realization: **stage-level
+    scheduling** — a ResourceProfile attached to the embedding stage
+    requests GPU task slots for just that stage, so the scan/shuffle
+    stages around it keep CPU-sized parallelism. Requires a cluster
+    with GPU resource discovery configured
+    (``spark.executor.resource.gpu.*``); profile construction is pure
+    and testable anywhere."""
+
+    def __init__(self, gpus_per_task: float = 1.0, cpus_per_task: int = 1):
+        self.gpus_per_task = gpus_per_task
+        self.cpus_per_task = cpus_per_task
+
+    def resource_profile(self):
+        from pyspark.resource import ResourceProfileBuilder, TaskResourceRequests
+
+        reqs = TaskResourceRequests().cpus(self.cpus_per_task).resource(
+            "gpu", self.gpus_per_task
+        )
+        return ResourceProfileBuilder().require(reqs).build
+
+
 class PandasEmbedder:
     """Arrow-batched embedding over a text column.
 
     ``model_factory`` runs once per executor process (module-level
-    memo) — the broadcast-model pattern; GPU models pair this with
-    ``spark.task.resource.gpu.amount`` (runner.py:38-485 analog).
+    memo) — the broadcast-model pattern. Pass ``runner=GpuRunner(...)``
+    to pin the embedding stage onto GPU task slots via stage-level
+    scheduling (runner.py:38-485 analog).
     """
 
     def __init__(
@@ -170,11 +195,13 @@ class PandasEmbedder:
         schema: VectorSchema,
         max_batch_size: int = 256,
         rate_limiter=None,
+        runner: GpuRunner | None = None,
     ):
         self.model_factory = model_factory
         self.schema = schema
         self.max_batch_size = max_batch_size
         self.rate_limiter = rate_limiter
+        self.runner = runner
 
     def embed_column(self, df: DataFrame, text_col: str, out_col: str = "embedding") -> DataFrame:
         out_schema = StructType(
@@ -203,6 +230,10 @@ class PandasEmbedder:
                 pdf[out_col] = vecs
                 yield pdf
 
+        if self.runner is not None:
+            return df.mapInPandas(
+                run, schema=out_schema, profile=self.runner.resource_profile()
+            )
         return df.mapInPandas(run, schema=out_schema)
 
 
