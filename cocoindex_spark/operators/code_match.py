@@ -116,6 +116,24 @@ def tokenize(text: str, language: str = "text") -> list[Tok]:
     return toks
 
 
+class CodeSource:
+    """Parse-once wrapper (reference ops/code.py ``CodeSource`` —
+    "wrap it in a CodeSource so it is parsed at most once"). Here the
+    cached artifact is the token stream: several pattern matches over
+    the same source lex exactly once. Carries its own language."""
+
+    def __init__(self, text: str, language: str = "text"):
+        self.text = text
+        self.language = language
+        self._tokens: list[Tok] | None = None
+
+    @property
+    def tokens(self) -> list[Tok]:
+        if self._tokens is None:
+            self._tokens = tokenize(self.text, self.language)
+        return self._tokens
+
+
 @dataclass
 class _Meta:
     name: str | None  # None = anonymous
@@ -228,8 +246,11 @@ class StructuralPattern:
             j += 1
         return i + 1  # unbalanced: degrade to one token
 
-    def match(self, source: str) -> list[StructMatch]:
-        toks = tokenize(source, self.language)
+    def match(self, source: "str | CodeSource") -> list[StructMatch]:
+        if isinstance(source, CodeSource):
+            toks, source = source.tokens, source.text
+        else:
+            toks = tokenize(source, self.language)
         out: list[StructMatch] = []
         i = 0
         while i < len(toks):
@@ -244,6 +265,9 @@ class StructuralPattern:
             else:
                 i += 1
         return out
+
+    # reference API name (CodePattern.match_source, ops/code.py:115-160)
+    match_source = match
 
     def _try_at(self, source: str, toks: list[Tok], start: int) -> StructMatch | None:
         bind: dict[str, tuple[int, int]] = {}  # name -> (tok_lo, tok_hi)

@@ -23,38 +23,54 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Extension → language, mirroring the coverage of the reference's
-# tree-sitter language table (prog_langs.rs; docs text.mdx:131-169).
-# Public knowledge: standard file-extension conventions.
+# Extension → language, mirroring the reference's full tree-sitter
+# language table (prog_langs.rs; docs ops/text.mdx "Supported
+# languages" extension column). Public knowledge: standard
+# file-extension conventions. Language names match the reference's
+# `language=` values (and the splitter's LANGUAGE_SEPARATORS keys).
 LANG_BY_EXT: dict[str, str] = {
+    "astro": "astro",
     "c": "c",
     "h": "c",
     "cc": "cpp",
     "cpp": "cpp",
     "cxx": "cpp",
     "hpp": "cpp",
-    "cs": "csharp",
+    "cs": "c_sharp",
     "css": "css",
+    "f": "fortran",
+    "f90": "fortran",
+    "f95": "fortran",
     "go": "go",
     "html": "html",
     "htm": "html",
     "java": "java",
     "js": "javascript",
+    "mjs": "javascript",
+    "cjs": "javascript",
     "jsx": "javascript",
     "json": "json",
+    "jsonc": "json",
+    "jl": "julia",
     "kt": "kotlin",
+    "kts": "kotlin",
     "md": "markdown",
     "markdown": "markdown",
+    "pas": "pascal",
     "php": "php",
     "py": "python",
+    "r": "r",
     "rb": "ruby",
     "rs": "rust",
     "scala": "scala",
+    "sol": "solidity",
     "sql": "sql",
+    "svelte": "svelte",
     "swift": "swift",
     "toml": "toml",
     "ts": "typescript",
-    "tsx": "typescript",
+    "tsx": "tsx",
+    "vue": "vue",
     "xml": "xml",
     "yaml": "yaml",
     "yml": "yaml",

@@ -55,17 +55,44 @@ def cosine_fixed(a: Column, b: Column) -> Column:
     return cosine_from_fixed(dot_fixed(a, b), sqnorm_fixed(a), sqnorm_fixed(b))
 
 
-def sign_bucket(a: Column, n_bits: int) -> Column:
-    """Sign-projection LSH bucket from the first ``n_bits`` dimensions.
+# Pseudo-random ±1 hyperplane matrix for sign-LSH, derived by integer
+# bit-mixing of (dimension, plane) — multiplicative-hash mix, take bit
+# 16. Same formula spelled in both engines, all-integer, so buckets
+# hash-match the oracle exactly. Real random hyperplanes (not
+# axis-aligned first-k dims) keep recall on correlated embeddings —
+# the axis-aligned variant wasted bits on correlated leading dims.
+_MIX_A = 2654435761  # Knuth multiplicative constant
+_MIX_B = 40503
 
-    Axis-aligned sign-random-projection: bit j = (a[j] >= 0). For
-    unit-normalized embeddings this partitions the sphere into 2^n
-    orthants — an equi-joinable candidate-blocking key (the 100 TB
-    path: shuffle on bucket instead of a cross join).
+
+def _plane_sign_spark(x: Column, i: Column, j: int) -> Column:
+    mix = i.cast("long") * F.lit(_MIX_A) + F.lit(j * _MIX_B)
+    positive = F.shiftright(mix, 16).bitwiseAND(F.lit(1)) == 0
+    q = F.floor(x.cast("double") * F.lit(FIXED_SCALE)).cast("long")
+    return F.when(positive, q).otherwise(-q)
+
+
+def sign_bucket(a: Column, n_bits: int) -> Column:
+    """Sign-random-projection LSH bucket: bit j = (h_j · a >= 0) for
+    ``n_bits`` pseudo-random ±1 hyperplanes. Partitions the sphere into
+    2^n regions — an equi-joinable candidate-blocking key (the 100 TB
+    path: shuffle on bucket instead of a cross join). Projections are
+    fixed-point integer sums (order-independent, exact), so the bucket
+    id is bit-identical across engines.
     """
+    def term_fn(j: int):
+        # two-arg lambda (PySpark counts lambda parameters; a default
+        # arg would make it look ternary)
+        return lambda x, i: _plane_sign_spark(x, i, j)
+
     bucket = F.lit(0)
     for j in range(n_bits):
-        bucket = bucket + F.when(F.element_at(a, j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        proj = F.aggregate(
+            F.transform(a, term_fn(j)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
 
 
@@ -87,7 +114,17 @@ def sql_cosine_fixed(a: str, b: str) -> str:
 
 
 def sql_sign_bucket(a: str, n_bits: int) -> str:
+    """DuckDB spelling of sign_bucket — identical integer formula
+    (1-based range index shifted to the 0-based mix)."""
+
+    def proj(j: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a})+1), i -> "
+            f"(CASE WHEN ((((i-1)*{_MIX_A} + {j * _MIX_B}) >> 16) & 1) = 0 THEN 1 ELSE -1 END) * "
+            f"CAST(floor(CAST({a}[i] AS DOUBLE)*{FIXED_SCALE!r}) AS BIGINT)))"
+        )
+
     terms = " + ".join(
-        f"(CASE WHEN {a}[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits)
+        f"(CASE WHEN {proj(j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits)
     )
     return f"({terms})"

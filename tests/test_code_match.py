@@ -89,6 +89,40 @@ def test_bad_pattern_raises():
         StructuralPattern(r"def \(unclosed", "python")
 
 
+def test_code_source_parse_once():
+    """CodeSource lexes once and is shared across patterns (the
+    reference's parse-at-most-once contract)."""
+    from cocoindex_spark.operators.code_match import CodeSource
+
+    src = CodeSource("def f(): return g(1)", "python")
+    t1 = src.tokens
+    t2 = src.tokens
+    assert t1 is t2  # cached, not re-lexed
+
+    p1 = StructuralPattern(r"def \NAME(\(A*\)):", "python")
+    p2 = StructuralPattern(r"g(\X)", "python")
+    assert p1.match_source(src)[0].captures["NAME"] == "f"
+    assert p2.match_source(src)[0].captures["X"] == "1"
+    # same results as the plain-string path
+    assert [m.text for m in p2.match_source(src)] == [m.text for m in p2.match(src.text)]
+
+
+def test_lang_by_ext_covers_reference_table():
+    """Every language in the reference's extension table resolves, and
+    the names match the splitter's language keys."""
+    from cocoindex_spark.operators.code_ops import LANG_BY_EXT
+    from cocoindex_spark.operators.split import LANGUAGE_SEPARATORS, resolve_language
+
+    for ext, lang in LANG_BY_EXT.items():
+        assert resolve_language(lang) in LANGUAGE_SEPARATORS, (ext, lang)
+    # spot-check reference rows (docs ops/text.mdx extension column)
+    assert LANG_BY_EXT["cs"] == "c_sharp"
+    assert LANG_BY_EXT["f90"] == "fortran"
+    assert LANG_BY_EXT["tsx"] == "tsx"
+    assert LANG_BY_EXT["vue"] == "vue"
+    assert LANG_BY_EXT["sol"] == "solidity"
+
+
 def test_match_code_df_spark(spark):
     from pyspark.sql import functions as F
 
