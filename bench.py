@@ -46,6 +46,7 @@ HEADLINE = [
     "q46_code_language",
     "q47_code_pattern",
     "q48_structural_captures",
+    "q49_definition_views",
     "q50_tumbling_daily",
     "q51_sessionization",
     "q60_reconcile_actions",

@@ -358,6 +358,117 @@ class StructuralPattern:
         return StructMatch(source[s:e], s, e, caps)
 
 
+# --- definition views (reference: code_ast region classification,
+#     rust/code_ast/src/view/lang.rs `classify`/`is_region` — functions,
+#     classes, types as named regions with spans) ---------------------------
+
+# Per-language definition-shape patterns, expressed in the matcher's own
+# metavariable syntax — one compile per (language, kind), reused across
+# sources via CodeSource.
+DEF_PATTERNS: dict[str, list[tuple[str, str]]] = {
+    "python": [
+        ("function", r"def \NAME(\(_*\))"),
+        ("class", r"class \NAME"),
+    ],
+    "go": [
+        ("function", r"func \NAME(\(_*\))"),
+        ("type", r"type \NAME"),
+    ],
+    "rust": [
+        ("function", r"fn \NAME(\(_*\))"),
+        ("struct", r"struct \NAME"),
+        ("trait", r"trait \NAME"),
+        ("impl", r"impl \NAME"),
+    ],
+    "javascript": [
+        ("function", r"function \NAME(\(_*\))"),
+        ("class", r"class \NAME"),
+    ],
+    "typescript": [
+        ("function", r"function \NAME(\(_*\))"),
+        ("class", r"class \NAME"),
+        ("interface", r"interface \NAME"),
+    ],
+    "java": [
+        ("class", r"class \NAME"),
+        ("interface", r"interface \NAME"),
+    ],
+    "c": [("function", r"\TYPE \NAME(\(_*\)) {")],
+    "ruby": [
+        ("function", r"def \NAME"),
+        ("class", r"class \NAME"),
+    ],
+}
+
+_DEF_CACHE: dict[tuple[str, str, str], StructuralPattern] = {}
+
+
+def definitions(source: "str | CodeSource", language: str = "python") -> list[dict]:
+    """Named definition regions of a source: [{kind, name, start, end}]
+    sorted by position — the Spark-friendly projection of the
+    reference's AST region views. Shares one token stream across all
+    of the language's patterns (CodeSource parse-once)."""
+    if not isinstance(source, CodeSource):
+        source = CodeSource(source, language)
+    out = []
+    for kind, pat in DEF_PATTERNS.get(language, ()):
+        key = (language, kind, pat)
+        cp = _DEF_CACHE.get(key)
+        if cp is None:
+            cp = _DEF_CACHE[key] = StructuralPattern(pat, language)
+        for m in cp.match_source(source):
+            name = m.captures.get("NAME")
+            if name:
+                out.append(
+                    {"kind": kind, "name": name, "start": m.start, "end": m.end}
+                )
+    return sorted(out, key=lambda d: (d["start"], d["kind"]))
+
+
+def definitions_df(df, text_col: str, language: str = "python"):
+    """One row per definition found in ``text_col`` — Arrow-batched,
+    per-row, no shuffle; columns (def_kind, def_name, def_start)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = ArrayType(
+        StructType(
+            [
+                StructField("kind", StringType()),
+                StructField("name", StringType()),
+                StructField("start", IntegerType()),
+            ]
+        )
+    )
+
+    def run(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                []
+                if t is None
+                else [
+                    {"kind": d["kind"], "name": d["name"], "start": d["start"]}
+                    for d in definitions(t, language)
+                ]
+                for t in texts
+            ]
+        )
+
+    udf = F.pandas_udf(run, schema)
+    return df.withColumn("__d", F.explode(udf(F.col(text_col)))).select(
+        *df.columns,
+        F.col("__d.kind").alias("def_kind"),
+        F.col("__d.name").alias("def_name"),
+        F.col("__d.start").alias("def_start"),
+    )
+
+
 # --- Spark surface --------------------------------------------------------
 
 

@@ -126,3 +126,55 @@ def q48_structural_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("captures")["A"].alias("args"),
         F.col("captures")["R"].alias("ret"),
     )
+
+
+# --- q49: definition views (the code_ast region classification,
+#     rust/code_ast/src/view/lang.rs classify/is_region → named
+#     function/class/type regions; here operators/code_match.py
+#     `definitions` over the token matcher). Synthetic per-doc snippets
+#     in three languages with known definition sets; the oracle
+#     reconstructs the expected (kind, name) rows with pure SQL.
+@register(
+    "q49_definition_views",
+    oracle="""
+SELECT doc_id, def_kind, def_name FROM (
+  SELECT doc_id, 'function' AS def_kind, 'p' || CAST(doc_id AS VARCHAR) AS def_name
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'class', 'C' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'function', 'g' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id, 'type', 'T' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 3 = 1
+)
+""",
+)
+def q49_definition_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    py_code = F.concat(
+        F.lit("def p"), sid, F.lit("(x):\n    return x\n\nclass C"), sid,
+        F.lit(":\n    pass\n"),
+    )
+    go_code = F.concat(
+        F.lit("func g"), sid, F.lit("() int {\n\treturn 1\n}\n\ntype T"), sid,
+        F.lit(" struct {}\n"),
+    )
+    plain = F.lit("just prose, nothing to extract")
+    # one language per congruence class; class 2 has no definitions
+    py = d.filter(F.col("doc_id") % 3 == 0).withColumn("code", py_code)
+    go = d.filter(F.col("doc_id") % 3 == 1).withColumn("code", go_code)
+    no = d.filter(F.col("doc_id") % 3 == 2).withColumn("code", plain)
+    out_py = definitions_df(py, "code", "python")
+    out_go = definitions_df(go, "code", "go")
+    out_no = definitions_df(no, "code", "python")
+    return (
+        out_py.unionByName(out_go)
+        .unionByName(out_no)
+        .select("doc_id", "def_kind", "def_name")
+    )

@@ -123,6 +123,29 @@ def test_lang_by_ext_covers_reference_table():
     assert LANG_BY_EXT["sol"] == "solidity"
 
 
+def test_definitions_view():
+    """Region classification analog: named definitions with spans,
+    sorted by position; unknown languages yield nothing."""
+    from cocoindex_spark.operators.code_match import CodeSource, definitions
+
+    src = "def alpha(x):\n    return x\n\nclass Beta:\n    def meth(self): pass\n"
+    defs = definitions(src, "python")
+    assert [(d["kind"], d["name"]) for d in defs] == [
+        ("function", "alpha"),
+        ("class", "Beta"),
+        ("function", "meth"),
+    ]
+    assert all(0 <= d["start"] < d["end"] <= len(src) for d in defs)
+
+    rust = "pub fn go(a: i32) {}\nstruct S;\nimpl S { fn m(&self) {} }"
+    kinds = {(d["kind"], d["name"]) for d in definitions(rust, "rust")}
+    assert ("function", "go") in kinds and ("struct", "S") in kinds
+
+    # CodeSource reuse path + unknown language
+    assert definitions(CodeSource(src, "python"), "python")
+    assert definitions("anything", "no-such-lang") == []
+
+
 def test_match_code_df_spark(spark):
     from pyspark.sql import functions as F
 
