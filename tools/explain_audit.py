@@ -53,7 +53,9 @@ CHECKS = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
     "q63_rrf_hybrid": (
-        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        # rank fusion via two-phase distributed rank (range exchange),
+        # fused on an equi-join — no global unpartitioned data window
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", r"rangepartitioning"],
         [],
     ),
     "q66_graph_degree": (
@@ -83,6 +85,23 @@ CHECKS = {
         # Arrow-batched Python fan-out; the whole plan is shuffle-free
         [r"MapInPandas"],
         [r"Exchange"],
+    ),
+    "q45_deterministic_ids": (
+        # two-phase global rank: range exchange + per-__pid window; the
+        # only SinglePartition exchange is the ≤n_parts offsets branch
+        # (below a per-__pid aggregate), never the data path
+        [r"rangepartitioning", r"hashpartitioning\(__pid"],
+        [],
+    ),
+    "q48_structural_captures": (
+        # structural matcher: JVM contains-prefilter BEFORE the Arrow
+        # eval, explode of the matches array, no shuffle
+        [r"ArrowEvalPython", r"Contains", r"Generate"],
+        [r"Exchange", r"CartesianProduct"],
+    ),
+    "q49_definition_views": (
+        [r"ArrowEvalPython", r"Generate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
 }
 
