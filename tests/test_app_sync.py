@@ -305,6 +305,41 @@ def test_two_level_cheap_fp(app, spark, tmp_state):
     assert s6.inserts == 1 and s6.extra["cheap_hits"] == 2
 
 
+def test_cheap_fp_converges_after_memo_loss(app, spark, tmp_state):
+    """Crash-consistency of the two-level path: the source_fp map and
+    the memo are written independently, so a run may persist one
+    without the other. A cheap-fp hit whose memoized result is gone
+    must fall back to load + recompute (never replay nothing), and the
+    reverse (memo kept, map lost) must re-load, re-fingerprint, and
+    memo-hit without recompute."""
+    target = _target(app, tmp_state)
+    content = {"a.md": "alpha", "b.md": "beta"}
+    cdf = spark.createDataFrame(list(content.items()), "path STRING, text STRING")
+
+    def load(df):
+        return df.join(cdf, "path", "left")
+
+    listing = spark.createDataFrame([("a.md", 1), ("b.md", 1)], "path STRING, rev LONG")
+    kw = dict(cheap_fp_cols=["rev"], load=load)
+    app.sync_table(listing, ["path"], enrich, target, **kw)
+
+    # memo lost (GC'd / crashed before flush), map intact
+    app.state.memo.overwrite(app.state.memo.read(spark).limit(0))
+    s2 = app.sync_table(listing, ["path"], enrich, target, **kw)
+    assert s2.extra["cheap_hits"] == 0 and s2.extra["loaded"] == 2
+    assert s2.memo_misses == 2 and s2.noops == 2  # recomputed, values unchanged
+    assert _contents(target, spark)["a.md"] == ("ALPHA", 5)
+
+    # map lost, memo intact: re-load re-derives the same content fp
+    app.state.source_fp.overwrite(app.state.source_fp.read(spark).limit(0))
+    s3 = app.sync_table(listing, ["path"], enrich, target, **kw)
+    assert s3.extra["loaded"] == 2 and s3.memo_misses == 0 and s3.noops == 2
+
+    # fully healed: next run back to zero loads
+    s4 = app.sync_table(listing, ["path"], enrich, target, **kw)
+    assert s4.extra["loaded"] == 0 and s4.extra["cheap_hits"] == 2
+
+
 def test_identical_duplicate_rows_collapse(app, spark, tmp_state):
     """Two fully-identical source rows (same key AND content) are one
     component: the memo must store exactly one copy of the result, and
