@@ -172,6 +172,25 @@ class App:
         cheap_listing = None
         cheap_replay = None
         if use_cheap:
+            if load is None:
+                # Content columns live in `source` itself: derive a
+                # pruned listing (keys + cheap cols only — the cache
+                # below materializes every column it is given, so the
+                # content must not be among them) and re-attach the
+                # remaining columns by key for exactly the cheap-miss
+                # rows. The content side scans once, on the miss branch
+                # only.
+                content_side = source.drop(
+                    *[c for c in cheap_fp_cols if c not in key_cols]
+                )
+                listing_cols = list(
+                    dict.fromkeys([*key_cols, *cheap_fp_cols])
+                )
+                source = source.select(*listing_cols)
+
+                def load(df, _cs=content_side, _k=key_cols):
+                    return df.join(_cs, _k, "left")
+
             # ---- level 1: cheap fp vs the stored source_fp map ----
             cheap_listing = (
                 source.withColumn(
@@ -520,12 +539,33 @@ class App:
                         F.lit(version).cast("long").alias("version"),
                     )
                 )
-            # components that produced clean output this run recovered
-            self.state.errors.delete_keys(
-                miss_out.select(
-                    F.col("__component_path").alias("component_path")
-                ).distinct()
+            # Clearing: a component stops being "currently failing" when
+            # it recomputes cleanly, replays a memoized result, or
+            # vanishes from the source. A full sync enumerates the whole
+            # world, so everything under the prefix that is NOT in this
+            # run's failed set is clear; a partial batch only vouches
+            # for its own scope. Gated on the errors table actually
+            # having rows for the prefix — the common all-healthy sync
+            # pays one tiny metadata read, not a delete cycle.
+            old_errors = self.state.errors.read(spark).filter(
+                F.col("component_path").startswith(component_prefix + "/")
             )
+            if old_errors.limit(1).count():
+                failed_now = (
+                    failed_paths.select(
+                        F.col("__component_path").alias("component_path")
+                    )
+                    if failed_paths is not None
+                    else old_errors.select("component_path").limit(0)
+                )
+                if partial or tombstone_col is not None:
+                    in_scope = old_errors.join(
+                        F.broadcast(scope_paths), "component_path", "left_semi"
+                    )
+                    cleared = in_scope.join(failed_now, "component_path", "left_anti")
+                else:
+                    cleared = old_errors.join(failed_now, "component_path", "left_anti")
+                self.state.errors.delete_keys(cleared.select("component_path"))
 
         if memo_thread is not None:
             memo_thread.join()

@@ -120,6 +120,13 @@ def fp_col(*cols: Column) -> Column:
     is the length-prefix-free analog of the reference's canonical serde
     (rust/utils/src/fingerprint.rs:38-52). All JVM-side: to_json +
     sha2 stay inside whole-stage codegen / vectorized expression eval.
+
+    Changing this encoding is an upgrade event: every persisted
+    args_fp / tracking fp / source_fp computed under the old encoding
+    mismatches, so the first sync after an upgrade re-transforms the
+    full corpus and write-throughs every target row (convergent — the
+    reconcile semantics make it a one-time full reprocess, not
+    corruption). Treat edits here like a state-format bump.
     """
     encoded = [F.to_json(F.struct(c.alias("v"))) for c in cols]
     return F.substring(F.sha2(F.concat_ws("\x1f", *encoded), 256), 1, FP_LEN * 2)

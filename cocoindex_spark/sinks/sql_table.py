@@ -162,7 +162,17 @@ class SqlTableTarget:
             params = [v for r in buf for v in r]
             con.cursor().execute(sql, params)
 
-        rows.select(*cols).coalesce(self._num_writers).foreachPartition(write_partition)
+        # One row per pk: PostgreSQL rejects a multi-row ON CONFLICT
+        # statement that touches the same key twice ("cannot affect row
+        # a second time"), so duplicate declarations pick an arbitrary
+        # winner HERE — the documented MERGE semantics — instead of
+        # crashing whenever both copies land in one chunk.
+        (
+            rows.select(*cols)
+            .dropDuplicates(self.pk)
+            .coalesce(self._num_writers)
+            .foreachPartition(write_partition)
+        )
 
     def delete(self, keys: DataFrame) -> None:
         pk = list(self.pk)

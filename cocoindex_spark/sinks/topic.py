@@ -42,7 +42,7 @@ class TopicTarget:
         self.path = path
         os.makedirs(path, exist_ok=True)
 
-    def _next_batch_seq(self) -> int:
+    def _next_batch_seq(self, spark: SparkSession | None = None) -> int:
         """Strictly-increasing persisted batch counter (atomic replace).
         A real broker assigns offsets server-side; this file-backed
         analog assumes one producer process per topic directory, like
@@ -53,6 +53,17 @@ class TopicTarget:
                 cur = int(f.read().strip() or 0)
         except FileNotFoundError:
             cur = 0
+            # Upgrade path: a pre-counter topic dir carries raw
+            # timestamp offsets far above the counter scheme's range.
+            # Seed the counter past them so new records keep sorting
+            # after old ones (last-writer-wins stays correct). One-time
+            # read, only when _seq is absent but log files exist.
+            if spark is not None and any(
+                f.endswith(".parquet") for f in os.listdir(self.path)
+            ):
+                row = self.read_log(spark).agg(F.max("offset")).first()
+                if row and row[0] is not None:
+                    cur = (int(row[0]) >> _BATCH_SHIFT) + 1
         nxt = cur + 1
         tmp = seq_path + ".tmp"
         with open(tmp, "w") as f:
@@ -74,7 +85,7 @@ class TopicTarget:
         deterministic value sort — never ``monotonically_increasing_id``,
         whose within-batch order is plan-dependent, so replaying the
         same batch would permute offsets and flip last-writer-wins."""
-        seq = self._next_batch_seq()
+        seq = self._next_batch_seq(records.sparkSession)
         order = F.col(ordinal_col) if ordinal_col else F.col(value_col).cast("string")
         w = Window.partitionBy(key_col).orderBy(order)
         out = records.select(
@@ -89,7 +100,7 @@ class TopicTarget:
 
     # -- tombstone (null payload delete, kafka/_target.py:277)
     def produce_tombstones(self, keys: DataFrame, key_col: str) -> None:
-        seq = self._next_batch_seq()
+        seq = self._next_batch_seq(keys.sparkSession)
         out = keys.select(
             F.lit(seq * (1 << _BATCH_SHIFT)).alias("offset"),
             F.col(key_col).cast("string").alias("key"),

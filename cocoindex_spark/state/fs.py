@@ -84,25 +84,18 @@ class HadoopFS:
             self._fs = path.getFileSystem(conf)
         return self._fs, self._jvm
 
-    def _p(self, path: str):
-        _, jvm = self._fs, self._jvm
-        return self._jvm.org.apache.hadoop.fs.Path(path)
-
     def read_text(self, path: str) -> str | None:
         fs, jvm = self._get()
         p = jvm.org.apache.hadoop.fs.Path(path)
         if not fs.exists(p):
             return None
+        # Py4J passes byte[] arguments by value — a Java-side
+        # stream.read(buf) fills only the JVM copy, so the bytes must be
+        # produced Java-side and returned. IOUtils ships with Hadoop.
         stream = fs.open(p)
         try:
-            out = bytearray()
-            buf = bytearray(65536)
-            while True:
-                n = stream.read(buf)
-                if n <= 0:
-                    break
-                out.extend(buf[:n])
-            return out.decode("utf-8")
+            data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return bytes(data).decode("utf-8")
         finally:
             stream.close()
 

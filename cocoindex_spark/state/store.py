@@ -174,8 +174,11 @@ class ManagedTable:
         n, mapping = self._meta()
         if not mapping or n >= 65536:
             return False
-        vers = {v for v in mapping.values()}
-        size = sum(self.fs.total_bytes(os.path.join(self.path, v)) for v in vers)
+        # Sum only the bucket directories the pointer references — a
+        # referenced version dir can still hold superseded bucket files
+        # (remapped to newer versions but not yet GC'd); counting them
+        # would trigger premature full-table rehashes.
+        size = sum(self.fs.total_bytes(p) for p in self._bucket_paths(mapping))
         if size / n <= max_bucket_bytes:
             return False
         self.overwrite(self.read(spark), n_buckets=n * 2)

@@ -233,6 +233,29 @@ def test_error_isolation_side_table(app, spark, tmp_state):
     assert _contents(target, spark)["b.md"] == ("HEALED", 6)
     assert app.errors(target).count() == 0
 
+    # vanish while failing: the component disappears from the source —
+    # its stale error row must clear too (a full sync vouches for the
+    # whole prefix)
+    app.sync_table(
+        _source(spark, [("a.md", "good"), ("b.md", "POISON again")]),
+        ["path"], enrich_checked, target, error_col="__error",
+    )
+    assert app.errors(target).count() == 1
+    s6 = app.sync_table(
+        _source(spark, [("a.md", "good")]),
+        ["path"], enrich_checked, target, error_col="__error",
+    )
+    assert s6.deletes == 1  # b.md's old target row swept
+    assert app.errors(target).count() == 0
+
+    # recovery via memo REPLAY (content reverts to a memoized value,
+    # never entering the recompute set) must also clear the error row
+    app.sync_table(src2, ["path"], enrich_checked, target, error_col="__error")
+    assert app.errors(target).count() == 1
+    s7 = app.sync_table(src3, ["path"], enrich_checked, target, error_col="__error")
+    assert s7.memo_misses == 0  # b.md 'healed' replays from memo
+    assert app.errors(target).count() == 0
+
 
 def test_two_level_cheap_fp(app, spark, tmp_state):
     """Two-level change detection (cheap version checked before content
@@ -303,6 +326,42 @@ def test_two_level_cheap_fp(app, spark, tmp_state):
         cheap_fp_cols=["rev"], load=make_load(content3),
     )
     assert s6.inserts == 1 and s6.extra["cheap_hits"] == 2
+
+
+def test_two_level_cheap_fp_inline_content(app, spark, tmp_state):
+    """cheap_fp_cols WITHOUT a load callable: the content columns sit in
+    the source frame itself; the engine derives a pruned listing and
+    joins content back for cheap-miss rows only. Same contract as the
+    load-callable path: warm ⇒ zero loaded, touch ⇒ load but memo-hit,
+    edit ⇒ one recompute."""
+    target = _target(app, tmp_state)
+
+    def src(rows):
+        return spark.createDataFrame(rows, "path STRING, rev LONG, text STRING")
+
+    kw = dict(cheap_fp_cols=["rev"])
+    s1 = app.sync_table(
+        src([("a.md", 1, "alpha"), ("b.md", 1, "beta")]), ["path"], enrich, target, **kw
+    )
+    assert s1.inserts == 2 and s1.extra["loaded"] == 2
+
+    s2 = app.sync_table(
+        src([("a.md", 1, "alpha"), ("b.md", 1, "beta")]), ["path"], enrich, target, **kw
+    )
+    assert s2.extra["loaded"] == 0 and s2.memo_misses == 0 and s2.noops == 2
+
+    # rev touched, content identical: loads one row, memo still hits
+    s3 = app.sync_table(
+        src([("a.md", 2, "alpha"), ("b.md", 1, "beta")]), ["path"], enrich, target, **kw
+    )
+    assert s3.extra["loaded"] == 1 and s3.memo_misses == 0 and s3.noops == 2
+
+    # real edit
+    s4 = app.sync_table(
+        src([("a.md", 3, "ALPHA2"), ("b.md", 1, "beta")]), ["path"], enrich, target, **kw
+    )
+    assert s4.extra["loaded"] == 1 and s4.memo_misses == 1 and s4.updates == 1
+    assert _contents(target, spark)["a.md"] == ("ALPHA2", 6)
 
 
 def test_cheap_fp_converges_after_memo_loss(app, spark, tmp_state):

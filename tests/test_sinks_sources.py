@@ -111,6 +111,24 @@ def test_topic_offsets_deterministic_replay(spark, tmp_state):
         assert len(offs) == len(set(offs)), key
 
 
+def test_topic_counter_seeds_above_legacy_offsets(spark, tmp_state):
+    """Upgrade path: a topic dir written under the old raw-timestamp
+    offset scheme has offsets ~1.7e15; the first produce under the
+    counter scheme must seed past them or last-writer-wins would
+    resolve to the stale pre-upgrade records."""
+    path = os.path.join(tmp_state, "legacy_topic")
+    t = TopicTarget(path)
+    legacy_off = 1_755_000_000_000_000  # microsecond-timestamp era
+    spark.createDataFrame(
+        [(legacy_off, "k1", '{"v":"old"}', False)],
+        "offset LONG, key STRING, value STRING, tombstone BOOLEAN",
+    ).write.mode("append").parquet(path)
+
+    t.produce(spark.createDataFrame([("k1", "new")], "k STRING, v STRING"), "k", "v")
+    state = {r.key: r.value for r in t.read_compacted(spark).collect()}
+    assert "new" in state["k1"]  # the post-upgrade write wins
+
+
 def test_object_store_listing_and_cheap_fp(spark, tmp_path):
     (tmp_path / "a.txt").write_text("hello")
     (tmp_path / "b.md").write_text("world")

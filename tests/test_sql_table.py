@@ -72,6 +72,20 @@ def test_chunking_small_bind_limit(spark, tmp_state):
     assert t.read(spark).count() == 40
 
 
+def test_duplicate_pk_in_one_batch_picks_winner(spark, tmp_state):
+    """Two rows with the same pk in one upsert batch must not crash the
+    multi-row ON CONFLICT statement (PostgreSQL: 'cannot affect row a
+    second time') — one arbitrary winner lands, like the parquet MERGE."""
+    t = _target(tmp_state, name="dup")
+    df = spark.createDataFrame(
+        [("a", "v1", 1), ("a", "v2", 2), ("b", "x", 3)], t.schema
+    )
+    t.upsert(df)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"] in ("v1", "v2")
+
+
 def test_composite_pk_delete(spark, tmp_state):
     t = _target(tmp_state, name="t2", pk=["k", "v"])
     df = spark.createDataFrame(

@@ -60,6 +60,33 @@ def test_version_gc(spark, tmp_state):
     assert _rows(t, spark) == {("a", 7)}
 
 
+def test_hadoop_fs_roundtrip(spark, tmp_state):
+    """The Hadoop-FileSystem metadata backend, driven through the
+    file:// scheme (same JVM API as hdfs/abfss): atomic write + read
+    back (bytes must cross the Py4J boundary), listing, dir checks,
+    sizes, recursive delete."""
+    from cocoindex_spark.state.fs import HadoopFS
+
+    root = os.path.join(tmp_state, "hfs")
+    fs = HadoopFS(f"file://{root}")
+    fs.makedirs(root)
+    assert fs.read_text(os.path.join(root, "missing")) is None
+
+    payload = '{"n_buckets": 8, "buckets": {"0": "v_1"}}'
+    ptr = os.path.join(root, "_CURRENT")
+    fs.write_atomic(ptr, payload)
+    assert fs.read_text(ptr) == payload
+    fs.write_atomic(ptr, payload + " ")  # overwrite path
+    assert fs.read_text(ptr) == payload + " "
+
+    fs.makedirs(os.path.join(root, "v_1"))
+    assert sorted(fs.listdir(root)) == ["_CURRENT", "v_1"]
+    assert fs.isdir(os.path.join(root, "v_1")) and not fs.isdir(ptr)
+    assert fs.total_bytes(root) == len(payload) + 1
+    fs.rmtree(os.path.join(root, "v_1"))
+    assert fs.listdir(root) == ["_CURRENT"]
+
+
 def test_adaptive_bucket_growth(spark, tmp_state):
     """maybe_grow doubles the bucket count once the average referenced
     bucket exceeds the threshold; the count persists in the pointer,
