@@ -399,6 +399,54 @@ def test_cheap_fp_converges_after_memo_loss(app, spark, tmp_state):
     assert s4.extra["loaded"] == 0 and s4.extra["cheap_hits"] == 2
 
 
+def test_cheap_fp_with_error_isolation(app, spark, tmp_state):
+    """Two-level detection + failure isolation together: a failed
+    component's (cheap_fp -> content_fp) map row IS written, but it is
+    never memoized — so an unchanged cheap fp still retries it through
+    the cheap-hit/memo-miss load path until it heals."""
+    target = _target(app, tmp_state)
+
+    @fn(memo=True)
+    def checked(df):
+        err = F.when(F.col("text").contains("POISON"), F.lit("poison"))
+        return df.select(
+            "__args_fp", "__component_path", F.col("path"),
+            F.upper(F.col("text")).alias("text_upper"),
+            F.length(F.col("text")).alias("text_len"),
+            err.alias("__error"),
+        )
+
+    def mk(contents):
+        cdf = spark.createDataFrame(list(contents.items()), "path STRING, text STRING")
+        return lambda df: df.join(cdf, "path", "left")
+
+    listing = spark.createDataFrame([("a.md", 1), ("b.md", 1)], "path STRING, rev LONG")
+    bad = {"a.md": "fine", "b.md": "POISON"}
+    kw = dict(cheap_fp_cols=["rev"], error_col="__error")
+
+    s1 = app.sync_table(listing, ["path"], checked, target, load=mk(bad), **kw)
+    assert s1.inserts == 1 and s1.extra["errors"] == 1
+
+    # unchanged listing: b.md cheap-hits the map but has no memo row,
+    # so it re-loads and retries (and fails again); a.md stays cheap
+    s2 = app.sync_table(listing, ["path"], checked, target, load=mk(bad), **kw)
+    assert s2.extra["cheap_hits"] == 1 and s2.extra["loaded"] == 1
+    assert s2.extra["errors"] == 1 and s2.memo_misses == 1
+
+    # healed content under the SAME rev: the stored content fp was for
+    # the poisoned bytes, so the reload computes a new args_fp, misses
+    # memo, recomputes cleanly, and the error clears
+    good = {"a.md": "fine", "b.md": "healed"}
+    s3 = app.sync_table(listing, ["path"], checked, target, load=mk(good), **kw)
+    assert s3.extra["errors"] == 0 and s3.inserts == 1
+    assert app.errors(target).count() == 0
+    assert _contents(target, spark)["b.md"] == ("HEALED", 6)
+
+    # fully healthy warm run: zero loads, zero recomputes
+    s4 = app.sync_table(listing, ["path"], checked, target, load=mk(good), **kw)
+    assert s4.extra["loaded"] == 0 and s4.memo_misses == 0 and s4.noops == 2
+
+
 def test_identical_duplicate_rows_collapse(app, spark, tmp_state):
     """Two fully-identical source rows (same key AND content) are one
     component: the memo must store exactly one copy of the result, and
