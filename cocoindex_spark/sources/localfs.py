@@ -13,7 +13,6 @@ the reference's two-level memo validation (data_types.mdx:37-39).
 
 from __future__ import annotations
 
-import fnmatch
 import os
 import re
 
