@@ -89,7 +89,20 @@ def connected_components(
         .unionAll(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component_id"))
+    # Only nodes with at least one edge can ever change labels; split
+    # singletons off before the loop so each round shuffles the paired
+    # subgraph, not the full node set (similarity graphs are sparse —
+    # at scale this is most of the per-round volume).
+    all_ids = nodes.select(F.col(id_col).alias("id"))
+    # intersect with the node set: edges referencing unknown ids must
+    # not invent nodes (the old labels started from `nodes` alone)
+    touched = (
+        sym.select(F.col("src").alias("id")).distinct().join(all_ids, "id", "left_semi")
+    )
+    singles = all_ids.join(touched, "id", "left_anti").select(
+        "id", F.col("id").alias("component_id")
+    )
+    labels = touched.select("id", F.col("id").alias("component_id"))
     for _ in range(max_iters):
         nbr = (
             labels.join(sym, labels.id == sym.src)
@@ -124,7 +137,7 @@ def connected_components(
         labels = stepped.select("id", "component_id")
         if stepped.filter(F.col("component_id") != F.col("old_id")).limit(1).count() == 0:
             break
-    return labels
+    return labels.unionByName(singles)
 
 
 _RESOLVE_SCHEMA = StructType(
