@@ -255,8 +255,9 @@ def split_by_separator(
         else:
             chunks.append(_mk_chunk(text, idx, cur_start, cur_end))
             # overlap: reach back up to chunk_overlap chars into the
-            # previous chunk (0 ⇒ start exactly at the new piece)
-            cur_start = max(s - chunk_overlap, cur_start, 0)
+            # previous chunk (0 ⇒ start exactly at the new piece), but
+            # never back TO its start — starts stay strictly increasing
+            cur_start = max(s - chunk_overlap, cur_start + 1, 0)
             cur_end = e
     chunks.append(_mk_chunk(text, idx, cur_start, cur_end))
     return chunks
@@ -331,14 +332,18 @@ def split_recursive(
                 merged.append((s, e))
         spans = merged
     # overlap: each chunk (except the first) starts up to chunk_overlap
-    # chars inside its predecessor, never crossing the predecessor's
-    # start and never growing past chunk_size.
+    # chars inside its predecessor, never growing past chunk_size and
+    # never reaching back TO the predecessor's start (strictly
+    # increasing starts — a chunk that starts where its predecessor
+    # does fully contains it).
     if chunk_overlap > 0 and len(spans) > 1:
         out_spans = [spans[0]]
         for i in range(1, len(spans)):
             s, e = spans[i]
             prev_s = spans[i - 1][0]
-            out_spans.append((max(s - chunk_overlap, prev_s, e - chunk_size, 0), e))
+            out_spans.append(
+                (max(s - chunk_overlap, prev_s + 1, e - chunk_size, 0), e)
+            )
         spans = out_spans
     return [_mk_chunk(text, idx, s, e) for s, e in spans if e > s]
 

@@ -210,10 +210,19 @@ def test_split_recursive_overlap():
     plain = split_recursive(text, chunk_size=70, language="text")
     lapped = split_recursive(text, chunk_size=70, language="text", chunk_overlap=12)
     assert len(plain) == len(lapped) > 1
-    for p, q in zip(plain[1:], lapped[1:]):
-        assert q.start_char == max(p.start_char - 12, p.end_char - 70, 0)
+    for prev, p, q in zip(plain, plain[1:], lapped[1:]):
+        assert q.start_char == max(
+            p.start_char - 12, prev.start_char + 1, p.end_char - 70, 0
+        )
         assert q.end_char == p.end_char
         assert len(q.text) <= 70
+
+    # overlap larger than the gap between tiny spans must never reach
+    # back TO the predecessor's start (fuzz-found: a chunk that starts
+    # where its predecessor does fully contains it)
+    weird = split_recursive("0\n000000 00", chunk_size=8, language="astro", chunk_overlap=2)
+    starts = [c.start_char for c in weird]
+    assert starts == sorted(set(starts)), starts
 
 
 def test_explode_chunks_spark(spark):
