@@ -209,13 +209,18 @@ class StructuralPattern:
             name = gd.get("name")
             if name == "_":  # `\_` / `\(_\)` are anonymous (lexer.rs)
                 name = None
-            items.append(
-                _Meta(
-                    name=name,
-                    card=card,
-                    regex=re.compile(f"^(?:{rx})$") if rx else None,
-                )
-            )
+            if rx is not None:
+                try:
+                    compiled_rx = re.compile(f"^(?:{rx})$")
+                except re.error as e:
+                    # unparseable embedded regex is a client error, like
+                    # the reference's lex/Pattern::compile (lexer.rs)
+                    raise ValueError(
+                        f"bad metavariable regex /{rx}/ at offset {i}: {e}"
+                    ) from e
+            else:
+                compiled_rx = None
+            items.append(_Meta(name=name, card=card, regex=compiled_rx))
             i = m.end()
             plain_start = i
         flush(n)

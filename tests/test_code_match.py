@@ -87,6 +87,12 @@ def test_literal_sigil():
 def test_bad_pattern_raises():
     with pytest.raises(ValueError, match="bad metavariable"):
         StructuralPattern(r"def \(unclosed", "python")
+    # unparseable embedded regex is the same clean client error, not a
+    # raw re.error (fuzz-found)
+    with pytest.raises(ValueError, match="bad metavariable regex"):
+        StructuralPattern(r"\/)/", "python")
+    with pytest.raises(ValueError, match="bad metavariable regex"):
+        StructuralPattern(r"\/+/", "python")
 
 
 def test_code_source_parse_once():
