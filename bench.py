@@ -29,6 +29,7 @@ HEADLINE = [
     "q09_last_wins_per_key",
     "q10_ownership_latest_supplier",
     "q12_selective_scan",
+    "q13_json_props",
     "q20_vector_topk",
     "q22_similarity_join_blocked",
     "q23_lsh_bucket_join",
@@ -39,6 +40,10 @@ HEADLINE = [
     "q32_minhash_lsh_pairs",
     "q33_simhash_pairs",
     "q34_embedding_neardup",
+    "q35_repetition_ngrams",
+    "q36_pii_scrub",
+    "q37_normalized_dedup",
+    "q38_bpe_token_estimate",
     "q40_token_stats",
     "q42_langid_confusion",
     "q43_doc_fingerprint",
@@ -49,6 +54,8 @@ HEADLINE = [
     "q49_definition_views",
     "q50_tumbling_daily",
     "q51_sessionization",
+    "q54_asof_attribution",
+    "q55_range_click_burst",
     "q60_reconcile_actions",
     "q61_memo_miss_join",
     "q62_connected_components",

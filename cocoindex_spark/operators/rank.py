@@ -40,11 +40,16 @@ def global_row_number(
     local = F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by))
     counts = dfp.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # Prefix-sum window over ≤ n_parts rows — trivially single-partition.
+    # The explicit constant partitionBy keeps semantics identical while
+    # silencing WindowExec's "no partition defined" warning (intentional
+    # here: the input is bounded by n_parts).
     offsets = counts.select(
         "__pid",
         F.coalesce(
             F.sum("__cnt").over(
-                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                Window.partitionBy(F.lit(0))
+                .orderBy("__pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ).alias("__off"),

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cocoindex_spark.operators.scrub import normalize_text, sql_normalize
 from cocoindex_spark.operators.text_ops import (
     hex_to_int,
     md5_hex,
@@ -353,5 +354,37 @@ def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_id",
             F.least("a_id", "b_id").alias("canonical_id"),
             "sim",
+        )
+    )
+
+
+# --- q37: normalized dedup (case/whitespace-canonical hash groups —
+#     catches near-identical docs that exact dedup (q30) misses when
+#     they differ only in casing or whitespace; operators/scrub.py)
+@register(
+    "q37_normalized_dedup",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, md5({sql_normalize("text")}) AS norm_key FROM documents
+)
+SELECT norm_key,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MIN(doc_id) AS canonical_doc,
+  CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+FROM n GROUP BY norm_key
+""",
+)
+def q37_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.encode(normalize_text(F.col("text")), "UTF-8")).alias("norm_key"),
+        )
+        .groupBy("norm_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+            (F.count(F.lit(1)) - 1).alias("n_dups"),
         )
     )

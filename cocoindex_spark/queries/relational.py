@@ -340,3 +340,33 @@ def q12_selective_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
         )
     )
+
+
+# --- q13: JSON property extraction + exact integer aggregation
+#     (events.props is a JSON string column — the reference's structured
+#     row decode of connector payloads, e.g. kafka JSON values;
+#     get_json_object runs JVM-side, avg computed as exact-int sum/count)
+@register(
+    "q13_json_props",
+    oracle="""
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q13_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            "sum_k",
+            "n_events",
+            (F.col("sum_k").cast("double") / F.col("n_events")).alias("avg_k"),
+        )
+    )

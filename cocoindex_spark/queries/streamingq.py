@@ -132,3 +132,74 @@ def q53_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("curr_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+# --- q54: as-of join (attribution: for each purchase, the most recent
+#     strictly-earlier click by the same user). Spark side is the
+#     union-and-scan distributed as-of join (operators/asof.py); the
+#     oracle is DuckDB's native ASOF JOIN — two independent
+#     implementations of the same operator.
+@register(
+    "q54_asof_attribution",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.us AS purchase_us,
+       c.event_id AS click_id, c.us AS click_us,
+       p.us - c.us AS lag_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us > c.us
+""",
+)
+def q54_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "us")
+    c = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "us")
+    j = asof_join(p, c, on=["user_id"], left_ts="us", right_ts="us", strict=True)
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("r_us").alias("click_us"),
+        (F.col("us") - F.col("r_us")).alias("lag_us"),
+    )
+
+
+# --- q55: bucketed range join (for each error, clicks by the same user
+#     in the preceding 5 minutes). Spark side probes exactly two
+#     width-sized time buckets per row (pure equi-join, no range
+#     explosion — operators/asof.py:range_count_join); oracle is the
+#     naive range-predicate join.
+@register(
+    "q55_range_click_burst",
+    oracle="""
+WITH err AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, e.us,
+  CAST(COUNT(c.us) AS BIGINT) AS n_recent_clicks
+FROM err e LEFT JOIN c
+  ON c.user_id = e.user_id AND c.us >= e.us - 300000000 AND c.us < e.us
+GROUP BY e.event_id, e.user_id, e.us
+""",
+)
+def q55_range_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.asof import range_count_join
+
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    counted = range_count_join(
+        err, c, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_us=-300_000_000, upper_us=0, count_col="n_recent_clicks",
+    )
+    return counted.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"), "n_recent_clicks"
+    )

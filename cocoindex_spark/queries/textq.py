@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cocoindex_spark.operators.scrub import (
+    pii_counts,
+    redact_pii,
+    sql_pii_count,
+    sql_redact,
+)
 from cocoindex_spark.operators.text_ops import sql_token_hash16, token_hash16
 from cocoindex_spark.queries.registry import register, table
 
@@ -315,3 +321,110 @@ def q45_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_number(withkeys, [F.asc("doc_id")], "ordinal").select(
         "doc_id", "content_key", "stable_uuid", "ordinal"
     )
+
+
+# --- q35: repetition detection (repeated-trigram fraction — the
+#     standard "excessive repetition" quality filter in LLM
+#     training-data pipelines; all JVM array expressions)
+@register(
+    "q35_repetition_ngrams",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), tri AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END AS t
+  FROM toks
+)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_trigrams,
+  CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_trigrams,
+  CASE WHEN len(t) > 0
+       THEN CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+       ELSE 0.0 END AS rep_ratio
+FROM tri
+""",
+)
+def q35_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    n = F.size(w)
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    m = d.select(
+        "doc_id",
+        F.size(tri).cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct(tri)).cast("long").alias("n_unique_trigrams"),
+    )
+    rep = F.when(
+        F.col("n_trigrams") > 0,
+        (F.col("n_trigrams") - F.col("n_unique_trigrams")).cast("double")
+        / F.col("n_trigrams"),
+    ).otherwise(F.lit(0.0))
+    return m.withColumn("rep_ratio", rep)
+
+
+# --- q36: PII scrub (regex redaction — URL/email/phone/IPv4 counts and
+#     the redacted-content hash; operators/scrub.py; patterns restricted
+#     to the Java-regex ∩ RE2 subset so both engines agree byte-for-byte)
+@register(
+    "q36_pii_scrub",
+    oracle=f"""
+SELECT doc_id,
+  {sql_pii_count("url", "text")} AS n_url,
+  {sql_pii_count("email", "text")} AS n_email,
+  {sql_pii_count("phone", "text")} AS n_phone,
+  {sql_pii_count("ipv4", "text")} AS n_ipv4,
+  md5({sql_redact("text")}) AS redacted_md5
+FROM documents
+""",
+)
+def q36_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        counts["url"].alias("n_url"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(F.encode(redact_pii(F.col("text")), "UTF-8")).alias("redacted_md5"),
+    )
+
+
+# --- q38: BPE-ish regex token estimate (task brief: "token counting
+#     (whitespace + a BPE-ish regex)"; whitespace path is q40)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "q38_bpe_token_estimate",
+    oracle=f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+  n_chars,
+  CASE WHEN len(regexp_extract_all(text, '{_BPE_RE}')) > 0
+       THEN CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '{_BPE_RE}'))
+       ELSE 0.0 END AS chars_per_token
+FROM documents
+""",
+)
+def q38_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("long")
+    m = d.select("doc_id", n_bpe.alias("n_bpe_tokens"), "n_chars")
+    cpt = F.when(
+        F.col("n_bpe_tokens") > 0,
+        F.col("n_chars").cast("double") / F.col("n_bpe_tokens"),
+    ).otherwise(F.lit(0.0))
+    return m.withColumn("chars_per_token", cpt)
