@@ -150,59 +150,35 @@ SELECT a AS vec_id, MIN(b) AS component_id FROM reach GROUP BY a
 """,
 )
 def q62_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # localCheckpoint: bucket + sqnorm are computed once, not once per
+    # join side (both `a` and `b` derive from this frame).
     e = (
         table(spark, sf_dir, "embeddings")
         .withColumn("bucket", sign_bucket(F.col("embedding"), 8))
         .withColumn("sqn", sqnorm_fixed(F.col("embedding")))
+        .localCheckpoint(eager=True)
     )
     a = e.select(
-        F.col("vec_id").alias("src"), F.col("bucket").alias("bucket"),
+        F.col("vec_id").alias("a_id"), F.col("bucket").alias("bucket"),
         F.col("embedding").alias("a_emb"), F.col("sqn").alias("a_sqn"),
     )
     b = e.select(
-        F.col("vec_id").alias("dst"), F.col("bucket").alias("b_bucket"),
+        F.col("vec_id").alias("b_id"), F.col("bucket").alias("b_bucket"),
         F.col("embedding").alias("b_emb"), F.col("sqn").alias("b_sqn"),
     )
     sim = cosine_from_fixed(dot_fixed(F.col("a_emb"), F.col("b_emb")), F.col("a_sqn"), F.col("b_sqn"))
     edges = (
-        a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("src") < F.col("dst")))
+        a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("a_id") < F.col("b_id")))
         .filter(sim >= 0.30)
-        .select("src", "dst")
+        .select("a_id", "b_id")
     )
-    # localCheckpoint truncates lineage: the edge join (the expensive
-    # part) is computed exactly once, and each propagation round plans
-    # against materialized partitions instead of a growing DAG.
-    sym = (
-        edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
-    labels = table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id"), F.col("vec_id").alias("component_id")
-    )
-    # Min-label propagation to fixpoint. One job per round: new labels
-    # (old label kept alongside) are checkpointed, and the convergence
-    # check is a cheap filter-count over the materialized partitions.
-    for _ in range(30):
-        neighbor_min = (
-            labels.join(sym, labels.vec_id == sym.src)
-            .groupBy(F.col("dst").alias("vec_id"))
-            .agg(F.min("component_id").alias("nbr_min"))
-        )
-        stepped = (
-            labels.join(neighbor_min, "vec_id", "left")
-            .select(
-                "vec_id",
-                F.col("component_id").alias("old_id"),
-                F.least(
-                    F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
-                ).alias("component_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        labels = stepped.select("vec_id", "component_id")
-        if stepped.filter(F.col("component_id") != F.col("old_id")).limit(1).count() == 0:
-            break
-    return labels
+    # Shared min-label propagation with path halving (O(log d) rounds
+    # on chains) and the singleton split — operators/entity_resolution.
+    from cocoindex_spark.operators.entity_resolution import connected_components
+
+    nodes = table(spark, sf_dir, "embeddings").select("vec_id")
+    labels = connected_components(nodes, edges, id_col="vec_id")
+    return labels.select(F.col("id").alias("vec_id"), "component_id")
 
 
 # --- q63: RRF hybrid rank fusion (semantic rank ⋈ lexical rank on id,

@@ -321,6 +321,8 @@ WHERE CAST({sql_dot_fixed("a.embedding", "b.embedding")} AS DOUBLE)
 def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     e = table(spark, sf_dir, "embeddings")
+    # localCheckpoint: bucket + sqnorm (interpreted higher-order exprs)
+    # are computed once, not once per join side.
     de = (
         d.join(e, d["doc_id"] == e["vec_id"])
         .select(
@@ -329,6 +331,7 @@ def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding"),
             sqnorm_fixed(F.col("embedding")).alias("sqn"),
         )
+        .localCheckpoint(eager=True)
     )
     a = de.select(
         F.col("doc_id").alias("a_id"),

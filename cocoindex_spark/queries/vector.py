@@ -155,10 +155,13 @@ WHERE CAST({sql_dot_fixed("a.embedding", "b.embedding")} AS DOUBLE)
 """,
 )
 def q23_lsh_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # localCheckpoint: bucket + sqnorm (interpreted higher-order exprs)
+    # are computed once, not once per join side.
     e = (
         table(spark, sf_dir, "embeddings")
         .withColumn("bucket", sign_bucket(F.col("embedding"), 8))
         .withColumn("sqn", sqnorm_fixed(F.col("embedding")))
+        .localCheckpoint(eager=True)
     )
     a = e.select(
         F.col("vec_id").alias("a_id"),
