@@ -29,20 +29,36 @@ def sql_words(text: str) -> str:
     return f"string_split(trim({text}), ' ')"
 
 
-def shingles_expr(text_col: str, k: int = 3) -> Column:
-    """Distinct word k-grams as an array column (empty if < k words).
+def kgrams(w: Column, k: int) -> Column:
+    """Sliding word k-grams (space-joined) over a token-array column.
 
-    Built entirely from built-in array functions (split/transform/
-    element_at) so shingling stays inside whole-stage codegen.
+    Built as a ``zip_with`` chain against shifted slices of the array —
+    one linear pass per shift, O(k·n) total. The tempting alternative,
+    ``transform(sequence(1, n-k+1), i -> element_at(w, i)...)``, embeds
+    the *defining expression* of ``w`` into the lambda body, so an
+    upstream ``split(text)`` is re-evaluated per element → O(k·n²) per
+    row (measured 8× slower at 100-token docs). ``zip_with`` references
+    ``w`` only in argument position, which is evaluated once per row.
+
+    Tail positions (start > n-k+1) zip against nulls — ``concat_ws``
+    drops them, producing short grams — and are sliced away.
     """
-    expr = (
-        f"CASE WHEN size(split(trim({text_col}), ' ')) >= {k} THEN "
-        f"array_distinct(transform(sequence(1, size(split(trim({text_col}), ' ')) - {k - 1}), "
-        f"i -> concat_ws(' ', "
-        + ", ".join(f"element_at(split(trim({text_col}), ' '), i + {j})" for j in range(k))
-        + "))) ELSE array() END"
+    n = F.size(w)
+    out = w
+    for j in range(1, k):
+        out = F.zip_with(
+            out,
+            F.slice(w, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    return F.when(n >= k, F.slice(out, 1, F.greatest(n - (k - 1), F.lit(0)))).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRING>)")
     )
-    return F.expr(expr)
+
+
+def shingles_expr(text_col: str, k: int = 3) -> Column:
+    """Distinct word k-grams as an array column (empty if < k words)."""
+    return F.array_distinct(kgrams(words(F.col(text_col)), k))
 
 
 def sql_shingle_table(doc_table: str, id_col: str, text_col: str, k: int = 3) -> str:

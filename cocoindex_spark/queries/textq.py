@@ -349,18 +349,10 @@ FROM tri
 """,
 )
 def q35_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.text_ops import kgrams
+
     d = table(spark, sf_dir, "documents")
-    w = F.split(F.trim(F.col("text")), " ")
-    n = F.size(w)
-    tri = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
-            ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    tri = kgrams(F.split(F.trim(F.col("text")), " "), 3)
     m = d.select(
         "doc_id",
         F.size(tri).cast("long").alias("n_trigrams"),
