@@ -103,6 +103,47 @@ CHECKS = {
         [r"ArrowEvalPython", r"Generate"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    "q13_json_props": (
+        # JVM-side JSON extraction + partial agg, no Python UDF
+        [r"HashAggregate"],
+        [r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q35_repetition_ngrams": (
+        # per-row array pipeline: scan → project, shuffle-free, no Python
+        [],
+        [r"Exchange", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q36_pii_scrub": (
+        [],
+        [r"Exchange", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q38_bpe_token_estimate": (
+        [],
+        [r"Exchange", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q37_normalized_dedup": (
+        [r"HashAggregate"],
+        [r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q54_asof_attribution": (
+        # union-and-scan as-of join: ONE keyed window (partitioned by
+        # user), never a global unpartitioned window or a range join
+        [r"Window", r"hashpartitioning\(user_id"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q55_range_click_burst": (
+        # bucketed range join: pure equi-join on (user, bucket) — the
+        # naive range predicate would show up as a nested-loop join
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q28_pq_topk": (
+        # compressed-domain scoring: lookup equi-joins (codes × distance
+        # table); the only nested-loop is the broadcast of the 1-row
+        # query vector in the exact re-rank
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [r"CartesianProduct"],
+    ),
 }
 
 
