@@ -33,6 +33,7 @@ HEADLINE = [
     "q10_ownership_latest_supplier",
     "q12_selective_scan",
     "q13_json_props",
+    "q14_rollup_revenue",
     "q20_vector_topk",
     "q22_similarity_join_blocked",
     "q23_lsh_bucket_join",
@@ -129,8 +130,27 @@ def bench_incremental(spark, sf_dir: str, timings: dict) -> None:
         assert edit.memo_misses == 1, "incremental contract: one edit ⇒ one recompute"
         assert cold.memo_misses > 0
 
+        # shape phase (BASELINE "add/rename file"): one brand-new doc +
+        # one renamed key. A rename is a new component path, so it must
+        # recompute (the reference reprocesses the renamed file) and the
+        # old path must cascade-delete — blast radius exactly 2 + 1.
+        shaped = edited.withColumn(
+            "doc_id",
+            F.when(F.col("doc_id") == 1, F.lit(9_000_001)).otherwise(F.col("doc_id")),
+        ).unionByName(
+            spark.createDataFrame(
+                [(9_000_002, "a brand new document added in the shape phase")],
+                "doc_id LONG, text STRING",
+            )
+        )
+        t0 = _time.perf_counter()
+        shape = app.sync_table(shaped, ["doc_id"], doc_stats, target)
+        timings["pipe_shape"] = round(_time.perf_counter() - t0, 3)
+        assert shape.memo_misses == 2, "shape: rename + add ⇒ exactly 2 recomputes"
+        assert shape.deletes == 1, "shape: the renamed key's old path cascades"
+
         # delete phase: drop half the corpus, cascade removes targets
-        half = edited.filter(F.col("doc_id") % 2 == 0)
+        half = shaped.filter(F.col("doc_id") % 2 == 0)
         t0 = _time.perf_counter()
         dele = app.sync_table(half, ["doc_id"], doc_stats, target)
         timings["pipe_delete"] = round(_time.perf_counter() - t0, 3)

@@ -158,61 +158,85 @@ def connected_components(
         return all_ids.join(F.broadcast(map_df), "id", "left").select(
             "id", F.coalesce(F.col("__comp"), F.col("id")).alias("component_id")
         )
-    # Only nodes with at least one edge can ever change labels; split
-    # singletons off before the loop so each round shuffles the paired
-    # subgraph, not the full node set (similarity graphs are sparse —
-    # at scale this is most of the per-round volume).
+    # Distributed path: alternating large-star/small-star contraction
+    # (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    # — O(log n) rounds regardless of component diameter, vs O(diameter)
+    # for plain label propagation. Each round is one groupBy (min
+    # neighbor) + one projection of the edge list; only the paired
+    # subgraph participates (singletons never enter the edge list).
     # intersect with the node set: edges referencing unknown ids must
-    # not invent nodes (the old labels started from `nodes` alone)
+    # not invent nodes.
     touched = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .join(all_ids, "id", "left_semi")
-        .localCheckpoint(eager=True)  # reused every round + by `singles`
+        .localCheckpoint(eager=True)
     )
     singles = all_ids.join(touched, "id", "left_anti").select(
         "id", F.col("id").alias("component_id")
     )
-    labels = touched.select("id", F.col("id").alias("component_id"))
-    for _ in range(max_iters):
-        nbr = (
-            labels.join(sym, labels.id == sym.src)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component_id").alias("nbr_min"))
-        )
-        stepped = labels.join(nbr, "id", "left").select(
-            "id",
-            F.col("component_id").alias("old_id"),
-            F.least(
-                F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
-            ).alias("component_id"),
-        )
-        # Pointer jumping (path halving): replace each label by its
-        # label's label in the same round — O(log d) rounds on chains
-        # instead of O(d); one extra self-join whose left side
-        # (distinct labels) is far smaller than the node set.
-        lab_of = stepped.select(
-            F.col("id").alias("component_id"), F.col("component_id").alias("jump")
-        )
-        # Lazy checkpoint + full-filter count = ONE job per round: the
-        # convergence count materializes every checkpoint partition in
-        # the same job (no limit() — a short-circuited action would
-        # leave partitions unmaterialized behind a truncated lineage).
-        stepped = (
-            stepped.join(lab_of, "component_id", "left")
-            .select(
-                "id",
-                "old_id",
-                F.least(
-                    F.col("component_id"), F.coalesce(F.col("jump"), F.col("component_id"))
-                ).alias("component_id"),
+    star_labels = _star_contract(sym, max_iters)
+    # Restrict to known nodes (star edges may reference dropped ids).
+    labels = touched.join(star_labels, "id", "left").select(
+        "id", F.coalesce(F.col("component_id"), F.col("id")).alias("component_id")
+    )
+    return labels.unionByName(singles)
+
+
+def _star_contract(sym: DataFrame, max_iters: int) -> DataFrame:
+    """(id, component_id=min member) for every endpoint in ``sym``
+    (symmetric (src,dst) edge frame), via alternating star contraction.
+
+    large-star (even rounds): each node u with neighborhood N(u) links
+    every *larger* neighbor directly to m = min(N(u) ∪ {u}). small-star
+    (odd rounds): links every ≤-neighbor and u itself to m. Alternating
+    the two converges to a star forest — every node directly attached
+    to its component's minimum — in O(log n) rounds. Convergence is
+    detected by the canonical edge set's (count, hash-sum) signature
+    being stable across a full large+small pair; both quantities come
+    out of the same job that materializes the round's lazy checkpoint.
+    """
+    edges = (
+        sym.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sigs: list[tuple] = []
+    for i in range(max_iters):
+        sym2 = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nb = sym2.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        joined = sym2.join(nb, "u").withColumn("m", m)
+        if i % 2 == 0:  # large-star
+            new_pairs = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
             )
+        else:  # small-star
+            new_pairs = joined.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            ).unionAll(nb.select(F.col("u").alias("a"), F.least("u", "mn").alias("b")))
+        edges = (
+            new_pairs.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
             .localCheckpoint(eager=False)
         )
-        labels = stepped.select("id", "component_id")
-        if stepped.filter(F.col("component_id") != F.col("old_id")).count() == 0:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sigs.append((row["n"], row["h"]))
+        # stable through one full large+small pair ⇒ fixpoint
+        if len(sigs) >= 3 and sigs[-1] == sigs[-2] == sigs[-3]:
             break
-    return labels.unionByName(singles)
+    # Star forest: each edge is (component_min, member).
+    return (
+        edges.select(F.col("v").alias("id"), F.col("u").alias("component_id"))
+        .unionByName(edges.select(F.col("u").alias("id"), F.col("u").alias("component_id")))
+        .groupBy("id")
+        .agg(F.min("component_id").alias("component_id"))
+    )
 
 
 _RESOLVE_SCHEMA = StructType(

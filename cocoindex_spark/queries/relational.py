@@ -370,3 +370,51 @@ def q13_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_k").cast("double") / F.col("n_events")).alias("avg_k"),
         )
     )
+
+
+# --- q14: ROLLUP aggregation (multi-grain stats in one pass — the
+#     reference's stats_group rollups across nesting levels, computed
+#     with Spark's native rollup operator; grouping levels are tagged
+#     with GROUPING() flags so NULL group values stay unambiguous)
+@register(
+    "q14_rollup_revenue",
+    oracle="""
+SELECT
+  COALESCE(n_name, '<ALL>') AS nation,
+  COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), -1) AS order_year,
+  CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+  CAST(GROUPING(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS g_year,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, EXTRACT(year FROM o_orderdate))
+""",
+)
+def q14_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").cast("long").alias("yr"), "o_totalprice")
+    )
+    return (
+        joined.rollup("n_name", "yr")
+        .agg(
+            F.grouping("n_name").cast("long").alias("g_nation"),
+            F.grouping("yr").cast("long").alias("g_year"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("<ALL>")).alias("nation"),
+            F.coalesce("yr", F.lit(-1)).alias("order_year"),
+            "g_nation",
+            "g_year",
+            "revenue",
+            "n_orders",
+        )
+    )
