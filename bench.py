@@ -34,6 +34,7 @@ HEADLINE = [
     "q12_selective_scan",
     "q13_json_props",
     "q14_rollup_revenue",
+    "q15_top_supplier",
     "q20_vector_topk",
     "q22_similarity_join_blocked",
     "q23_lsh_bucket_join",

@@ -128,3 +128,57 @@ def sql_sign_bucket(a: str, n_bits: int) -> str:
         f"(CASE WHEN {proj(j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits)
     )
     return f"({terms})"
+
+
+# --- Arrow-vectorized spellings (bit-identical to the expressions) -----
+#
+# The zip_with/aggregate expressions above are CodegenFallback in Spark
+# (higher-order functions interpret their lambda per element). That is
+# fine where the expression runs once per row (bucket, sqnorm), but the
+# pair-verify stages run one dot per CANDIDATE — at 100 TB that is the
+# hot path. These pandas_udf variants compute the identical fixed-point
+# integers with numpy (float64 product of two float32s is exact, the
+# 2^40 multiply never rounds, floor→int64 matches the JVM), verified
+# bit-equal in tests; Arrow batching amortizes the Python hop.
+
+
+def dot_fixed_arrow(a, b):
+    """Drop-in for ``dot_fixed`` on wide candidate sets (pandas UDF)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    def _dot(x, y):
+        X = np.stack(x.to_numpy()).astype(np.float64)
+        Y = np.stack(y.to_numpy()).astype(np.float64)
+        return pd.Series(np.floor(X * Y * FIXED_SCALE).astype(np.int64).sum(axis=1))
+
+    # real (non-string) annotations: this module uses `from __future__
+    # import annotations`, which would turn inline hints into strings
+    # pyspark's eval-type inference cannot resolve here
+    _dot.__annotations__ = {"x": pd.Series, "y": pd.Series, "return": pd.Series}
+    return pandas_udf(LongType())(_dot)(a, b)
+
+
+def sign_bucket_arrow(a, n_bits: int):
+    """Drop-in for ``sign_bucket`` (pandas UDF; one matmul per batch)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    def _bucket(col):
+        X = np.stack(col.to_numpy())
+        Q = np.floor(X.astype(np.float64) * FIXED_SCALE).astype(np.int64)
+        i = np.arange(X.shape[1], dtype=np.int64)[:, None]
+        j = np.arange(n_bits, dtype=np.int64)[None, :]
+        signs = np.where((((i * _MIX_A + j * _MIX_B) >> 16) & 1) == 0, 1, -1).astype(
+            np.int64
+        )
+        proj = Q @ signs
+        bits = (proj >= 0).astype(np.int64) << np.arange(n_bits, dtype=np.int64)[None, :]
+        return pd.Series(bits.sum(axis=1))
+
+    _bucket.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(LongType())(_bucket)(a)

@@ -418,3 +418,40 @@ def q14_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# --- q15: top supplier(s) by revenue (max-of-aggregate: an aggregate
+#     joined against its own maximum — TPC-H Q15 shape; ties kept, so
+#     no arbitrary-winner nondeterminism)
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.round(F.sum(disc), 4).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(rev, s.s_suppkey == rev.suppkey)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

@@ -54,3 +54,37 @@ def test_sign_bucket_and_dot_parity(spark, tmp_path):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_arrow_vector_ops_bit_equal_to_expressions(spark):
+    """The Arrow (numpy) spellings of the fixed-point dot and sign-LSH
+    bucket must be bit-identical to the JVM expression spellings on
+    random float32 vectors — same guarantee the DuckDB oracle relies
+    on, so either path can serve the pair-verify hot stage."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from cocoindex_spark.operators.vector_ops import (
+        dot_fixed,
+        dot_fixed_arrow,
+        sign_bucket,
+        sign_bucket_arrow,
+    )
+
+    rng = random.Random(42)
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    rows = [
+        (i, [f32(rng.gauss(0, 1)) for _ in range(64)], [f32(rng.gauss(0, 1)) for _ in range(64)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "i INT, a ARRAY<FLOAT>, b ARRAY<FLOAT>")
+    bad = df.select(
+        (dot_fixed(F.col("a"), F.col("b")) == dot_fixed_arrow(F.col("a"), F.col("b"))).alias("d_eq"),
+        (sign_bucket(F.col("a"), 8) == sign_bucket_arrow(F.col("a"), 8)).alias("b_eq"),
+    ).filter(~F.col("d_eq") | ~F.col("b_eq")).count()
+    assert bad == 0
