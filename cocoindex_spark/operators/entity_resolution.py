@@ -9,8 +9,8 @@ Spark-first pipeline (SURVEY.md §2.6):
 1. Candidate pairs: cosine-threshold similarity join, blocked by
    sign-LSH bucket (equi-join; a 100 TB corpus shuffles on bucket id
    rather than cross-joining).
-2. Connected components: iterative min-label propagation (small
-   diameters) — swap for star-contraction at extreme scale.
+2. Connected components: driver union-find on the verified pair list
+   under an edge cap; alternating star contraction above it.
 3. Greedy merge per component with ``applyInPandas`` (components are
    small by construction); PINNED entities (existing canonicals) seed
    pass 1, the rest resolve in pass 2, deterministic sorted order
@@ -32,9 +32,8 @@ from pyspark.sql.types import (
 
 from cocoindex_spark.operators.vector_ops import (
     cosine_from_fixed,
-    dot_fixed,
-    sign_bucket,
-    sqnorm_fixed,
+    dot_fixed_arrow,
+    sign_bucket_arrow,
 )
 
 
@@ -50,12 +49,13 @@ def candidate_pairs(
     bucket_bits=0 ⇒ exact (all-pairs within the driver-chosen blocking);
     >0 ⇒ sign-LSH bucket equi-join (the scale path).
     """
-    e = entities.withColumn("__sqn", sqnorm_fixed(F.col(vec_col)))
+    e = entities.withColumn(
+        "__sqn", dot_fixed_arrow(F.col(vec_col), F.col(vec_col))
+    )
     if bucket_bits > 0:
-        e = e.withColumn("__bucket", sign_bucket(F.col(vec_col), bucket_bits))
+        e = e.withColumn("__bucket", sign_bucket_arrow(F.col(vec_col), bucket_bits))
     # Both join sides derive from `e`; materialize once so the sqnorm
-    # and bucket projections (interpreted higher-order exprs — the
-    # expensive part of candidate generation) are not computed twice.
+    # and bucket projections are not computed twice.
     e = e.localCheckpoint(eager=True)
     a = e.select(
         F.col(id_col).alias("a_id"),
@@ -75,7 +75,7 @@ def candidate_pairs(
     else:
         joined = a.join(b, cond)
     sim = cosine_from_fixed(
-        dot_fixed(F.col("__a_vec"), F.col("__b_vec")), F.col("__a_sqn"), F.col("__b_sqn")
+        dot_fixed_arrow(F.col("__a_vec"), F.col("__b_vec")), F.col("__a_sqn"), F.col("__b_sqn")
     )
     return joined.withColumn("sim", sim).filter(F.col("sim") >= threshold).select(
         "a_id", "b_id", "sim"
@@ -107,9 +107,9 @@ def connected_components(
       graph that fits in one task. The cap bounds driver memory; the
       mapping returns as a broadcast join against the (distributed)
       node set, so the corpus itself never moves.
-    - **Above the cap**: distributed min-label propagation with path
-      halving over only the paired subgraph (singletons split off),
-      one job per round.
+    - **Above the cap**: alternating large/small-star contraction over
+      only the paired subgraph (singletons split off) — O(log n)
+      rounds regardless of component diameter.
     """
     # localCheckpoint: materialize the (expensive) edge list once and
     # truncate lineage each round — one job per round, not two.

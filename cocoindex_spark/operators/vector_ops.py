@@ -3,10 +3,14 @@ similarity join; reference: entity_resolution/__init__.py:200-262 FAISS
 inner-product search, examples/text_embedding/main.py:149-156 pgvector
 cosine top-k).
 
-Spark-first: similarity is computed with built-in higher-order array
-functions (``zip_with`` + ``aggregate``) — JVM-side, no Python UDF in
-the hot path — so the cross/blocked join plans stay inside whole-stage
-codegen.
+Two bit-identical spellings of every primitive: JVM higher-order array
+expressions (``zip_with`` + ``aggregate``; self-contained plans, no
+Python) and Arrow/numpy pandas UDFs (``*_arrow``). Spark interprets
+higher-order lambdas per element (CodegenFallback), so stages that run
+one dot per *candidate pair* use the Arrow spelling (~3× on measured
+pair joins); per-row projections and oracle examples keep the
+expression spelling. Equality of the two is pinned by test on random
+vectors (tests/test_cross_engine.py).
 
 Cross-engine determinism: float reductions are order-sensitive, so we
 quantize per-term products to fixed-point BIGINTs (scale 2^40; the

@@ -18,7 +18,8 @@ from pyspark.sql.window import Window
 from cocoindex_spark.operators.vector_ops import (
     cosine_from_fixed,
     dot_fixed,
-    sign_bucket,
+    dot_fixed_arrow,
+    sign_bucket_arrow,
     sqnorm_fixed,
     sql_dot_fixed,
     sql_sign_bucket,
@@ -154,8 +155,8 @@ def q62_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join side (both `a` and `b` derive from this frame).
     e = (
         table(spark, sf_dir, "embeddings")
-        .withColumn("bucket", sign_bucket(F.col("embedding"), 8))
-        .withColumn("sqn", sqnorm_fixed(F.col("embedding")))
+        .withColumn("bucket", sign_bucket_arrow(F.col("embedding"), 8))
+        .withColumn("sqn", dot_fixed_arrow(F.col("embedding"), F.col("embedding")))
         .localCheckpoint(eager=True)
     )
     a = e.select(
@@ -166,7 +167,9 @@ def q62_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("b_id"), F.col("bucket").alias("b_bucket"),
         F.col("embedding").alias("b_emb"), F.col("sqn").alias("b_sqn"),
     )
-    sim = cosine_from_fixed(dot_fixed(F.col("a_emb"), F.col("b_emb")), F.col("a_sqn"), F.col("b_sqn"))
+    sim = cosine_from_fixed(
+        dot_fixed_arrow(F.col("a_emb"), F.col("b_emb")), F.col("a_sqn"), F.col("b_sqn")
+    )
     edges = (
         a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("a_id") < F.col("b_id")))
         .filter(sim >= 0.30)

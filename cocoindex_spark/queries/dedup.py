@@ -290,8 +290,8 @@ def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (bucket, id) — no driver-side state, no O(n²) stage.
 from cocoindex_spark.operators.vector_ops import (  # noqa: E402
     cosine_from_fixed,
-    dot_fixed,
-    sign_bucket,
+    dot_fixed_arrow,
+    sign_bucket_arrow,
     sql_dot_fixed,
     sql_sign_bucket,
     sqnorm_fixed,
@@ -327,9 +327,9 @@ def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(e, d["doc_id"] == e["vec_id"])
         .select(
             "doc_id",
-            sign_bucket(F.col("embedding"), 8).alias("bucket"),
+            sign_bucket_arrow(F.col("embedding"), 8).alias("bucket"),
             F.col("embedding"),
-            sqnorm_fixed(F.col("embedding")).alias("sqn"),
+            dot_fixed_arrow(F.col("embedding"), F.col("embedding")).alias("sqn"),
         )
         .localCheckpoint(eager=True)
     )
@@ -346,7 +346,7 @@ def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sqn").alias("b_sqn"),
     )
     sim = cosine_from_fixed(
-        dot_fixed(F.col("a_emb"), F.col("b_emb")), F.col("a_sqn"), F.col("b_sqn")
+        dot_fixed_arrow(F.col("a_emb"), F.col("b_emb")), F.col("a_sqn"), F.col("b_sqn")
     )
     return (
         a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("a_id") < F.col("b_id")))

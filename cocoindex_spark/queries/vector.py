@@ -17,7 +17,8 @@ from cocoindex_spark.operators.vector_ops import (
     cosine_fixed,
     cosine_from_fixed,
     dot_fixed,
-    sign_bucket,
+    dot_fixed_arrow,
+    sign_bucket_arrow,
     sqnorm_fixed,
     sql_cosine_fixed,
     sql_dot_fixed,
@@ -106,9 +107,12 @@ WHERE CAST({sql_dot_fixed("a.embedding", "b.embedding")} AS DOUBLE)
 """,
 )
 def q22_similarity_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow spelling on the pair stage: one fixed-point dot per
+    # CANDIDATE pair is the hot path; the numpy batch is ~3x the
+    # interpreted higher-order expression, bit-identical (tested).
     e = table(spark, sf_dir, "embeddings").withColumn(
-        "sqn", sqnorm_fixed(F.col("embedding"))
-    )
+        "sqn", dot_fixed_arrow(F.col("embedding"), F.col("embedding"))
+    ).localCheckpoint(eager=True)
     a = e.select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("label"),
@@ -122,7 +126,7 @@ def q22_similarity_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sqn").alias("b_sqn"),
     )
     sim = cosine_from_fixed(
-        dot_fixed(F.col("a_emb"), F.col("b_emb")), F.col("a_sqn"), F.col("b_sqn")
+        dot_fixed_arrow(F.col("a_emb"), F.col("b_emb")), F.col("a_sqn"), F.col("b_sqn")
     )
     return (
         a.join(b, (F.col("label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")))
@@ -155,12 +159,13 @@ WHERE CAST({sql_dot_fixed("a.embedding", "b.embedding")} AS DOUBLE)
 """,
 )
 def q23_lsh_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # localCheckpoint: bucket + sqnorm (interpreted higher-order exprs)
-    # are computed once, not once per join side.
+    # localCheckpoint: bucket + sqnorm are computed once, not once per
+    # join side; Arrow spellings (bit-equal to the expressions) since
+    # this is the per-candidate hot path.
     e = (
         table(spark, sf_dir, "embeddings")
-        .withColumn("bucket", sign_bucket(F.col("embedding"), 8))
-        .withColumn("sqn", sqnorm_fixed(F.col("embedding")))
+        .withColumn("bucket", sign_bucket_arrow(F.col("embedding"), 8))
+        .withColumn("sqn", dot_fixed_arrow(F.col("embedding"), F.col("embedding")))
         .localCheckpoint(eager=True)
     )
     a = e.select(
@@ -176,7 +181,7 @@ def q23_lsh_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sqn").alias("b_sqn"),
     )
     sim = cosine_from_fixed(
-        dot_fixed(F.col("a_emb"), F.col("b_emb")), F.col("a_sqn"), F.col("b_sqn")
+        dot_fixed_arrow(F.col("a_emb"), F.col("b_emb")), F.col("a_sqn"), F.col("b_sqn")
     )
     return (
         a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("a_id") < F.col("b_id")))
