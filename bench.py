@@ -50,6 +50,7 @@ HEADLINE = [
     "q36_pii_scrub",
     "q37_normalized_dedup",
     "q38_bpe_token_estimate",
+    "q39_filter_pipeline",
     "q40_token_stats",
     "q42_langid_confusion",
     "q43_doc_fingerprint",
@@ -62,6 +63,9 @@ HEADLINE = [
     "q51_sessionization",
     "q54_asof_attribution",
     "q55_range_click_burst",
+    "q57_source_quantiles",
+    "q58_deterministic_sample",
+    "q59_split_assignment",
     "q60_reconcile_actions",
     "q61_memo_miss_join",
     "q62_connected_components",

@@ -1,0 +1,192 @@
+"""Corpus-curation pipeline operators over `documents` (task brief's
+training-data extensions): the composite keep/drop filter verdict,
+per-source exact quantiles, deterministic hash sampling, and
+train/val/test split assignment.
+
+Everything is integer/ratio arithmetic or md5-derived bucketing, so
+the DuckDB oracle is value-identical; sampling/splits hash a salted
+doc key (never rand() — re-runs and both engines agree row-for-row,
+the same stable-id policy as q45).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cocoindex_spark.operators.text_ops import hex_to_int, kgrams, md5_hex, sql_hex_to_int
+from cocoindex_spark.queries.registry import register, table
+
+MIN_TOKENS = 20
+MIN_UNIQ = 0.3
+MAX_REP = 0.2
+
+
+# --- q39: the end-to-end curation filter — the composite verdict a
+#     training-data pipeline actually applies (length gate → lexical
+#     uniqueness → trigram repetition → language), with the FIRST
+#     failing rule as the drop reason.
+@register(
+    "q39_filter_pipeline",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+), tri AS (
+  SELECT doc_id, lang, len(w) AS n_tokens,
+    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio,
+    CASE WHEN len(w) >= 3 THEN
+      CAST(len(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         - len(list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+         AS DOUBLE)
+        / len(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+    ELSE 0.0 END AS rep_ratio
+  FROM toks
+)
+SELECT doc_id, n_tokens, uniq_ratio, rep_ratio, lang,
+  CASE
+    WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+    WHEN uniq_ratio < {MIN_UNIQ} THEN 'low_uniqueness'
+    WHEN rep_ratio > {MAX_REP} THEN 'repetitive'
+    WHEN lang <> 'en' THEN 'non_english'
+    ELSE 'ok'
+  END AS reason,
+  (n_tokens >= {MIN_TOKENS} AND uniq_ratio >= {MIN_UNIQ}
+   AND rep_ratio <= {MAX_REP} AND lang = 'en') AS keep
+FROM tri
+""",
+)
+def q39_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    tri = kgrams(w, 3)
+    n = F.size(w)
+    n_tri = F.size(tri)
+    m = d.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct(w)).cast("double") / n).alias("uniq_ratio"),
+        F.when(
+            n_tri > 0,
+            (n_tri - F.size(F.array_distinct(tri))).cast("double") / n_tri,
+        )
+        .otherwise(0.0)
+        .alias("rep_ratio"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, "too_short")
+        .when(F.col("uniq_ratio") < MIN_UNIQ, "low_uniqueness")
+        .when(F.col("rep_ratio") > MAX_REP, "repetitive")
+        .when(F.col("lang") != "en", "non_english")
+        .otherwise("ok")
+    )
+    keep = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("uniq_ratio") >= MIN_UNIQ)
+        & (F.col("rep_ratio") <= MAX_REP)
+        & (F.col("lang") == "en")
+    )
+    return m.select(
+        "doc_id", "n_tokens", "uniq_ratio", "rep_ratio", "lang",
+        reason.alias("reason"), keep.alias("keep"),
+    )
+
+
+# --- q57: per-source exact discrete quantiles (p50/p95 token counts)
+#     via rank-pick — engine-interpolation-free, so both engines agree
+#     bit-for-bit (percentile_cont interpolation rules differ between
+#     engines; a rank pick does not).
+@register(
+    "q57_source_quantiles",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT source, n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM t
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+  MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN n_tokens END) AS p50_tokens,
+  MAX(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT) THEN n_tokens END) AS p95_tokens
+FROM r GROUP BY source
+""",
+)
+def q57_source_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens")
+    )
+    win = Window.partitionBy("source")
+    r = t.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(win.orderBy("n_tokens", "doc_id")).alias("rk"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rk") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("n_tokens"))
+    )
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        pick(0.5).alias("p50_tokens"),
+        pick(0.95).alias("p95_tokens"),
+    )
+
+
+_SAMPLE_PCT = 10
+_HASH_EXPR = "md5('sample:' || CAST(doc_id AS VARCHAR))"
+
+
+# --- q58: deterministic corpus sampling — hash-bucket of a salted
+#     stable key, never rand(): the sample is reproducible across runs,
+#     engines, and partitionings (the reference's stable-id discipline,
+#     resources/id.py, applied to sampling).
+@register(
+    "q58_deterministic_sample",
+    oracle=f"""
+SELECT doc_id, {sql_hex_to_int(_HASH_EXPR, 8)} % 100 AS bucket
+FROM documents
+WHERE {sql_hex_to_int(_HASH_EXPR, 8)} % 100 < {_SAMPLE_PCT}
+""",
+)
+def q58_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    key = md5_hex(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    bucket = hex_to_int(key, 8) % 100
+    return (
+        d.select("doc_id", bucket.alias("bucket"))
+        .filter(F.col("bucket") < _SAMPLE_PCT)
+    )
+
+
+_SPLIT_EXPR = "md5('split:' || CAST(doc_id AS VARCHAR))"
+
+
+# --- q59: train/val/test split assignment (80/10/10) by the same
+#     salted-hash discipline, aggregated per (split, lang) so class
+#     balance is visible.
+@register(
+    "q59_split_assignment",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang, {sql_hex_to_int(_SPLIT_EXPR, 8)} % 100 AS b FROM documents
+)
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM s GROUP BY 1, 2
+""",
+)
+def q59_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    key = md5_hex(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    b = hex_to_int(key, 8) % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return d.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
