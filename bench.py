@@ -76,6 +76,7 @@ HEADLINE = [
     "q70_multimodal_decode",
     "q72_multimodal_frames",
     "q73_transcribe",
+    "q74_frame_near_dup",
 ]
 
 

@@ -115,3 +115,53 @@ def q73_transcribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcribe_column(d, "audio", transcribe_fn=_fake_transcribe).select(
         "doc_id", "transcript"
     )
+
+
+# --- q74: cross-video frame near-dup (perceptual-hash-style dedup of
+#     a video corpus): each sampled frame gets a 16-bit signature, the
+#     top 8 bits are the blocking bucket (equi-join — pigeonhole: any
+#     pair within hamming ≤ 2 on the low byte shares the high byte
+#     exactly when the differing bits fall low, which is the candidate
+#     class this blocks on), and candidates verify by exact popcount of
+#     the XOR. Production swaps the md5-derived signature for a real
+#     pHash over decoded pixels; join shape and verify are identical.
+from cocoindex_spark.operators.text_ops import hex_to_int, sql_hex_to_int  # noqa: E402
+
+
+@register(
+    "q74_frame_near_dup",
+    oracle=f"""
+WITH frames AS ({sql_sample_frames(_DECODED, _EVERY_K)}),
+sig AS (
+  SELECT doc_id, frame_idx,
+         {sql_hex_to_int("frame_md5", 4)} AS s,
+         {sql_hex_to_int("frame_md5", 4)} // 256 AS bucket
+  FROM frames
+)
+SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_similar_frames
+FROM sig a JOIN sig b
+  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 2
+GROUP BY a.doc_id, b.doc_id
+""",
+)
+def q74_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = sample_frames(d, "doc_id", "payload", every_k=_EVERY_K)
+    sig = frames.select(
+        "doc_id",
+        hex_to_int(F.col("frame_md5"), 4).alias("s"),
+        (hex_to_int(F.col("frame_md5"), 4) / F.lit(256)).cast("long").alias("bucket"),
+    ).localCheckpoint(eager=True)  # decode runs once, feeds both sides
+    a = sig.select(F.col("doc_id").alias("a_doc"), F.col("s").alias("a_s"), "bucket")
+    b = sig.select(F.col("doc_id").alias("b_doc"), F.col("s").alias("b_s"), F.col("bucket").alias("b_bucket"))
+    hamming = F.bit_count(F.expr("a_s ^ b_s"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("a_doc") < F.col("b_doc")))
+        .filter(hamming <= 2)
+        .groupBy("a_doc", "b_doc")
+        .agg(F.count(F.lit(1)).alias("n_similar_frames"))
+    )
