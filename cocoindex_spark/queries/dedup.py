@@ -16,12 +16,10 @@ from pyspark.sql.window import Window
 
 from cocoindex_spark.operators.scrub import normalize_text, sql_normalize
 from cocoindex_spark.operators.text_ops import (
-    hex_to_int,
+    hashed_shingles_arrow,
     md5_hex,
-    shingles_expr,
     simhash16,
-    sql_hex_to_int,
-    sql_shingle_table,
+    sql_hashed_shingle_table,
     sql_simhash16,
 )
 from cocoindex_spark.queries.registry import register, table
@@ -53,7 +51,10 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(shingles_expr("text", 3)).alias("g"))
+    # hashed shingles: every downstream groupBy/join shuffles 8-byte
+    # BIGINT keys instead of multi-word strings; Arrow spelling of the
+    # hash (bit-identical md5 prefix — operators/text_ops).
+    sh = d.select("doc_id", F.explode(hashed_shingles_arrow("text", 3)).alias("g"))
     # The shingle table feeds 3-5 plan branches (sizes, both join sides,
     # verify). localCheckpoint materializes the explode once; every
     # branch then scans compact in-memory partitions instead of
@@ -61,7 +62,7 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.localCheckpoint(eager=True)
 
 
-_SH = sql_shingle_table("documents", "doc_id", "text", 3)
+_SH = sql_hashed_shingle_table("documents", "doc_id", "text", 3)
 
 
 # --- q31: n-gram Jaccard near-dup join (shingle equi-join → pair
@@ -157,7 +158,7 @@ def _minhash_cols(base: F.Column):
     ]
 
 
-_SQL_MH_BASE = sql_hex_to_int("md5(g)", 12)
+_SQL_MH_BASE = "g"
 
 
 @register(
@@ -195,8 +196,9 @@ WHERE CAST(i.c AS DOUBLE) / (s1.n + s2.n - i.c) >= {JACCARD_VERIFY}
 )
 def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_df(spark, sf_dir)
-    base = hex_to_int(md5_hex(F.col("g")), 12)
-    sig = sh.withColumn("base", base).groupBy("doc_id").agg(*_minhash_cols(F.col("base")))
+    # the hashed shingle IS the 48-bit universal-hash base — no second
+    # md5 pass over the shingle table
+    sig = sh.groupBy("doc_id").agg(*_minhash_cols(F.col("g")))
 
     def bkey(cols: list[str]) -> F.Column:
         return F.concat_ws("#", *[F.col(c).cast("string") for c in cols])
