@@ -172,3 +172,35 @@ def test_kgrams_matches_python_reference(spark):
                 else []
             )
             assert got[i] == expected, (k, toks)
+
+
+def test_kgrams_hypothesis_random_tokens(spark):
+    """Randomized equivalence of kgrams vs the Python sliding window
+    (one Spark job over many generated rows — hypothesis-style coverage
+    without per-example Spark overhead)."""
+    import random
+
+    from cocoindex_spark.operators.text_ops import kgrams
+
+    rng = random.Random(123)
+    alphabet = ["a", "bb", "ccc", "", "δ", "tok"]
+    cases = [
+        [rng.choice(alphabet) for _ in range(rng.randint(0, 12))] for _ in range(200)
+    ]
+    import pyspark.sql.functions as F
+
+    for k in (2, 3):
+        df = spark.createDataFrame(
+            [(i, toks) for i, toks in enumerate(cases)], "i INT, w ARRAY<STRING>"
+        )
+        got = {
+            r["i"]: list(r["g"])
+            for r in df.select("i", kgrams(F.col("w"), k).alias("g")).collect()
+        }
+        for i, toks in enumerate(cases):
+            expected = (
+                [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+                if len(toks) >= k
+                else []
+            )
+            assert got[i] == expected, (k, i, toks)

@@ -50,14 +50,31 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    names = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = [a for a in args if not os.path.isdir(a)]
     queries = all_queries()
     oracles = all_oracles()
     if names:
         queries = {k: v for k, v in queries.items() if k in names}
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        # Driver-parity preflight: an untuned session (default shuffle
+        # partitions, no AQE/broadcast/Arrow tweaks) — the environment
+        # the external correctness runner uses. Only the nanos conf is
+        # set (events.parquet is unreadable without it).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master("local[8]")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
