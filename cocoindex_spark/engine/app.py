@@ -145,6 +145,17 @@ class App:
         t0 = time.perf_counter()
         spark = self.spark
         stats = SyncStats()
+        # Per-phase wall clock (ms), reported in stats.extra["phase_ms"]
+        # — the reference's update-stats timing breakdown. Phases are
+        # action boundaries: lazy plan construction costs nothing, so
+        # each bucket attributes the jobs that ran since the previous.
+        phase_ms: dict[str, int] = {}
+        _last = [t0]
+
+        def _phase(name: str) -> None:
+            now = time.perf_counter()
+            phase_ms[name] = phase_ms.get(name, 0) + int((now - _last[0]) * 1000)
+            _last[0] = now
         version = int(time.time() * 1000)
         logic_fp = getattr(transform, "logic_fp", None) or fp_logic(transform)
 
@@ -237,6 +248,7 @@ class App:
             # table even when the probe side is empty), which is exactly
             # the O(data) warm cost this path exists to eliminate.
             stats.extra["loaded"] = n_need = need_load.count()
+            _phase("cheap_level")
             loaded = load(need_load) if load is not None else need_load
             if n_need == 0:
                 loaded = spark.createDataFrame([], loaded.schema)
@@ -394,6 +406,7 @@ class App:
         plan = reconcile(desired, tracked, full_reprocess=full_reprocess)
         plan.actions = plan.actions.cache()
         counts = plan.counts()
+        _phase("transform_reconcile")
         stats.inserts = counts["insert"]
         stats.updates = counts["update"]
         stats.deletes = counts["delete"]
@@ -440,8 +453,10 @@ class App:
 
                 memo_thread = threading.Thread(target=_flush_memo, name="memo-flush")
                 memo_thread.start()
+            _phase("stats_counts")
         else:
             stats.memo_misses = keyed.count()
+            _phase("stats_counts")
 
         # ---- Phase 2 precommit: stage marker (pending_token) ----
         token = uuid.uuid4().hex
@@ -463,6 +478,7 @@ class App:
             bks = self.state.tracking.touched_buckets(upsert_keys)
             pending = mark_pending(self.state.tracking.read(spark, bks), plan, token)
             self.state.tracking.merge_upsert(pending, touched=bks)
+            _phase("precommit")
 
             # ---- Phase 3 sink apply (idempotent MERGE) ----
             upserts = plan.actions.filter(F.col("action").isin("insert", "update"))
@@ -488,11 +504,14 @@ class App:
                     .join(claimed, "__tp", "left_anti")
                 )
                 target.delete(current.join(dead, "__tp").select(*target.pk))
+            _phase("sink_apply")
 
             # ---- Phase 4 commit: tracking + memo flush ----
             applied, deleted = tracking_updates(plan, version)
             self.state.tracking.merge_upsert(applied, touched=bks)
-            self.state.tracking.delete_keys(deleted)
+            if stats.deletes:  # skip the delete merge job on pure upsert runs
+                self.state.tracking.delete_keys(deleted)
+            _phase("tracking_commit")
 
         # ---- source_fp map maintenance (two-level change detection) ----
         if use_cheap:
@@ -571,6 +590,7 @@ class App:
             memo_thread.join()
             if memo_err:
                 raise memo_err[0]
+            _phase("memo_flush_wait")
 
         # Release this sync's caches: every count/flush above has
         # materialized, and leaked cache blocks across many syncs in one
@@ -595,6 +615,8 @@ class App:
         # ids are all consumed; growth rehashes before the next sync.
         for t in (self.state.tracking, self.state.memo, self.state.source_fp):
             t.maybe_grow(spark)
+        _phase("cleanup")
+        stats.extra["phase_ms"] = phase_ms
         stats.wall_sec = time.perf_counter() - t0
         return stats
 
