@@ -64,3 +64,32 @@ def test_cli_update_show_drop(spark, tmp_path, capsys):
     assert main(["show", app_py]) == 0
     shown = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert shown["tracked_states"] == 0 and shown["memo_entries"] == 0
+
+
+def test_example_apps_incremental(tmp_state):
+    """The shipped examples/ apps must run through the CLI and honor
+    the incremental contract on a second update."""
+    import json
+    import os
+
+    from cocoindex_spark import cli
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    app_path = os.path.join(repo, "examples", "dedup_curation_app.py")
+
+    import contextlib
+    import io
+
+    def run(args):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main(args)
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    cold = run(["update", app_path, "--state-dir", tmp_state])
+    assert cold["stats"]["memo_misses"] > 0
+    warm = run(["update", app_path, "--state-dir", tmp_state])
+    assert warm["stats"]["memo_misses"] == 0
+    assert warm["stats"]["noops"] == warm["stats"]["docs"]
+    run(["drop", app_path, "--state-dir", tmp_state])
