@@ -476,9 +476,10 @@ class App:
                 .select("component_path", "target_path")
             )
             bks = self.state.tracking.touched_buckets(upsert_keys)
+            _phase("precommit_buckets")
             pending = mark_pending(self.state.tracking.read(spark, bks), plan, token)
             self.state.tracking.merge_upsert(pending, touched=bks)
-            _phase("precommit")
+            _phase("precommit_merge")
 
             # ---- Phase 3 sink apply (idempotent MERGE) ----
             upserts = plan.actions.filter(F.col("action").isin("insert", "update"))
