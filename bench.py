@@ -35,6 +35,7 @@ HEADLINE = [
     "q13_json_props",
     "q14_rollup_revenue",
     "q15_top_supplier",
+    "q16_part_supplier_diversity",
     "q20_vector_topk",
     "q22_similarity_join_blocked",
     "q23_lsh_bucket_join",

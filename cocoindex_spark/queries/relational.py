@@ -455,3 +455,37 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# --- q16: supplier-diversity count with an exclusion subquery (TPC-H
+#     Q16 shape: count-distinct over a join, minus suppliers flagged by
+#     an anti-condition — here the bottom-decile account balances)
+@register(
+    "q16_part_supplier_diversity",
+    oracle="""
+WITH excluded AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+SELECT p_brand, p_type,
+  COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+GROUP BY p_brand, p_type
+""",
+)
+def q16_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
