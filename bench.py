@@ -36,6 +36,7 @@ HEADLINE = [
     "q14_rollup_revenue",
     "q15_top_supplier",
     "q16_part_supplier_diversity",
+    "q17_small_quantity_revenue",
     "q20_vector_topk",
     "q22_similarity_join_blocked",
     "q23_lsh_bucket_join",

@@ -489,3 +489,40 @@ def q16_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+# --- q17: small-order revenue (TPC-H Q17 shape: rows filtered against
+#     a correlated per-group average — the scalar subquery becomes one
+#     aggregate joined back on the group key, never a per-row subquery)
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH avg_qty AS (
+  SELECT l_partkey AS pk, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) AS aq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem JOIN avg_qty ON l_partkey = pk
+WHERE CAST(l_quantity AS DOUBLE) < 0.5 * aq
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))
+        ).alias("aq")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.pk)
+        .filter(F.col("l_quantity").cast("double") < 0.5 * F.col("aq"))
+        .agg(
+            (
+                F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 4).cast("double")
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
