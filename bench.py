@@ -37,6 +37,8 @@ HEADLINE = [
     "q15_top_supplier",
     "q16_part_supplier_diversity",
     "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_banded_revenue",
     "q20_vector_topk",
     "q22_similarity_join_blocked",
     "q23_lsh_bucket_join",

@@ -30,16 +30,18 @@ def all_oracles() -> dict[str, str]:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # UTC session zone unconditionally: every NTZ→TIMESTAMP cast in the
+    # query pack (events normalization below, orders epoch extraction)
+    # must be the identity on the epoch value so unix_micros matches
+    # DuckDB's tz-free epoch_us. Runtime-settable, so this works on
+    # driver-provided sessions too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS). Depending on the Spark
         # version this reads as a nanos LONG (legacy conf) or as
         # TIMESTAMP_NTZ (Spark 4.1+ reads nanos natively, truncated to
-        # micros). Normalize both to a plain TIMESTAMP under a UTC
-        # session zone so epoch arithmetic (unix_micros) is exact and
-        # matches DuckDB's tz-free epoch_us. Runtime-settable, so this
-        # works on driver-provided sessions too.
+        # micros). Normalize both to a plain TIMESTAMP.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType

@@ -526,3 +526,85 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
         )
     )
+
+
+# --- q18: large-volume customers (TPC-H Q18 shape: HAVING over a
+#     grouped sum, joined back to the dimension rows)
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+WITH big AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+  FROM orders
+  WHERE o_totalprice > 400000
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       epoch_us(o_orderdate) AS order_us,
+       n_big_orders
+FROM big
+JOIN customer ON o_custkey = c_custkey
+JOIN (SELECT o_custkey AS ck, COUNT(*) AS n_big_orders FROM big GROUP BY o_custkey) g
+  ON g.ck = o_custkey
+""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = o.filter(F.col("o_totalprice") > 400000).select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    counts = big.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n_big_orders")
+    )
+    return (
+        big.join(F.broadcast(c), big.o_custkey == c.c_custkey)
+        .join(F.broadcast(counts), big.o_custkey == counts.ck)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            # NTZ→TIMESTAMP is the identity on the epoch under the UTC
+            # session zone (same normalization as registry.table's events)
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_us"),
+            "n_big_orders",
+        )
+    )
+
+
+# --- q19: banded-predicate revenue (TPC-H Q19 shape: a disjunction of
+#     predicate bands — brand × size × quantity ranges — evaluated in
+#     one scan; Catalyst pushes the common conjuncts into the parquet
+#     filter)
+@register(
+    "q19_banded_revenue",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 5 AND l_quantity <= 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 10 AND l_quantity <= 50)
+""",
+)
+def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(5, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(10, 50))
+    )
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return j.filter(band).agg(
+        F.round(F.sum(disc), 4).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
