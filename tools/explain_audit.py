@@ -137,6 +137,16 @@ CHECKS = {
         [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    "q16_part_supplier_diversity": (
+        # NOT IN as broadcast anti-join; dims broadcast
+        [r"BroadcastHashJoin.*LeftAnti|LeftAnti.*BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q19_banded_revenue": (
+        # single scan with the band disjunction; part broadcasts
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
+    ),
     "q28_pq_topk": (
         # compressed-domain scoring: lookup equi-joins (codes × distance
         # table); the only nested-loop is the broadcast of the 1-row
