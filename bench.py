@@ -67,6 +67,7 @@ HEADLINE = [
     "q51_sessionization",
     "q54_asof_attribution",
     "q55_range_click_burst",
+    "q56_stemmed_vocab",
     "q57_source_quantiles",
     "q58_deterministic_sample",
     "q59_split_assignment",

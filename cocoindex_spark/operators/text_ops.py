@@ -201,3 +201,25 @@ def hashed_shingles_arrow(text_col: str, k: int = 3) -> Column:
     _hash.__annotations__ = {"s": pd.Series, "return": pd.Series}
     grams = kgrams(words(F.col(text_col)), k)
     return F.pandas_udf(ArrayType(LongType()))(_hash)(grams)
+
+
+def sql_stem_lite(t: str) -> str:
+    """Light suffix stemmer (plural/participle stripping with length
+    guards — a deliberately rule-tiny Porter cousin) as a CASE chain in
+    the SQL dialect SUBSET Spark and DuckDB share (length/substr/CASE),
+    so the ONE string serves both engines verbatim: Spark via
+    ``F.expr``, DuckDB in the oracle. Exactly one rule fires per token.
+    """
+    ln = f"length({t})"
+    suf = lambda k: f"substr({t}, {ln} - {k - 1}, {k})"  # noqa: E731
+    keep = lambda k: f"substr({t}, 1, {ln} - {k})"  # noqa: E731
+    return (
+        "CASE "
+        f"WHEN {ln} >= 4 AND {suf(4)} = 'sses' THEN {keep(2)} "
+        f"WHEN {ln} > 4 AND {suf(3)} = 'ies' THEN {keep(2)} "
+        f"WHEN {ln} >= 2 AND {suf(2)} = 'ss' THEN {t} "
+        f"WHEN {ln} > 3 AND {suf(1)} = 's' THEN {keep(1)} "
+        f"WHEN {ln} > 5 AND {suf(3)} = 'ing' THEN {keep(3)} "
+        f"WHEN {ln} > 4 AND {suf(2)} = 'ed' THEN {keep(2)} "
+        f"ELSE {t} END"
+    )

@@ -420,3 +420,40 @@ def q38_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("double") / F.col("n_bpe_tokens"),
     ).otherwise(F.lit(0.0))
     return m.withColumn("chars_per_token", cpt)
+
+
+# --- q56: stemmed vocabulary compression (lexical normalization — the
+#     light suffix stemmer's effect on per-language vocabulary size;
+#     ONE CASE-chain spelling serves both engines verbatim)
+from cocoindex_spark.operators.text_ops import sql_stem_lite  # noqa: E402
+
+_STEM = sql_stem_lite("tok")
+
+
+@register(
+    "q56_stemmed_vocab",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, UNNEST(string_split(trim(text), ' ')) AS tok FROM documents
+)
+SELECT lang,
+  COUNT(*) AS n_tokens,
+  COUNT(DISTINCT tok) AS vocab_raw,
+  COUNT(DISTINCT ({_STEM})) AS vocab_stemmed,
+  CAST(COUNT(DISTINCT ({_STEM})) AS DOUBLE) / COUNT(DISTINCT tok) AS compression
+FROM toks GROUP BY lang
+""",
+)
+def q56_stemmed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    ).withColumn("stem", F.expr(_STEM))
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("vocab_raw"),
+        F.countDistinct("stem").alias("vocab_stemmed"),
+        (F.countDistinct("stem").cast("double") / F.countDistinct("tok")).alias(
+            "compression"
+        ),
+    )

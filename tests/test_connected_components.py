@@ -86,3 +86,16 @@ def test_empty_edges(spark):
             (1, 1),
             (2, 2),
         }
+
+
+def test_star_contraction_long_chain(spark):
+    """Worst case for label propagation (diameter = n): a 200-node
+    chain must converge within the round budget under the distributed
+    star-contraction path and label every node with the chain head."""
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id LONG")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id LONG, b_id LONG"
+    )
+    got = _labels(connected_components(nodes, edges, driver_cap=0))
+    assert got == {(i, 0) for i in range(n)}
