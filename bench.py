@@ -78,6 +78,7 @@ HEADLINE = [
     "q65_entity_resolution",
     "q66_graph_degree",
     "q67_motif_cosupplier",
+    "q68_supplier_triangles",
     "q70_multimodal_decode",
     "q72_multimodal_frames",
     "q73_transcribe",

@@ -94,3 +94,44 @@ def q67_motif_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_parts"))
         .filter(F.col("shared_parts") >= 2)
     )
+
+
+# --- q68: supplier triangles (3-hop motif (a)-->(p)<--(b), (p)<--(c))
+#     with the DEGREE-CAP technique real triangle counters use: only
+#     parts with ≤ MAX_DEG suppliers participate, so per-part fan-out
+#     is bounded by C(MAX_DEG,3) and the hot-part quadratic blowup the
+#     q67 skew note warns about cannot occur — the 100 TB-safe shape
+#     for higher-order motifs (cap or salt, never raw fan-out).
+_MAX_DEG = 20
+
+
+@register(
+    "q68_supplier_triangles",
+    oracle=f"""
+WITH e AS ({_SQL_EDGES}),
+deg AS (SELECT dst, COUNT(*) AS d FROM e GROUP BY dst),
+e8 AS (SELECT e.src, e.dst FROM e JOIN deg ON e.dst = deg.dst WHERE deg.d <= {_MAX_DEG})
+SELECT a.src AS a_id, b.src AS b_id, c.src AS c_id, COUNT(*) AS shared_parts
+FROM e8 a
+JOIN e8 b ON a.dst = b.dst AND a.src < b.src
+JOIN e8 c ON b.dst = c.dst AND b.src < c.src
+GROUP BY a.src, b.src, c.src
+HAVING COUNT(*) >= 2
+""",
+)
+def q68_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    e8 = e.join(deg.filter(F.col("d") <= _MAX_DEG).select("dst"), "dst", "left_semi")
+    a = e8.select(F.col("src").alias("a_id"), "dst")
+    b = e8.select(F.col("src").alias("b_id"), "dst")
+    c = e8.select(F.col("src").alias("c_id"), "dst")
+    return (
+        a.join(b, "dst")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .join(c, "dst")
+        .filter(F.col("b_id") < F.col("c_id"))
+        .groupBy("a_id", "b_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+        .filter(F.col("shared_parts") >= 2)
+    )
