@@ -13,18 +13,16 @@ from pyspark.sql import functions as F
 from cocoindex_spark.queries.registry import register, table
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _edges(spark: SparkSession, sf_dir: str, materialize: bool = False) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    # Materialized once: both graph queries scan the edge list from
-    # multiple plan branches (nodes/outd/ind; both motif sides).
-    return (
-        li.select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    # Materialize only when the caller's plan scans the edge list from
+    # several branches (the motif self-joins); a single-pass consumer
+    # like the degree query must NOT pay an eager checkpoint per call.
+    return e.localCheckpoint(eager=True) if materialize else e
 
 
 _SQL_EDGES = (
@@ -33,8 +31,11 @@ _SQL_EDGES = (
 
 
 # --- q66: per-node degrees over the projected property graph (the
-#     GraphTarget.degrees operator as a registered query). One shuffle
-#     per direction; node set = union of endpoints.
+#     GraphTarget.degrees operator as a registered query). Single
+#     shuffle: each distinct edge emits one (src, 1, 0) and one
+#     (dst, 0, 1) row; one groupBy sums both directions. No node-set
+#     distinct, no joins — every endpoint appears in the union, so the
+#     aggregation output IS the node table with both degrees.
 @register(
     "q66_graph_degree",
     oracle=f"""
@@ -48,26 +49,27 @@ FROM nodes n LEFT JOIN outd o ON n.id = o.id LEFT JOIN ind i ON n.id = i.id
 )
 def q66_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
-    nodes = e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct()
-    outd = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_degree"))
-    ind = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_degree"))
     return (
-        nodes.join(outd, "id", "left")
-        .join(ind, "id", "left")
-        .select(
-            "id",
-            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
-        )
+        e.select(F.col("src").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+        .unionAll(e.select(F.col("dst").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i")))
+        .groupBy("id")
+        .agg(F.sum("o").alias("out_degree"), F.sum("i").alias("in_degree"))
     )
 
 
 # --- q67: two-hop motif join (a)-[:supplies]->(p)<-[:supplies]-(b) —
 #     co-supplier pairs by shared part count. The Cypher motif restated
 #     as a self-equi-join on the shared endpoint (shuffle on dst only;
-#     no cross product). Skew note: a hot part fans out quadratically —
-#     at scale cap per-key fan-out or salt; here parts have bounded
-#     supplier counts so the equi-join is safe.
+#     no cross product). Skew remedy WIRED IN (not just noted): a
+#     degree probe finds parts with >= _HOT_DEG suppliers and routes
+#     only those through `selective_salted_join` — each hot part's
+#     quadratic fan-out spreads over n_salts tasks while the cold
+#     majority takes the plain single-shuffle join. Result-identical to
+#     the unsalted join (operators/skew.py contract), so the oracle is
+#     unchanged.
+_HOT_DEG = 64
+
+
 @register(
     "q67_motif_cosupplier",
     oracle=f"""
@@ -79,16 +81,19 @@ HAVING COUNT(*) >= 2
 """,
 )
 def q67_motif_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.skew import selective_salted_join, top_keys
+
     # (A/B-measured: joining on raw integer keys with the node-id
     # strings built at projection time is net slower — the per-pair
     # concat in the a<b filter outweighs the narrower shuffle. The
     # string-edge join below reuses the checkpointed edge list, one
-    # scan+distinct for both sides.)
-    e = _edges(spark, sf_dir)
+    # scan+distinct for both sides AND for the hot-key probe.)
+    e = _edges(spark, sf_dir, materialize=True)
+    hot = top_keys(e, ["dst"], _HOT_DEG)
     a = e.select(F.col("src").alias("a_id"), "dst")
     b = e.select(F.col("src").alias("b_id"), "dst")
     return (
-        a.join(b, "dst")
+        selective_salted_join(a, b, ["dst"], hot_keys=hot, n_salts=8)
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("shared_parts"))
@@ -120,7 +125,7 @@ HAVING COUNT(*) >= 2
 """,
 )
 def q68_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _edges(spark, sf_dir)
+    e = _edges(spark, sf_dir, materialize=True)
     deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
     e8 = e.join(deg.filter(F.col("d") <= _MAX_DEG).select("dst"), "dst", "left_semi")
     a = e8.select(F.col("src").alias("a_id"), "dst")

@@ -495,7 +495,7 @@ qt AS (
   FROM cwd c JOIN qd ON c.dim0 = qd.dim0 GROUP BY c.s, c.label
 ),
 approx AS (
-  SELECT code.vec_id, SUM(qt.pdot) AS adot
+  SELECT code.vec_id, CAST(SUM(qt.pdot) AS BIGINT) AS adot
   FROM code JOIN qt ON code.s = qt.s AND code.code = qt.label
   GROUP BY code.vec_id
 ),

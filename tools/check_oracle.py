@@ -97,6 +97,17 @@ def main():
             n_rows_only += 1
             continue
         try:
+            # HUGEINT preflight: DuckDB widens uncast SUM(BIGINT) to
+            # HUGEINT, which hash-mismatches Spark's BIGINT in the
+            # driver gate even when values are identical (the r1
+            # q06/q43/q71 and r2 q28 bug class). Catch it by type,
+            # permanently.
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            huge = [(c, t) for c, t, *_ in desc if "HUGEINT" in str(t).upper()]
+            if huge:
+                print(f"FAIL {name}: HUGEINT oracle columns {huge} — add CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
