@@ -77,10 +77,15 @@ def asof_join(
     # strict: left sorts before right at equal __ts (tag desc: 1 then 0),
     # so an equal-ts right row is not visible to the left row.
     # non-strict: right first (tag asc), equal-ts right rows are visible.
+    # Final xxhash64(__r) key: when several right rows share (key, ts),
+    # F.last must pick the same one on every run/partitioning — without
+    # it the winner is whatever the sort happened to leave last. Left
+    # rows (all NULL __r, hash ties) are unaffected: no right row sorts
+    # between two equal-ts left rows, so their carry value is identical.
     tag_order = F.desc("__is_left") if strict else F.asc("__is_left")
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.asc("__ts"), tag_order)
+        .orderBy(F.asc("__ts"), tag_order, F.asc(F.xxhash64("__r")))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     joined = (
@@ -120,17 +125,29 @@ def range_count_join(
     the whole key history. The exact range predicate then filters the
     two-bucket candidates.
     """
+    from functools import reduce
+
     width = upper_us - lower_us
     if width <= 0:
         raise ValueError("range_count_join: upper_us must be > lower_us")
-    lt = left.withColumn("__lus", F.unix_micros(F.col(left_ts)))
+    l_cols = list(left.columns)
+    # Collapse duplicate left rows up front, remembering multiplicity.
+    # Each duplicate must receive the SAME per-row count (not a combined
+    # one), and groupBy treats NULLs as equal — so distinct-first is both
+    # the duplicate fix and the NULL fix for the zero-hit restoration
+    # below (which r2 did by a null-unsafe join on every left column).
+    ld = (
+        left.groupBy(*l_cols)
+        .agg(F.count(F.lit(1)).alias("__mult"))
+        .withColumn("__lus", F.unix_micros(F.col(left_ts)))
+    )
     rt = (
         right.select(*on, F.unix_micros(F.col(right_ts)).alias("__rus"))
         .withColumn("__bkt", F.floor(F.col("__rus") / F.lit(width)))
     )
     # Left probes bucket(start) and bucket(start)+1 where start = lus+lower:
     # any right row in [start, start+width) lives in one of those two.
-    probe = lt.withColumn(
+    probe = ld.withColumn(
         "__bkt", F.explode(
             F.array(
                 F.floor((F.col("__lus") + F.lit(lower_us)) / F.lit(width)),
@@ -144,11 +161,27 @@ def range_count_join(
             (F.col("__rus") >= F.col("__lus") + F.lit(lower_us))
             & (F.col("__rus") < F.col("__lus") + F.lit(upper_us))
         )
-        .groupBy(*[F.col(c) for c in left.columns])
+        .groupBy(*[F.col(c) for c in l_cols])
         .agg(F.count(F.lit(1)).alias(count_col))
     )
-    # Left rows with zero hits fall out of the aggregate — restore them.
+    # Zero-hit rows fall out of the aggregate — restore with a NULL-SAFE
+    # left join (ld rows are distinct, so hits has at most one row each),
+    # then re-expand the original duplicates. The hits side is renamed
+    # first: ld and hits share lineage, so unaliased ld[c]/hits[c]
+    # references resolve ambiguously.
+    hits_r = hits.select(
+        *[F.col(c).alias(f"__h_{c}") for c in l_cols], F.col(count_col)
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"__h_{c}")) for c in l_cols],
+    )
     return (
-        left.join(hits.select(*left.columns, count_col), on=left.columns, how="left")
-        .withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)).cast("long"))
+        ld.join(hits_r, cond, "left")
+        .select(
+            *l_cols,
+            F.coalesce(F.col(count_col), F.lit(0)).cast("long").alias(count_col),
+            F.explode(F.array_repeat(F.lit(1), F.col("__mult").cast("int"))).alias("__rep"),
+        )
+        .drop("__rep")
     )

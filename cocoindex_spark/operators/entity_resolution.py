@@ -111,14 +111,22 @@ def connected_components(
       only the paired subgraph (singletons split off) — O(log n)
       rounds regardless of component diameter.
     """
+    all_ids = nodes.select(F.col(id_col).alias("id"))
+    # Confine the graph to known nodes BEFORE labeling: an edge endpoint
+    # absent from `nodes` must neither conduct connectivity between two
+    # known nodes nor become a component_id (the docstring promises
+    # component_id = min MEMBER id). Two semi-joins drop any edge with a
+    # foreign endpoint; at scale these ride the same shuffle the
+    # contraction rounds need anyway.
     # localCheckpoint: materialize the (expensive) edge list once and
     # truncate lineage each round — one job per round, not two.
     sym = (
         edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionAll(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .join(all_ids.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(all_ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
         .localCheckpoint(eager=True)
     )
-    all_ids = nodes.select(F.col(id_col).alias("id"))
     n_sym = sym.count()  # free: sym is already materialized
     if n_sym <= 2 * driver_cap:
         pair_rows = sym.filter(F.col("src") < F.col("dst")).collect()

@@ -43,10 +43,17 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+# Spelled explicitly rather than \s: Java's \s includes vertical tab
+# (\x0B) while RE2 (DuckDB) excludes it, so \s-based normalization
+# diverges between engines on text containing \x0B. The explicit class
+# (with \x0B included) means the same byte set on both sides.
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for normalized dedup: lowercase, collapse all
     whitespace runs to one space, trim."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(text), WS_CLASS + "+", " "))
 
 
 def sql_pii_count(name: str, text_expr: str) -> str:
@@ -66,5 +73,6 @@ def sql_redact(text_expr: str) -> str:
 
 
 def sql_normalize(text_expr: str) -> str:
-    """DuckDB expression mirroring ``normalize_text``."""
-    return f"trim(regexp_replace(lower({text_expr}), '\\s+', ' ', 'g'))"
+    """DuckDB expression mirroring ``normalize_text`` (same explicit
+    whitespace class — see WS_CLASS note on \\s divergence)."""
+    return f"trim(regexp_replace(lower({text_expr}), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"

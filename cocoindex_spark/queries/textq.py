@@ -395,8 +395,10 @@ def q36_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q38: BPE-ish regex token estimate (task brief: "token counting
-#     (whitespace + a BPE-ish regex)"; whitespace path is q40)
-_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#     (whitespace + a BPE-ish regex)"; whitespace path is q40).
+#     Whitespace spelled explicitly: Java's \s includes \x0B, RE2's
+#     does not (see operators/scrub.py WS_CLASS).
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 @register(

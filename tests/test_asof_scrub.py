@@ -83,6 +83,46 @@ def test_range_count_join_boundaries(spark):
     assert out[0]["n_in_range"] == 0
 
 
+def test_range_count_join_duplicates_and_nulls(spark):
+    from cocoindex_spark.operators.asof import range_count_join
+
+    # Two IDENTICAL left rows: each must get its own (uncombined) count;
+    # a left row with a NULL non-key column must still be restored.
+    left = _df(
+        spark,
+        [(1, "k", 1.0), (1, "k", 1.0), (None, "k", 9.0)],
+        "lid INT, k STRING, sec DOUBLE",
+    ).select("lid", "k", F.timestamp_seconds("sec").alias("ts"))
+    right = _df(
+        spark, [("k", 0.9999), ("k", 0.9998)], "k STRING, sec DOUBLE"
+    ).select("k", F.timestamp_seconds("sec").alias("ts"))
+    out = range_count_join(
+        left, right, ["k"], "ts", "ts", lower_us=-1000, upper_us=0
+    ).collect()
+    assert sorted(((r["lid"] or -1), r["n_in_range"]) for r in out) == [
+        (-1, 0),  # NULL-lid row restored with zero hits
+        (1, 2),
+        (1, 2),  # duplicate got the same per-row count, not 4
+    ]
+
+
+def test_asof_equal_ts_right_ties_deterministic(spark):
+    from cocoindex_spark.operators.asof import asof_join
+
+    left = _df(spark, [(1, "k", 100)], "lid INT, k STRING, ts INT")
+    right = _df(
+        spark,
+        [(10, "k", 50), (11, "k", 50), (12, "k", 50)],
+        "rid INT, k STRING, ts INT",
+    )
+    picks = set()
+    for _ in range(3):
+        for n in (1, 3, 7):
+            out = asof_join(left, right.repartition(n), ["k"], "ts", "ts").collect()
+            picks.add(out[0]["r_rid"])
+    assert len(picks) == 1  # same winner under every partitioning
+
+
 def test_pii_redaction_and_counts(spark):
     from cocoindex_spark.operators.scrub import pii_counts, redact_pii
 
