@@ -411,8 +411,25 @@ _DEF_CACHE: dict[tuple[str, str, str], StructuralPattern] = {}
 def definitions(source: "str | CodeSource", language: str = "python") -> list[dict]:
     """Named definition regions of a source: [{kind, name, start, end}]
     sorted by position — the Spark-friendly projection of the
-    reference's AST region views. Shares one token stream across all
-    of the language's patterns (CodeSource parse-once)."""
+    reference's AST region views (rust/code_ast/src/view/lang.rs
+    classify/is_region). For Python the regions come from the stdlib
+    ``ast`` parse tree — exact spans, no false hits on ``def`` inside
+    strings/comments; non-parsing sources and every other language use
+    the token matcher (one shared token stream per source —
+    CodeSource parse-once)."""
+    if language == "python":
+        from cocoindex_spark.operators.pyast import py_definitions
+
+        text = source.text if isinstance(source, CodeSource) else source
+        ast_defs = py_definitions(text)
+        if ast_defs is not None:
+            return sorted(
+                (
+                    {"kind": d["kind"], "name": d["name"], "start": d["start"], "end": d["end"]}
+                    for d in ast_defs
+                ),
+                key=lambda d: (d["start"], d["kind"]),
+            )
     if not isinstance(source, CodeSource):
         source = CodeSource(source, language)
     out = []

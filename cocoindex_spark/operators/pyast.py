@@ -67,11 +67,18 @@ def py_definitions(text: str, tree: ast.Module | None = None) -> list[dict] | No
         for child in ast.iter_child_nodes(node):
             if isinstance(child, _DEF_NODES):
                 first = child.decorator_list[0] if child.decorator_list else child
+                begin = _offset(starts, first.lineno, first.col_offset)
+                if child.decorator_list:
+                    # the decorator node's offset points at the
+                    # expression AFTER the '@' — back up to include it
+                    at = text.rfind("@", starts[first.lineno - 1], begin)
+                    if at != -1:
+                        begin = at
                 out.append(
                     {
                         "kind": "class" if isinstance(child, ast.ClassDef) else "function",
                         "name": child.name,
-                        "start": _offset(starts, first.lineno, first.col_offset),
+                        "start": begin,
                         "end": _offset(
                             starts, child.end_lineno, child.end_col_offset
                         ),

@@ -278,8 +278,33 @@ def split_recursive(
     ``chunk_overlap`` reaches each chunk's start back into its
     predecessor by up to that many chars (clamped so a chunk never
     exceeds ``chunk_size`` — the reference clamps overlap to
-    min_chunk_size similarly, recursive.rs split())."""
-    seps = separators or LANGUAGE_SEPARATORS[resolve_language(language)]
+    min_chunk_size similarly, recursive.rs split()).
+
+    For ``language="python"`` (no explicit ``separators``) boundaries
+    come from the stdlib ``ast`` parse tree — exact def/class spans by
+    nesting depth, the analog of the reference's tree-sitter recursive
+    chunking (recursive.rs:591-650) — so a ``def`` inside a docstring
+    or comment is never a split point. Sources that fail to parse fall
+    back to the regex hierarchy, exactly as the reference degrades
+    non-parsing files to separator splitting.
+
+    Each level of the hierarchy is either a regex separator (str) or a
+    precomputed sorted list of zero-width boundary offsets (list[int]).
+    """
+    seps: list[str | list[int]]
+    if separators is not None:
+        seps = list(separators)
+    else:
+        lang = resolve_language(language)
+        seps = list(LANGUAGE_SEPARATORS[lang])
+        if lang == "python":
+            from cocoindex_spark.operators.pyast import py_boundaries
+
+            levels = py_boundaries(text)
+            if levels is not None:
+                # AST depth levels replace the regex class/def
+                # lookaheads; the blank-line/line/sentence tail stays.
+                seps = [*levels, *_TAIL]
     idx = _LineIndex(text)
 
     def rec(start: int, end: int, level: int) -> list[tuple[int, int]]:
@@ -289,13 +314,20 @@ def split_recursive(
             return [
                 (s, min(s + chunk_size, end)) for s in range(start, end, chunk_size)
             ]
+        sep = seps[level]
+        if isinstance(sep, list):  # zero-width AST boundary offsets
+            matches = [(b, b) for b in sep if start < b < end]
+        else:
+            matches = [
+                (start + m.start(), start + m.end())
+                for m in re.finditer(sep, text[start:end])
+            ]
         pieces: list[tuple[int, int]] = []
         prev = start
-        for m in re.finditer(seps[level], text[start:end]):
-            ps, pe = start + m.start(), start + m.end()
+        for ps, pe in matches:
             if ps > prev:
                 pieces.append((prev, ps))
-            prev = pe
+            prev = max(prev, pe)
         if prev < end:
             pieces.append((prev, end))
         if len(pieces) <= 1:  # separator didn't help; go finer

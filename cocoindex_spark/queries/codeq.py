@@ -128,6 +128,58 @@ def q48_structural_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q29: AST-exact recursive chunking (rust/ops_text/src/split/
+#     recursive.rs:591-650 tree-sitter path; here stdlib-ast-driven,
+#     operators/pyast.py). Every synthetic source embeds a "def fake()"
+#     INSIDE a triple-quoted string — a regex boundary hierarchy splits
+#     there (wrong), the parse tree does not — so the oracle's
+#     hand-reconstructed chunk spans only match when chunking is truly
+#     AST-driven. chunk_size=70 forces exactly one split, at the start
+#     of the second top-level def.
+@register(
+    "q29_ast_chunks",
+    oracle="""
+WITH parts AS (
+  SELECT doc_id,
+    'def a' || CAST(doc_id AS VARCHAR) || '():' || chr(10) ||
+    '    s = ' || repeat(chr(34), 3) || chr(10) || 'def fake():' || chr(10) ||
+    '    pass' || chr(10) || repeat(chr(34), 3) || chr(10) ||
+    '    return s' || chr(10) AS p1,
+    'def b' || CAST(doc_id AS VARCHAR) || '():' || chr(10) ||
+    '    return ' || CAST(doc_id AS VARCHAR) || chr(10) AS p2
+  FROM documents
+)
+SELECT doc_id, 0 AS chunk_idx, md5(p1 || chr(10)) AS chunk_md5,
+       0 AS start_char, CAST(strlen(p1) + 1 AS INT) AS end_char
+FROM parts
+UNION ALL
+SELECT doc_id, 1, md5(p2),
+       CAST(strlen(p1) + 1 AS INT), CAST(strlen(p1) + 1 + strlen(p2) AS INT)
+FROM parts
+""",
+)
+def q29_ast_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.split import explode_chunks
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("def a"), sid, F.lit('():\n    s = """\ndef fake():\n    pass\n"""\n    return s\n\n'),
+        F.lit("def b"), sid, F.lit("():\n    return "), sid, F.lit("\n"),
+    )
+    chunked = explode_chunks(
+        d.withColumn("code", code), "code",
+        mode="recursive", chunk_size=70, language="python",
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.encode(F.col("chunk_text"), "UTF-8")).alias("chunk_md5"),
+        "start_char",
+        "end_char",
+    )
+
+
 # --- q49: definition views (the code_ast region classification,
 #     rust/code_ast/src/view/lang.rs classify/is_region → named
 #     function/class/type regions; here operators/code_match.py
