@@ -176,7 +176,17 @@ class App:
                 self._path_col(component_prefix, key_cols).alias("component_path")
             ).distinct()
         src_cols = [c for c in source.columns]
-        memo_df = self.state.memo.read(spark).filter(F.col("logic_fp") == logic_fp)
+        # NOT cached: each consumer needs a different column subset —
+        # key-only joins (probe, hit/miss split) must keep parquet
+        # column pruning and never read the json payload columns, which
+        # a whole-frame cache would force into memory. Rows without
+        # decl metadata (written before the column existed) are
+        # invisible here — they recompute once and converge.
+        memo_df = (
+            self.state.memo.read(spark)
+            .filter(F.col("logic_fp") == logic_fp)
+            .filter(F.col("decl_json").isNotNull())
+        )
         memo_keys = memo_df.select(F.col("args_fp").alias("__args_fp"))
 
         use_cheap = bool(cheap_fp_cols) and memo and not full_reprocess
@@ -230,24 +240,55 @@ class App:
                 sfp, ["__component_path", "__cheap_fp"], "left_anti"
             )
             # A cheap hit only skips loading if its memoized result still
-            # exists; a GC'd memo entry falls back to the load path.
-            cheap_replay = (
-                cheap_hit.join(memo_keys, "__args_fp", "left_semi")
-                .select("__args_fp", "__component_path")
-                .cache()
-            )
+            # exists; a GC'd memo entry falls back to the load path. The
+            # replay join fetches result_json HERE — one memo join total
+            # on the replay branch, instead of a semi-join now plus a
+            # second result join at replay time (that double memo read
+            # was part of the r2 cheap-path overhead).
+            cheap_replay = cheap_hit.join(
+                memo_df.select(
+                    F.col("args_fp").alias("__args_fp"), "result_json", "decl_json"
+                ),
+                "__args_fp",
+                "inner",
+            ).select("__args_fp", "__component_path", "result_json", "decl_json")
             need_load = cheap_miss.unionByName(
                 cheap_hit.join(memo_keys, "__args_fp", "left_anti").drop("__args_fp")
-            ).cache()
+            )
             # ---- level 2: load content for cheap misses only ----
-            # Counting first is a metadata-only job (listing ⋈ fp-map ⋈
-            # memo keys — no content column anywhere). When nothing needs
-            # loading we substitute a LITERAL empty frame: merely
-            # executing load()'s plan over an empty input would still
-            # scan its right side (a content join scans the content
-            # table even when the probe side is empty), which is exactly
-            # the O(data) warm cost this path exists to eliminate.
-            stats.extra["loaded"] = n_need = need_load.count()
+            # ONE metadata-only job (listing ⋈ fp-map ⋈ memo keys — no
+            # content column anywhere) yields both cheap-path counts:
+            # n_need (rows that must load content) and n_cheap (replays
+            # that skip content I/O entirely). Folding them into a
+            # single aggregate — instead of a count() job each on
+            # need_load and cheap_replay — is what keeps the two-level
+            # path's constant overhead below the single-level path's
+            # content scan (the r2 bench had pipe_edit_cheap LOSING to
+            # pipe_edit on exactly these extra jobs). need_load /
+            # cheap_replay themselves stay lazy: downstream consumers
+            # rebuild them from the cached listing, which is O(listing).
+            # When nothing needs loading we substitute a LITERAL empty
+            # frame: merely executing load()'s plan over an empty input
+            # would still scan its right side (a content join scans the
+            # content table even when the probe side is empty), which is
+            # exactly the O(data) warm cost this path exists to
+            # eliminate.
+            probe = cheap_listing.join(
+                sfp, ["__component_path", "__cheap_fp"], "left"
+            ).join(
+                memo_keys.withColumn("__in_memo", F.lit(True)), "__args_fp", "left"
+            )
+            n_total, n_cheap = probe.agg(
+                F.count(F.lit(1)),
+                F.sum(
+                    F.when(
+                        F.col("__args_fp").isNotNull() & F.col("__in_memo").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+            ).first()
+            n_cheap = int(n_cheap or 0)
+            stats.extra["loaded"] = n_need = int(n_total) - n_cheap
             _phase("cheap_level")
             loaded = load(need_load) if load is not None else need_load
             if n_need == 0:
@@ -283,13 +324,19 @@ class App:
         # ---- memo lookup join (§3.2: anti-join against _state/memo) ----
         if memo and not full_reprocess:
             hits_keys = keyed.join(
-                memo_df.select(F.col("args_fp").alias("__args_fp"), "result_json"),
+                memo_df.select(
+                    F.col("args_fp").alias("__args_fp"), "result_json", "decl_json"
+                ),
                 "__args_fp",
                 "inner",
             )
             miss_src = keyed.join(memo_keys, "__args_fp", "left_anti")
         else:
-            hits_keys = keyed.limit(0).withColumn("result_json", F.lit(None).cast("string"))
+            hits_keys = (
+                keyed.limit(0)
+                .withColumn("result_json", F.lit(None).cast("string"))
+                .withColumn("decl_json", F.lit(None).cast("string"))
+            )
             miss_src = keyed
 
         miss_src = miss_src.cache()
@@ -327,45 +374,51 @@ class App:
             ).drop(error_col)
             miss_out = miss_out.cache()
 
-        # ---- replay memo hits (deserialize carried results) ----
-        from pyspark.sql.types import ArrayType
+        # ---- replay memo hits (METADATA only — payloads stay serialized)
+        # Replayed components feed reconcile from the decl metadata
+        # recorded at flush time: two short strings parsed per component
+        # instead of the full payload array. On a warm run over 100 TB
+        # that is O(components), not O(data); result_json is
+        # deserialized only for the rare replayed rows the reconcile
+        # marks insert/update (recovery/divergence), below in the sink
+        # phase.
+        from pyspark.sql.types import ArrayType, StringType
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
 
-        replay_src = hits_keys.select("__args_fp", "__component_path", "result_json")
-        if cheap_replay is not None:
-            # Cheap-fp hits never loaded content; their stored args_fp
-            # joins straight to the memoized result (semi-joined against
-            # memo above, so this inner join drops nothing).
-            replay_src = replay_src.unionByName(
-                cheap_replay.join(
-                    memo_df.select(
-                        F.col("args_fp").alias("__args_fp"), "result_json"
-                    ),
-                    "__args_fp",
-                    "inner",
-                ).select("__args_fp", "__component_path", "result_json")
-            )
-        row_schema = miss_out.select(*out_cols).schema
-        hit_rows = (
-            replay_src.select(
-                "__args_fp",
-                "__component_path",
-                F.explode(
-                    F.from_json(F.col("result_json"), ArrayType(row_schema))
-                ).alias("__row"),
-            ).select("__args_fp", "__component_path", *[F.col(f"__row.{c}").alias(c) for c in out_cols])
+        replay_src = hits_keys.select(
+            "__args_fp", "__component_path", "result_json", "decl_json"
         )
-
-        results = miss_out.select("__args_fp", "__component_path", *out_cols).unionByName(
-            hit_rows
+        if cheap_replay is not None:
+            # Cheap-fp hits never loaded content; their memoized result
+            # was fetched by the replay join above.
+            replay_src = replay_src.unionByName(cheap_replay)
+        row_schema = miss_out.select(*out_cols).schema
+        decl_schema = ArrayType(
+            _ST([_SF("target_path", StringType()), _SF("fp", StringType())])
         )
 
         # ---- declare target states ----
-        desired = results.select(
+        # __args_fp rides through reconcile as a passthrough column so
+        # the sink phase can fetch a replayed component's payload by
+        # memo key without re-deriving it.
+        miss_decl = miss_out.select(
             F.col("__component_path").alias("component_path"),
             self._path_col(target.name, target.pk).alias("target_path"),
             fp_col(*[F.col(c) for c in out_cols]).alias("fp"),
-            *out_cols,
+            "__args_fp",
         )
+        hit_decl = replay_src.select(
+            F.col("__component_path").alias("component_path"),
+            F.explode(F.from_json(F.col("decl_json"), decl_schema)).alias("__d"),
+            "__args_fp",
+        ).select(
+            "component_path",
+            F.col("__d.target_path").alias("target_path"),
+            F.col("__d.fp").alias("fp"),
+            "__args_fp",
+        )
+        desired = miss_decl.unionByName(hit_decl)
 
         if validate_unique:
             dup = (
@@ -427,27 +480,64 @@ class App:
             stats.memo_hits = keyed.count() - stats.memo_misses
             if use_cheap:
                 # Cheap-fp replays never reached the loaded set: they are
-                # memo hits that skipped content I/O entirely.
-                n_cheap = cheap_replay.count()
+                # memo hits that skipped content I/O entirely. n_cheap
+                # came out of the same metadata job as n_need above — no
+                # extra count() here.
                 stats.memo_hits += n_cheap
                 stats.extra["cheap_hits"] = n_cheap
             if stats.memo_misses:
+                # decl_json records the declared (target_path, fp) pairs
+                # so future replays feed reconcile without touching the
+                # payload array (see the replay section above).
                 miss_memo = (
-                    miss_out.groupBy("__args_fp")
+                    miss_out.withColumn(
+                        "__tp", self._path_col(target.name, target.pk)
+                    )
+                    .withColumn("__fp", fp_col(*[F.col(c) for c in out_cols]))
+                    .groupBy("__args_fp")
                     .agg(
-                        F.to_json(F.collect_list(F.struct(*out_cols))).alias("result_json")
+                        F.to_json(F.collect_list(F.struct(*out_cols))).alias(
+                            "result_json"
+                        ),
+                        F.to_json(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("__tp").alias("target_path"),
+                                    F.col("__fp").alias("fp"),
+                                )
+                            )
+                        ).alias("decl_json"),
                     )
                     .select(
                         F.lit(logic_fp).alias("logic_fp"),
                         F.col("__args_fp").alias("args_fp"),
                         "result_json",
+                        "decl_json",
                         F.lit(version).cast("long").alias("version"),
                     )
                 )
 
-                def _flush_memo() -> None:
+                # The source_fp map rides the same helper thread: its
+                # own contract says write order vs memo/tracking does
+                # not matter (a missing side just falls back to
+                # load+recompute next run), so serializing it after the
+                # sink phases only added latency. keyed's cache is
+                # materialized by the miss_src.count() above, so the
+                # thread never races the content scan.
+                new_sfp_bg = None
+                if use_cheap and stats.extra["loaded"]:
+                    new_sfp_bg = keyed.select(
+                        F.col("__component_path").alias("component_path"),
+                        F.col("__cheap_fp").alias("cheap_fp"),
+                        F.col("__args_fp").alias("args_fp"),
+                        F.lit(version).cast("long").alias("version"),
+                    )
+
+                def _flush_memo(sfp_df=new_sfp_bg) -> None:
                     try:
                         self.state.memo.merge_upsert(miss_memo)
+                        if sfp_df is not None:
+                            self.state.source_fp.merge_upsert(sfp_df)
                     except BaseException as e:  # re-raised on join below
                         memo_err.append(e)
 
@@ -484,7 +574,34 @@ class App:
             # ---- Phase 3 sink apply (idempotent MERGE) ----
             upserts = plan.actions.filter(F.col("action").isin("insert", "update"))
             if stats.inserts or stats.updates:
-                target.upsert(upserts.select(*out_cols))
+                # Attach payloads to the action rows: miss components
+                # carry theirs in miss_out; replayed components that must
+                # (re)write — recovery or divergence, never the warm
+                # path — have ONLY their payload arrays deserialized
+                # (semi-join on the memo key first, so the parse volume
+                # is ∝ changes, not corpus).
+                payload_miss = miss_out.withColumn(
+                    "target_path", self._path_col(target.name, target.pk)
+                ).select("target_path", *out_cols)
+                replay_payload = (
+                    replay_src.join(
+                        upserts.select("__args_fp").distinct(),
+                        "__args_fp",
+                        "left_semi",
+                    )
+                    .select(
+                        F.explode(
+                            F.from_json(F.col("result_json"), ArrayType(row_schema))
+                        ).alias("__row")
+                    )
+                    .select(F.col("__row.*"))
+                    .withColumn("target_path", self._path_col(target.name, target.pk))
+                    .select("target_path", *out_cols)
+                )
+                upsert_rows = upserts.select("target_path").join(
+                    payload_miss.unionByName(replay_payload), "target_path", "inner"
+                )
+                target.upsert(upsert_rows.select(*out_cols))
             if stats.deletes:
                 # Map deleted target_paths back to pk values via the sink.
                 # Ownership preemption (execution.rs:948-995): a path
@@ -515,18 +632,18 @@ class App:
             _phase("tracking_commit")
 
         # ---- source_fp map maintenance (two-level change detection) ----
+        # The (cheap_fp → args_fp) upsert for loaded rows runs on the
+        # memo-flush thread above (order-independent); when no memo
+        # flush happened but rows loaded (all loads memo-hit), write it
+        # here.
         if use_cheap:
-            # Every loaded row records (cheap_fp → args_fp) so the next
-            # run's level-1 check can skip it. Write order vs memo/
-            # tracking does not matter: whichever side is missing on the
-            # next run just falls back to load+recompute (convergent).
-            new_sfp = keyed.select(
-                F.col("__component_path").alias("component_path"),
-                F.col("__cheap_fp").alias("cheap_fp"),
-                F.col("__args_fp").alias("args_fp"),
-                F.lit(version).cast("long").alias("version"),
-            )
-            if stats.extra["loaded"]:
+            if stats.extra["loaded"] and not (memo and stats.memo_misses):
+                new_sfp = keyed.select(
+                    F.col("__component_path").alias("component_path"),
+                    F.col("__cheap_fp").alias("cheap_fp"),
+                    F.col("__args_fp").alias("args_fp"),
+                    F.lit(version).cast("long").alias("version"),
+                )
                 self.state.source_fp.merge_upsert(new_sfp)
             if not partial and tombstone_col is None and stats.deletes:
                 # Full syncs enumerate the whole source: sweep map rows
@@ -604,13 +721,10 @@ class App:
             miss_src,
             keyed,
             cheap_listing,
-            cheap_replay,
             failed_paths,
         ):
             if cached is not None:
                 cached.unpersist()
-        if use_cheap:
-            need_load.unpersist()
 
         # Adaptive state sharding: safe here — the sync's scoped bucket
         # ids are all consumed; growth rehashes before the next sync.

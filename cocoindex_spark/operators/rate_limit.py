@@ -93,3 +93,78 @@ def executor_bucket(name: str, rate_per_sec: float, burst: float | None = None) 
         if b is None:
             b = _EXECUTOR_BUCKETS[name] = TokenBucket(rate_per_sec, burst)
         return b
+
+
+def executor_process_count(spark) -> int:
+    """Live executor-process count (the denominator for dividing a
+    cluster-wide rate). Local mode reports 1; on a cluster the status
+    tracker lists driver + executors. Falls back to explicit
+    ``spark.executor.instances`` config, then 1."""
+    sc = spark.sparkContext
+    try:
+        infos = sc._jsc.sc().statusTracker().getExecutorInfos()
+        n = len(infos) - 1  # one entry is the driver
+        if n >= 1:
+            return n
+    except Exception:
+        pass
+    try:
+        return max(1, int(sc.getConf().get("spark.executor.instances", "1")))
+    except Exception:
+        return 1
+
+
+class ClusterRateLimit:
+    """Cluster-GLOBAL rate limit: the configured rate bounds aggregate
+    QPS across the whole cluster, not per executor.
+
+    The reference's token bucket is process-wide and therefore global
+    on its single-node runtime (python/cocoindex/resources/
+    rate_limit.py:11); a naive per-executor port multiplies the
+    aggregate rate by the executor count. This class divides the
+    cluster rate by the LIVE executor-process count at plan-build time
+    (driver side), ships only the divided share in the task closure,
+    and each executor process runs one shared bucket at that share —
+    so total admission ≤ cluster_rate regardless of cluster size.
+
+    The denominator refreshes every time the driver constructs/
+    re-pickles the limiter (i.e. per batch/stage submission), which
+    tracks autoscaling at batch granularity. A perfectly-instantaneous
+    global ledger would need an external coordination store; at that
+    point the right tool is the reference's own single-process shape —
+    documented seam, not silently wrong rates.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        cluster_rate_per_sec: float,
+        burst: float | None = None,
+        spark=None,
+    ):
+        assert cluster_rate_per_sec > 0
+        self.name = name
+        self.cluster_rate = float(cluster_rate_per_sec)
+        self.cluster_burst = None if burst is None else float(burst)
+        n = 1
+        if spark is not None:
+            n = executor_process_count(spark)
+        self.n_executors = max(1, n)
+
+    @property
+    def share_rate(self) -> float:
+        return self.cluster_rate / self.n_executors
+
+    @property
+    def share_burst(self) -> float | None:
+        if self.cluster_burst is None:
+            return None
+        return self.cluster_burst / self.n_executors
+
+    def bucket(self) -> TokenBucket:
+        """Call inside the executor (pandas UDF / mapInPandas body):
+        returns this process's shared bucket at the divided rate."""
+        return executor_bucket(self.name, self.share_rate, self.share_burst)
+
+    def acquire(self, n: float = 1.0, timeout: float | None = None) -> bool:
+        return self.bucket().acquire(n, timeout=timeout)

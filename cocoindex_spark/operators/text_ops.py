@@ -146,6 +146,62 @@ def sql_simhash16(token_table: str, id_col: str, token_col: str) -> str:
 """
 
 
+def simhash_wide(
+    df: DataFrame, id_col: str, token_col: str, n_bits: int = 60
+) -> DataFrame:
+    """Wide SimHash per id from a (id, token) DataFrame.
+
+    The scale path past simhash16: a 16-bit signature space (65,536
+    values) saturates once the corpus outgrows it — candidate pairs
+    grow ~n²/2¹⁶. 60 bits (15 md5 hex chars) is the widest signature
+    that stays strictly inside a signed 64-bit integer in BOTH engines
+    (16 chars can set the sign bit: Java wraps, DuckDB errors — so 64
+    exactly is not portable). With 4×15-bit bands, any pair within
+    hamming distance 3 shares at least one intact band (pigeonhole).
+    """
+    if not 1 <= n_bits <= 60:
+        raise ValueError("simhash_wide: n_bits must be in [1, 60]")
+    n_hex = (n_bits + 3) // 4
+    toks = (
+        df.select(id_col, F.col(token_col).alias("__tok"))
+        .distinct()
+        .withColumn("__h", hex_to_int(md5_hex(F.col("__tok")), n_hex))
+    )
+    aggs = []
+    for j in range(n_bits):
+        bit = F.expr(f"__h div {1 << j}") % 2
+        contrib = F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+        aggs.append(F.sum(contrib).alias(f"__s{j}"))
+    summed = toks.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(n_bits):
+        sim = sim + F.when(F.col(f"__s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return summed.select(id_col, sim.alias("simhash"))
+
+
+def sql_simhash_wide(
+    token_table: str, id_col: str, token_col: str, n_bits: int = 60
+) -> str:
+    """DuckDB twin of simhash_wide."""
+    n_hex = (n_bits + 3) // 4
+    h = sql_hex_to_int(f"md5({token_col})", n_hex)
+    s_cols = ", ".join(
+        f"SUM(CASE WHEN (__h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS __s{j}"
+        for j in range(n_bits)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN __s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits)
+    )
+    return f"""
+  SELECT {id_col}, CAST({bits} AS BIGINT) AS simhash
+  FROM (
+    SELECT {id_col}, {s_cols}
+    FROM (SELECT DISTINCT {id_col}, {token_col}, {h} AS __h FROM {token_table})
+    GROUP BY {id_col}
+  )
+"""
+
+
 def hashed_shingles_expr(text_col: str, k: int = 3) -> Column:
     """Distinct word k-grams hashed to 48-bit BIGINTs (md5-prefix).
 

@@ -283,6 +283,65 @@ def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q76: wide-signature SimHash near-dup — the scale-proofed q33.
+#     60-bit signatures (widest portable in signed int64 — see
+#     operators/text_ops.py simhash_wide) in 4×15-bit bands: pairs
+#     within hamming≤3 share an intact band (pigeonhole-exact), and the
+#     signature space (2^60) cannot saturate at any plausible corpus
+#     size, unlike q33's 2^16. Same equi-join plan shape: band-bucket
+#     join, candidate-scoped popcount verify, one distinct.
+from cocoindex_spark.operators.text_ops import simhash_wide, sql_simhash_wide  # noqa: E402
+
+_WIDE_BITS = 60
+_WIDE_BANDS = 4
+_BAND_W = _WIDE_BITS // _WIDE_BANDS  # 15 bits per band
+
+
+@register(
+    "q76_simhash_wide_pairs",
+    oracle=f"""
+WITH sim AS ({sql_simhash_wide(_TOKENS_SQL, "doc_id", "tok", _WIDE_BITS)})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q76_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+    sim = simhash_wide(toks, "doc_id", "tok", _WIDE_BITS)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.expr(
+                        f"(simhash div {1 << (_BAND_W * j)}) % {1 << _BAND_W}"
+                    ).alias("bval"),
+                )
+                for j in range(_WIDE_BANDS)
+            ])
+        ).alias("bs"),
+    ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval"))
+    a = bands.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"), "band", "bval")
+    b = bands.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"), "band", "bval")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sim", "b_sim")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
 # --- q34: embedding-cosine near-dup over documents (the 5th dedup
 #     modality: semantic near-duplicates invisible to lexical hashes).
 #     Candidates come from an 8-bit sign-LSH orthant bucket (equi-join,

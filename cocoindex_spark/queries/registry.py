@@ -41,7 +41,7 @@ _PRIORITY: list[str] = [
     # new this round (no verdict yet)
     "q29_ast_chunks",
     "q75_fts_bm25",
-    "q76_simhash64_pairs",
+    "q76_simhash_wide_pairs",
     "q77_merge_upsert",
     "q78_range_count",
     # failed in r2 (oracle cast fixed this round)

@@ -88,7 +88,10 @@ class SqlTableTarget:
         paramstyle: str = "qmark",
         bind_limit: int = BIND_LIMIT,
         num_writers: int = 8,
+        dialect: str = "on_conflict",
     ):
+        if dialect not in ("on_conflict", "merge"):
+            raise ValueError(f"unknown dialect: {dialect!r}")
         self.name = name
         self.pk = pk
         self.schema = schema
@@ -96,6 +99,7 @@ class SqlTableTarget:
         self._paramstyle = paramstyle
         self._bind_limit = bind_limit
         self._num_writers = num_writers
+        self._dialect = dialect
         self._ensure_tables()
 
     # -- DDL ---------------------------------------------------------------
@@ -120,19 +124,54 @@ class SqlTableTarget:
             con.close()
 
     # -- executor-side writes ---------------------------------------------
-    def upsert(self, rows: DataFrame) -> None:
+    def upsert_sql(self, n_rows: int) -> str:
+        """The upsert statement for an ``n_rows`` chunk, in the
+        configured dialect.
+
+        - ``on_conflict``: ``INSERT ... ON CONFLICT (pk) DO UPDATE``
+          (PostgreSQL / SQLite 3.24+ / DuckDB; reference
+          postgres/_target.py:742-836).
+        - ``merge``: ANSI ``MERGE INTO ... USING (VALUES ...) AS src``
+          — the BigQuery / Snowflake / DuckDB≥1.3 spelling (reference
+          bigquery/_target.py:294, snowflake/_target.py:280-310).
+        """
         cols = [f.name for f in self.schema.fields]
         non_pk = [c for c in cols if c not in self.pk]
         col_list = ", ".join(f'"{c}"' for c in cols)
-        pk_list = ", ".join(f'"{c}"' for c in self.pk)
-        if non_pk:
-            update_list = ", ".join(f'"{c}" = EXCLUDED."{c}"' for c in non_pk)
-            conflict = f"ON CONFLICT ({pk_list}) DO UPDATE SET {update_list}"
-        else:
-            conflict = f"ON CONFLICT ({pk_list}) DO NOTHING"
+        n_params = len(cols)
+        values = ", ".join(
+            f"({_placeholders(n_params, self._paramstyle, i * n_params)})"
+            for i in range(n_rows)
+        )
+        if self._dialect == "on_conflict":
+            pk_list = ", ".join(f'"{c}"' for c in self.pk)
+            if non_pk:
+                update_list = ", ".join(f'"{c}" = EXCLUDED."{c}"' for c in non_pk)
+                conflict = f"ON CONFLICT ({pk_list}) DO UPDATE SET {update_list}"
+            else:
+                conflict = f"ON CONFLICT ({pk_list}) DO NOTHING"
+            return f'INSERT INTO "{self.name}" ({col_list}) VALUES {values} {conflict}'
+        # merge dialect
+        on = " AND ".join(f'tgt."{c}" = src."{c}"' for c in self.pk)
+        insert_vals = ", ".join(f'src."{c}"' for c in cols)
+        matched = (
+            "WHEN MATCHED THEN UPDATE SET "
+            + ", ".join(f'"{c}" = src."{c}"' for c in non_pk)
+            if non_pk
+            else ""
+        )
+        return (
+            f'MERGE INTO "{self.name}" AS tgt '
+            f"USING (VALUES {values}) AS src ({col_list}) ON {on} "
+            f"{matched} "
+            f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({insert_vals})"
+        ).replace("  ", " ")
+
+    def upsert(self, rows: DataFrame) -> None:
+        cols = [f.name for f in self.schema.fields]
         n_params = len(cols)
         chunk_rows = max(1, self._bind_limit // max(n_params, 1))
-        connect, paramstyle, table = self._connect, self._paramstyle, self.name
+        connect, sql_for = self._connect, self.upsert_sql
 
         def write_partition(it) -> None:
             buf = []
@@ -154,13 +193,8 @@ class SqlTableTarget:
                     con.close()
 
         def _flush_upsert(con, buf) -> None:
-            values = ", ".join(
-                f"({_placeholders(n_params, paramstyle, i * n_params)})"
-                for i in range(len(buf))
-            )
-            sql = f'INSERT INTO "{table}" ({col_list}) VALUES {values} {conflict}'
             params = [v for r in buf for v in r]
-            con.cursor().execute(sql, params)
+            con.cursor().execute(sql_for(len(buf)), params)
 
         # One row per pk: PostgreSQL rejects a multi-row ON CONFLICT
         # statement that touches the same key twice ("cannot affect row

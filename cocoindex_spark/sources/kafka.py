@@ -89,3 +89,29 @@ class KafkaTopicSource:
             if k != "maxOffsetsPerTrigger":
                 reader = reader.option(k, v)
         return self.decode(reader.load())
+
+
+# The exact schema ``format("kafka")`` yields (Spark's
+# KafkaSourceProvider contract) — recorded here so wire-frame tests
+# and downstream code share one truth.
+KAFKA_WIRE_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, offset BIGINT, "
+    "timestamp TIMESTAMP, timestampType INT"
+)
+
+
+def kafka_connector_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector jar is on the session
+    classpath. The container this repo builds in has no network and no
+    bundled connector jar (287 jars ship with PySpark, none of them
+    kafka), so the real ``format("kafka")`` path cannot execute here —
+    this probe is what integration tests skip on, and what production
+    deployments (which add the jar via ``spark.jars.packages``) pass.
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False

@@ -259,10 +259,20 @@ TRACKING_SCHEMA = _schema(
     ("pending_token", "string"),
 )
 
+# decl_json: the declared target states — JSON array of
+# {target_path, fp} — recorded at flush time so a replay can feed the
+# reconcile diff WITHOUT deserializing the payload rows (result_json).
+# At scale this is the difference between a warm run that parses the
+# whole corpus's memoized payloads and one that reads two short strings
+# per component; payloads are parsed only for the rare replayed rows
+# the reconcile marks insert/update (recovery/divergence). Rows written
+# before this column existed read as NULL and are treated as memo
+# misses — they recompute once and converge to the new format.
 MEMO_SCHEMA = _schema(
     ("logic_fp", "string"),
     ("args_fp", "string"),
     ("result_json", "string"),
+    ("decl_json", "string"),
     ("version", "long"),
 )
 

@@ -55,6 +55,60 @@ def test_kafka_decode_and_map_semantics(spark):
     assert got == {"k1": "v2", "k2": None}
 
 
+def test_kafka_real_reader_integration(spark):
+    """INTEGRATION: build the real ``format("kafka")`` streaming reader
+    end-to-end. The build container has no spark-sql-kafka jar and no
+    network to fetch one (checked: 287 bundled PySpark jars, none
+    kafka; DNS resolution fails), so this skips there with the probe's
+    reason — on any deployment that adds the connector
+    (``spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13``)
+    it runs and validates the full reader construction path."""
+    import pytest
+
+    from cocoindex_spark.sources.kafka import kafka_connector_available
+
+    if not kafka_connector_available(spark):
+        pytest.skip(
+            "spark-sql-kafka connector jar not on the classpath "
+            "(container has no network to resolve spark.jars.packages); "
+            "KafkaTopicSource.read_stream cannot execute here"
+        )
+    src = KafkaTopicSource(
+        bootstrap_servers="localhost:9092",
+        topic="events",
+        max_offsets_per_trigger=500,
+    )
+    stream = src.read_stream(spark)
+    assert stream.isStreaming
+    assert set(stream.columns) == {
+        "key", "value", "topic", "partition", "offset", "timestamp",
+    }
+
+
+def test_kafka_wire_schema_round_trip(spark):
+    """The recorded wire schema (KAFKA_WIRE_SCHEMA — including
+    timestampType, which the simpler shaped-frame test omits) feeds the
+    whole decode → map → coalesce path; non-UTF-8-decodable keys must
+    not crash the cast."""
+    from cocoindex_spark.sources.kafka import KAFKA_WIRE_SCHEMA
+    from cocoindex_spark.streaming.live import last_wins
+
+    raw = spark.createDataFrame(
+        [
+            (b"k1", b"v-old", "t", 0, 1, None, 0),
+            (b"k1", b"v-new", "t", 0, 2, None, 0),
+            (b"\xff\xfe", b"bin-key", "t", 1, 3, None, 0),  # invalid UTF-8 key
+            (b"gone", None, "t", 1, 4, None, 0),  # tombstone
+        ],
+        KAFKA_WIRE_SCHEMA,
+    )
+    latest = last_wins(KafkaTopicSource.as_map_batch(raw), ["key"], ["offset"])
+    got = {r.key: (r.value, r.tombstone) for r in latest.collect()}
+    assert got["k1"] == ("v-new", False)
+    assert got["gone"] == (None, True)
+    assert len(got) == 3  # binary key decoded (replacement chars), kept
+
+
 def test_google_drive_listing_and_load(spark):
     src = GoogleDriveSource(FakeDriveClient, ["root"])
     listing = src.listing(spark)

@@ -103,3 +103,52 @@ def test_executor_bucket_shared():
     b1 = executor_bucket("api-x", 100)
     b2 = executor_bucket("api-x", 999)  # same name → same bucket, rate kept
     assert b1 is b2 and b1.rate == 100
+
+
+def test_cluster_rate_limit_divides_by_executors(spark):
+    from cocoindex_spark.operators.rate_limit import ClusterRateLimit
+
+    lim = ClusterRateLimit("api-y", cluster_rate_per_sec=120.0, burst=12.0, spark=spark)
+    assert lim.n_executors >= 1  # local mode: 1
+    assert lim.share_rate * lim.n_executors == 120.0
+    assert lim.share_burst * lim.n_executors == 12.0
+
+
+def test_cluster_rate_limit_global_bound_across_simulated_executors():
+    """N executor processes each run a bucket at rate/N: their joint
+    admission over a window must stay under the CLUSTER rate (+ burst
+    headroom), i.e. the aggregate does not multiply with N."""
+    import threading
+    import time
+
+    from cocoindex_spark.operators.rate_limit import ClusterRateLimit, TokenBucket
+
+    n_exec = 4
+    cluster_rate, burst = 200.0, 20.0
+    lim = ClusterRateLimit("api-z", cluster_rate, burst=burst)
+    lim.n_executors = n_exec  # simulate the driver having seen 4 executors
+    # each "process" builds its own bucket from the shipped share
+    buckets = [TokenBucket(lim.share_rate, lim.share_burst) for _ in range(n_exec)]
+    assert buckets[0].rate == cluster_rate / n_exec
+
+    admitted = [0] * n_exec
+    stop = time.monotonic() + 0.5
+
+    def worker(i: int) -> None:
+        while time.monotonic() < stop:
+            if buckets[i].try_acquire(1.0):
+                admitted[i] += 1
+            else:
+                time.sleep(0.002)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_exec)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    total = sum(admitted)
+    # 0.5 s at 200/s sustained + 20 burst = 120 max; the unbounded
+    # per-executor mistake would admit ~4× that. Generous margin for
+    # scheduler jitter.
+    assert total <= cluster_rate * 0.5 + burst + 10
+    assert total >= 20  # sanity: the buckets actually admitted work
