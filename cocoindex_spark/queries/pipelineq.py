@@ -190,3 +190,102 @@ def q59_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --- q77: token-budget batch packing — assign documents to training
+#     batches so each batch carries ~BUDGET tokens, in deterministic
+#     (source, doc_id) order. The parallel formulation: batch =
+#     floor(exclusive-running-token-sum / BUDGET), a partitioned window
+#     prefix sum — one shuffle on source, never a sequential scan, so
+#     it holds at any corpus size (sequential first-fit packing cannot
+#     be distributed; the prefix-sum variant is the standard scalable
+#     restatement and differs only in allowing a batch to overflow by
+#     at most one document).
+_PACK_BUDGET = 2048
+
+from cocoindex_spark.operators.fts import sql_tokens as _sql_tokens  # noqa: E402
+from cocoindex_spark.operators.fts import tokens_col as _tokens_col  # noqa: E402
+
+
+@register(
+    "q77_token_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_sql_tokens("text")}) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+    COALESCE(SUM(n_tok) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM t
+)
+SELECT doc_id, source, n_tok,
+       CAST(cum_excl // {_PACK_BUDGET} AS BIGINT) AS batch_id
+FROM c
+""",
+)
+def q77_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source",
+        F.size(_tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return t.withColumn(
+        "cum_excl", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    ).select(
+        "doc_id", "source", "n_tok",
+        F.floor(F.col("cum_excl") / F.lit(_PACK_BUDGET)).cast("long").alias("batch_id"),
+    )
+
+
+# --- q78: benchmark-contamination check — which training documents
+#     share word 3-grams with the held-out benchmark set (doc_id%97==0,
+#     the standard n-gram-overlap decontamination operator). Plan shape:
+#     both sides reduce to 48-bit hashed shingles, the overlap is a
+#     pure equi-join on the 8-byte hash (bucketed by key, candidate-
+#     scoped — never an all-pairs comparison), and the per-doc rollup
+#     is one groupBy. The benchmark side is corpus-fraction-sized, so
+#     at 100 TB the join broadcasts or bucket-prunes on the small side.
+from cocoindex_spark.operators.text_ops import (  # noqa: E402
+    hashed_shingles_arrow as _shingles,
+)
+from cocoindex_spark.operators.text_ops import (  # noqa: E402
+    sql_hashed_shingle_table as _sql_shingles,
+)
+
+
+@register(
+    "q78_contamination",
+    oracle=f"""
+WITH sh AS ({_sql_shingles("documents", "doc_id", "text", 3)}),
+b AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+t AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+SELECT t.doc_id,
+       CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_shared_grams,
+       CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+FROM t JOIN b ON t.g = b.g
+GROUP BY t.doc_id
+""",
+)
+def q78_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles("text", 3)).alias("g"))
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -42,8 +42,8 @@ _PRIORITY: list[str] = [
     "q29_ast_chunks",
     "q75_fts_bm25",
     "q76_simhash_wide_pairs",
-    "q77_merge_upsert",
-    "q78_range_count",
+    "q77_token_packing",
+    "q78_contamination",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only
