@@ -305,6 +305,16 @@ def split_recursive(
                 # AST depth levels replace the regex class/def
                 # lookaheads; the blank-line/line/sentence tail stays.
                 seps = [*levels, *_TAIL]
+        else:
+            from cocoindex_spark.operators.code_boundaries import brace_boundaries
+
+            levels = brace_boundaries(text, lang)
+            if levels:
+                # Token-stream boundaries (strings/comments skipped by
+                # the lexer) replace the regex keyword lookaheads for
+                # brace languages; unsupported languages and sources
+                # with no constructs keep the regex hierarchy.
+                seps = [*levels, *_TAIL]
     idx = _LineIndex(text)
 
     def rec(start: int, end: int, level: int) -> list[tuple[int, int]]:

@@ -89,12 +89,21 @@ def q67_motif_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # string-edge join below reuses the checkpointed edge list, one
     # scan+distinct for both sides AND for the hot-key probe.)
     e = _edges(spark, sf_dir, materialize=True)
-    hot = top_keys(e, ["dst"], _HOT_DEG)
+    # The probe materializes (one column-pruned shuffle); when it finds
+    # no hot keys the plain single-shuffle join runs with zero salting
+    # machinery — selective_salted_join is result-identical for ANY hot
+    # set, so branching on the probe is free of semantic risk and the
+    # probe cost amortizes against the quadratic blowup it prevents.
+    hot = top_keys(e, ["dst"], _HOT_DEG).localCheckpoint(eager=True)
     a = e.select(F.col("src").alias("a_id"), "dst")
     b = e.select(F.col("src").alias("b_id"), "dst")
+    joined = (
+        a.join(b, "dst")
+        if hot.isEmpty()
+        else selective_salted_join(a, b, ["dst"], hot_keys=hot, n_salts=8)
+    )
     return (
-        selective_salted_join(a, b, ["dst"], hot_keys=hot, n_salts=8)
-        .filter(F.col("a_id") < F.col("b_id"))
+        joined.filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("shared_parts"))
         .filter(F.col("shared_parts") >= 2)

@@ -154,6 +154,43 @@ CHECKS = {
         [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
         [r"CartesianProduct"],
     ),
+    "q29_ast_chunks": (
+        # AST chunking: Arrow-batched split + explode, shuffle-free
+        [r"ArrowEvalPython", r"Generate"],
+        [r"Exchange", r"CartesianProduct"],
+    ),
+    "q75_fts_bm25": (
+        # BM25 from the postings index: query terms broadcast so the
+        # postings side prunes before any aggregation; stats are one
+        # broadcast row; everything else hash equi-joins + partial aggs
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct"],
+    ),
+    "q76_simhash_wide_pairs": (
+        # wide-simhash candidates: band equi-join, popcount verify
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q77_token_packing": (
+        # packing prefix-sum: ONE keyed window partitioned by source —
+        # never a global unpartitioned data window
+        [r"Window", r"hashpartitioning\(source"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q78_contamination": (
+        # contamination: hashed-shingle equi-join + per-doc rollup
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+}
+
+# Node-count ceilings: (node regex, max occurrences in the plan).
+COUNT_CHECKS = {
+    # single-shuffle degree aggregation (the r2 regression's fix):
+    # union → one hash exchange → final agg. AQE may print the same
+    # exchange in both the initial and final plan sections; count
+    # distinct exchange node ids instead of raw matches.
+    "q66_graph_degree": (r"Exchange hashpartitioning", 1),
 }
 
 
@@ -179,7 +216,22 @@ def main() -> None:
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"PASS {name}")
-    print(f"\n{len(CHECKS) - failures} pass, {failures} fail")
+    for name, (pat, max_n) in COUNT_CHECKS.items():
+        plan = queries[name](spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        # Count distinct exchange sites: "(id) Exchange ..." lines keep
+        # their node id across AQE's initial/final plan reprints.
+        ids = {
+            m.group(1)
+            for m in re.finditer(r"\((\d+)\) " + pat, plan)
+        } or set(re.findall(pat, plan))
+        if len(ids) > max_n:
+            failures += 1
+            print(f"FAIL {name}: {len(ids)} x {pat!r} (max {max_n})")
+        else:
+            print(f"PASS {name} ({len(ids)} x {pat!r} <= {max_n})")
+    print(f"\n{len(CHECKS) + len(COUNT_CHECKS) - failures} pass, {failures} fail")
     sys.exit(1 if failures else 0)
 
 
