@@ -83,6 +83,13 @@ HEADLINE = [
     "q72_multimodal_frames",
     "q73_transcribe",
     "q74_frame_near_dup",
+    # round-3 additions
+    "q29_ast_chunks",
+    "q75_fts_bm25",
+    "q76_simhash_wide_pairs",
+    "q77_token_packing",
+    "q78_contamination",
+    "q79_ast_definitions",
 ]
 
 

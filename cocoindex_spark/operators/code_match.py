@@ -465,6 +465,7 @@ def definitions_df(df, text_col: str, language: str = "python"):
                 StructField("kind", StringType()),
                 StructField("name", StringType()),
                 StructField("start", IntegerType()),
+                StructField("end", IntegerType()),
             ]
         )
     )
@@ -475,7 +476,12 @@ def definitions_df(df, text_col: str, language: str = "python"):
                 []
                 if t is None
                 else [
-                    {"kind": d["kind"], "name": d["name"], "start": d["start"]}
+                    {
+                        "kind": d["kind"],
+                        "name": d["name"],
+                        "start": d["start"],
+                        "end": d["end"],
+                    }
                     for d in definitions(t, language)
                 ]
                 for t in texts
@@ -488,6 +494,7 @@ def definitions_df(df, text_col: str, language: str = "python"):
         F.col("__d.kind").alias("def_kind"),
         F.col("__d.name").alias("def_name"),
         F.col("__d.start").alias("def_start"),
+        F.col("__d.end").alias("def_end"),
     )
 
 

@@ -180,6 +180,59 @@ def q29_ast_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q79: AST-exact definition views — q49's adversarial twin. Every
+#     synthetic source hides a fake def inside a docstring and a fake
+#     class inside a comment; the token-matcher path would report both,
+#     the stdlib-ast path (operators/pyast.py via definitions()) reports
+#     exactly the real ones with exact end-exclusive spans. The oracle
+#     reconstructs (kind, name, span_chars) by string arithmetic.
+@register(
+    "q79_ast_definitions",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+    'def real' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10) ||
+    '    s = ' || repeat(chr(34), 3) || chr(10) ||
+    'def fake():' || chr(10) || '    pass' || chr(10) ||
+    repeat(chr(34), 3) || chr(10) ||
+    '    # class Fake2: pass' || chr(10) ||
+    '    return s' || chr(10) AS fn_text,
+    'class C' || CAST(doc_id AS VARCHAR) || ':' || chr(10) ||
+    '    tag = "def not_a_def(): pass"' || chr(10) AS cls_text
+  FROM documents
+)
+SELECT doc_id, 'function' AS def_kind,
+       'real' || CAST(doc_id AS VARCHAR) AS def_name,
+       CAST(strlen(fn_text) - 1 AS BIGINT) AS span_chars
+FROM src
+UNION ALL
+SELECT doc_id, 'class', 'C' || CAST(doc_id AS VARCHAR),
+       CAST(strlen(cls_text) - 1 AS BIGINT)
+FROM src
+""",
+)
+def q79_ast_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("def real"), sid,
+        F.lit('(x):\n    s = """\ndef fake():\n    pass\n"""\n'
+              "    # class Fake2: pass\n    return s\n\n"),
+        F.lit("class C"), sid, F.lit(':\n    tag = "def not_a_def(): pass"\n'),
+    )
+    defs = definitions_df(d.withColumn("code", code), "code", "python")
+    return defs.select(
+        "doc_id",
+        "def_kind",
+        "def_name",
+        (F.col("def_end").cast("long") - F.col("def_start").cast("long")).alias(
+            "span_chars"
+        ),
+    )
+
+
 # --- q49: definition views (the code_ast region classification,
 #     rust/code_ast/src/view/lang.rs classify/is_region → named
 #     function/class/type regions; here operators/code_match.py

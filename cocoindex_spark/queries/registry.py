@@ -44,6 +44,7 @@ _PRIORITY: list[str] = [
     "q76_simhash_wide_pairs",
     "q77_token_packing",
     "q78_contamination",
+    "q79_ast_definitions",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only

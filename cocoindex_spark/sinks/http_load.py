@@ -1,0 +1,119 @@
+"""HTTP batch-load table sink — the Doris "Stream Load" protocol shape
+(reference: python/cocoindex/connectors/doris/_target.py:565-704).
+
+Doris ingests via HTTP PUT of a row batch to
+``/api/{db}/{table}/_stream_load`` with a ``label`` header; the server
+deduplicates labels, which is what makes retried loads exactly-once.
+Deletes ride the same channel as rows carrying the hidden
+``__DORIS_DELETE_SIGN__`` column (merge-on-write semantics).
+
+Spark-first shape, same as the wire SQL sink: ``foreachPartition`` —
+each executor partition chunks its rows, POSTs each chunk with a
+DETERMINISTIC label (md5 of the chunk payload + target name), commits
+nothing driver-side. A task retry re-sends byte-identical chunks under
+identical labels, so the server's label dedup makes speculative
+execution and failure replay converge — the engine's idempotent-MERGE
+contract carried over an at-least-once transport.
+
+The transport is stdlib ``urllib`` (executor-side, no extra deps).
+Tests run against a recording ``http.server`` (tests/test_http_load.py);
+no real Doris ships in this container, so the protocol framing — URL,
+label header, JSON lines body, delete sign — is the tested contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+DELETE_SIGN = "__DORIS_DELETE_SIGN__"
+
+
+def _put(url: str, label: str, body: bytes, headers: dict | None = None) -> int:
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, method="PUT")
+    req.add_header("label", label)
+    req.add_header("Content-Type", "application/json")
+    req.add_header("format", "json")
+    req.add_header("strip_outer_array", "true")
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    with urllib.request.urlopen(req) as resp:
+        return resp.status
+
+
+class HttpLoadTarget:
+    """TableTarget-contract sink over the stream-load protocol.
+
+    ``endpoint`` is the base URL (``http://fe:8030``); rows load to
+    ``{endpoint}/api/{db}/{table}/_stream_load``.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        pk: list[str],
+        schema: StructType,
+        endpoint: str,
+        db: str = "default",
+        rows_per_load: int = 10000,
+        num_writers: int = 8,
+    ):
+        self.name = name
+        self.pk = pk
+        self.schema = schema
+        self.endpoint = endpoint.rstrip("/")
+        self.db = db
+        self.rows_per_load = rows_per_load
+        self._num_writers = num_writers
+
+    @property
+    def load_url(self) -> str:
+        return f"{self.endpoint}/api/{self.db}/{self.name}/_stream_load"
+
+    def _send_rows(self, rows: DataFrame, delete: bool) -> None:
+        cols = [f.name for f in self.schema.fields] if not delete else list(self.pk)
+        url, chunk_rows, table = self.load_url, self.rows_per_load, self.name
+        sign = {DELETE_SIGN: 1} if delete else {}
+
+        def load_partition(it) -> None:
+            buf = []
+
+            def flush() -> None:
+                if not buf:
+                    return
+                body = json.dumps(buf, sort_keys=True, default=str).encode()
+                # Deterministic label: a retried task re-sends the same
+                # bytes under the same label → server-side dedup makes
+                # the load idempotent (the reference's label contract).
+                label = f"{table}-{hashlib.md5(body).hexdigest()}"
+                _put(url, label, body)
+                buf.clear()
+
+            for row in it:
+                buf.append({**{c: row[c] for c in cols}, **sign})
+                if len(buf) >= chunk_rows:
+                    flush()
+            flush()
+
+        # One row per pk (same duplicate-winner rule as the SQL sink),
+        # deterministic chunk contents: sort within partitions so a
+        # retry or a different traversal order yields identical chunks
+        # and therefore identical labels.
+        (
+            rows.select(*cols)
+            .dropDuplicates(self.pk)
+            .repartition(self._num_writers, *self.pk)
+            .sortWithinPartitions(*self.pk)
+            .foreachPartition(load_partition)
+        )
+
+    def upsert(self, rows: DataFrame) -> None:
+        self._send_rows(rows, delete=False)
+
+    def delete(self, keys: DataFrame) -> None:
+        self._send_rows(keys, delete=True)
