@@ -191,6 +191,7 @@ class App:
 
         use_cheap = bool(cheap_fp_cols) and memo and not full_reprocess
         cheap_listing = None
+        cheap_probe = None
         cheap_replay = None
         if use_cheap:
             if load is None:
@@ -222,7 +223,6 @@ class App:
                     "__component_path", self._path_col(component_prefix, key_cols)
                 )
                 .dropDuplicates(["__component_path", "__cheap_fp"])
-                .cache()
             )
             sfp = (
                 self.state.source_fp.read(spark)
@@ -233,52 +233,56 @@ class App:
                     F.col("args_fp").alias("__args_fp"),
                 )
             )
-            cheap_hit = cheap_listing.join(
-                sfp, ["__component_path", "__cheap_fp"], "inner"
-            )
-            cheap_miss = cheap_listing.join(
-                sfp, ["__component_path", "__cheap_fp"], "left_anti"
+            # ---- level 2: load content for cheap misses only ----
+            # ONE metadata-only frame (listing ⋈ fp-map ⋈ memo keys — no
+            # content column anywhere) is computed ONCE and cached; the
+            # hit/miss split, the replay branch, and both cheap-path
+            # counts (n_need: rows that must load content; n_cheap:
+            # replays that skip content I/O entirely) all derive from it
+            # as cache-backed filters. The r2/r3a shape re-executed the
+            # listing ⋈ fp-map join in every downstream job (probe agg,
+            # keyed materialization via need_load, desired via
+            # cheap_replay) — three metadata joins per sync — which is
+            # exactly why pipe_edit_cheap lost to pipe_edit on constant
+            # overhead. When nothing needs loading we substitute a
+            # LITERAL empty frame below: merely executing load()'s plan
+            # over an empty input would still scan its right side (a
+            # content join scans the content table even when the probe
+            # side is empty), which is the O(data) warm cost this path
+            # exists to eliminate.
+            cheap_probe = (
+                cheap_listing.join(sfp, ["__component_path", "__cheap_fp"], "left")
+                .join(
+                    memo_keys.withColumn("__in_memo", F.lit(True)), "__args_fp", "left"
+                )
+                .cache()
             )
             # A cheap hit only skips loading if its memoized result still
-            # exists; a GC'd memo entry falls back to the load path. The
-            # replay join fetches result_json HERE — one memo join total
-            # on the replay branch, instead of a semi-join now plus a
-            # second result join at replay time (that double memo read
-            # was part of the r2 cheap-path overhead).
-            cheap_replay = cheap_hit.join(
-                memo_df.select(
-                    F.col("args_fp").alias("__args_fp"), "result_json", "decl_json"
-                ),
-                "__args_fp",
-                "inner",
-            ).select("__args_fp", "__component_path", "result_json", "decl_json")
-            need_load = cheap_miss.unionByName(
-                cheap_hit.join(memo_keys, "__args_fp", "left_anti").drop("__args_fp")
+            # exists (__in_memo); a GC'd memo entry falls back to the
+            # load path.
+            _replayable = F.col("__args_fp").isNotNull() & F.col(
+                "__in_memo"
+            ).isNotNull()
+            need_load = cheap_probe.filter(~_replayable).drop(
+                "__args_fp", "__in_memo"
             )
-            # ---- level 2: load content for cheap misses only ----
-            # ONE metadata-only job (listing ⋈ fp-map ⋈ memo keys — no
-            # content column anywhere) yields both cheap-path counts:
-            # n_need (rows that must load content) and n_cheap (replays
-            # that skip content I/O entirely). Folding them into a
-            # single aggregate — instead of a count() job each on
-            # need_load and cheap_replay — is what keeps the two-level
-            # path's constant overhead below the single-level path's
-            # content scan (the r2 bench had pipe_edit_cheap LOSING to
-            # pipe_edit on exactly these extra jobs). need_load /
-            # cheap_replay themselves stay lazy: downstream consumers
-            # rebuild them from the cached listing, which is O(listing).
-            # When nothing needs loading we substitute a LITERAL empty
-            # frame: merely executing load()'s plan over an empty input
-            # would still scan its right side (a content join scans the
-            # content table even when the probe side is empty), which is
-            # exactly the O(data) warm cost this path exists to
-            # eliminate.
-            probe = cheap_listing.join(
-                sfp, ["__component_path", "__cheap_fp"], "left"
-            ).join(
-                memo_keys.withColumn("__in_memo", F.lit(True)), "__args_fp", "left"
+            # Replays carry METADATA only (decl_json) — the fat
+            # result_json column stays out of every main-path memo scan;
+            # the sink phase fetches payloads bucket-scoped for exactly
+            # the replayed rows that must rewrite (normally zero).
+            cheap_replay = (
+                cheap_probe.filter(_replayable)
+                .select("__args_fp", "__component_path")
+                .join(
+                    memo_df.select(
+                        F.col("args_fp").alias("__args_fp"), "decl_json"
+                    ),
+                    "__args_fp",
+                    "inner",
+                )
+                .select("__args_fp", "__component_path", "decl_json")
             )
-            n_total, n_cheap = probe.agg(
+            n_total, n_cheap = cheap_probe.agg(
                 F.count(F.lit(1)),
                 F.sum(
                     F.when(
@@ -325,17 +329,15 @@ class App:
         if memo and not full_reprocess:
             hits_keys = keyed.join(
                 memo_df.select(
-                    F.col("args_fp").alias("__args_fp"), "result_json", "decl_json"
+                    F.col("args_fp").alias("__args_fp"), "decl_json"
                 ),
                 "__args_fp",
                 "inner",
             )
             miss_src = keyed.join(memo_keys, "__args_fp", "left_anti")
         else:
-            hits_keys = (
-                keyed.limit(0)
-                .withColumn("result_json", F.lit(None).cast("string"))
-                .withColumn("decl_json", F.lit(None).cast("string"))
+            hits_keys = keyed.limit(0).withColumn(
+                "decl_json", F.lit(None).cast("string")
             )
             miss_src = keyed
 
@@ -387,7 +389,7 @@ class App:
         from pyspark.sql.types import StructType as _ST
 
         replay_src = hits_keys.select(
-            "__args_fp", "__component_path", "result_json", "decl_json"
+            "__args_fp", "__component_path", "decl_json"
         )
         if cheap_replay is not None:
             # Cheap-fp hits never loaded content; their memoized result
@@ -407,6 +409,7 @@ class App:
             self._path_col(target.name, target.pk).alias("target_path"),
             fp_col(*[F.col(c) for c in out_cols]).alias("fp"),
             "__args_fp",
+            F.lit(False).alias("__is_replay"),
         )
         hit_decl = replay_src.select(
             F.col("__component_path").alias("component_path"),
@@ -417,6 +420,7 @@ class App:
             F.col("__d.target_path").alias("target_path"),
             F.col("__d.fp").alias("fp"),
             "__args_fp",
+            F.lit(True).alias("__is_replay"),
         )
         desired = miss_decl.unionByName(hit_decl)
 
@@ -583,13 +587,43 @@ class App:
                 payload_miss = miss_out.withColumn(
                     "target_path", self._path_col(target.name, target.pk)
                 ).select("target_path", *out_cols)
-                replay_payload = (
-                    replay_src.join(
-                        upserts.select("__args_fp").distinct(),
-                        "__args_fp",
-                        "left_semi",
+                if memo and not full_reprocess and counts.get("__replay_upserts"):
+                    # Replayed components needing a (re)write are the
+                    # upsert fps that are NOT misses — normally zero
+                    # (recovery/divergence only). Their payloads come
+                    # from a BUCKET-SCOPED memo read: on the common path
+                    # touched_buckets([]) = [] and the fat result_json
+                    # column is never scanned at all; when rows do need
+                    # it, I/O is ∝ the handful of touched buckets, never
+                    # the memo table (the pre-r3c shape full-scanned
+                    # result_json inside every sink job).
+                    needed = (
+                        upserts.select("__args_fp")
+                        .distinct()
+                        .join(
+                            miss_out.select("__args_fp").distinct(),
+                            "__args_fp",
+                            "left_anti",
+                        )
                     )
-                    .select(
+                    nb = self.state.memo.touched_buckets(
+                        needed.select(
+                            F.lit(logic_fp).alias("logic_fp"),
+                            F.col("__args_fp").alias("args_fp"),
+                        )
+                    )
+                    payload_rows = (
+                        self.state.memo.read(spark, nb)
+                        .filter(F.col("logic_fp") == logic_fp)
+                        .select(F.col("args_fp").alias("__args_fp"), "result_json")
+                        .join(needed, "__args_fp", "left_semi")
+                    )
+                else:
+                    payload_rows = spark.createDataFrame(
+                        [], "__args_fp STRING, result_json STRING"
+                    )
+                replay_payload = (
+                    payload_rows.select(
                         F.explode(
                             F.from_json(F.col("result_json"), ArrayType(row_schema))
                         ).alias("__row")
@@ -656,7 +690,7 @@ class App:
                     self.state.source_fp.read(spark)
                     .filter(F.col("component_path").startswith(component_prefix + "/"))
                     .join(
-                        cheap_listing.select(
+                        cheap_probe.select(
                             F.col("__component_path").alias("component_path")
                         ),
                         "component_path",
@@ -720,7 +754,7 @@ class App:
             miss_out_raw,
             miss_src,
             keyed,
-            cheap_listing,
+            cheap_probe,
             failed_paths,
         ):
             if cached is not None:

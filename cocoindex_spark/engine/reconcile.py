@@ -42,10 +42,27 @@ class ReconcilePlan:
     actions: DataFrame  # component_path, target_path, action, fp, payload cols...
 
     def counts(self) -> dict[str, int]:
-        rows = self.actions.groupBy("action").count().collect()
+        """Per-action row counts; when the desired frame carried an
+        ``__is_replay`` passthrough flag, also ``__replay_upserts`` —
+        the number of insert/update rows belonging to REPLAYED (memo
+        hit) components, folded into this same aggregate so callers can
+        gate the sink's payload fetch on it without an extra job
+        (normally 0: replays reconcile to noops)."""
+        agg = [F.count(F.lit(1)).alias("count")]
+        has_flag = "__is_replay" in self.actions.columns
+        if has_flag:
+            agg.append(
+                F.sum(F.when(F.col("__is_replay"), 1).otherwise(0)).alias("n_replay")
+            )
+        rows = self.actions.groupBy("action").agg(*agg).collect()
         out = {ACTION_INSERT: 0, ACTION_UPDATE: 0, ACTION_DELETE: 0, ACTION_NOOP: 0}
+        replay_upserts = 0
         for r in rows:
             out[r["action"]] = r["count"]
+            if has_flag and r["action"] in (ACTION_INSERT, ACTION_UPDATE):
+                replay_upserts += int(r["n_replay"] or 0)
+        if has_flag:
+            out["__replay_upserts"] = replay_upserts
         return out
 
     def changes(self) -> DataFrame:

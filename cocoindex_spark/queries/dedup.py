@@ -452,3 +452,88 @@ def q37_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - 1).alias("n_dups"),
         )
     )
+
+
+# --- q80: near-dup retention policy — the decision step AFTER pair
+#     detection. A doc is dropped when some near-dup neighbor (wide
+#     SimHash, hamming<=3 — q76's relation) strictly dominates it on
+#     (token_count, -doc_id); ties on quality keep the lower doc_id.
+#     This is the pairwise form of "keep the best doc per near-dup
+#     cluster" (reference analog: dedup canonical selection,
+#     python/cocoindex/ops/dedup — the reference also picks one
+#     survivor per duplicate group): candidate-scoped, so at 100 TB it
+#     costs one extra equi-join + groupBy over the (small) pair list —
+#     never a pass over the corpus. The dominance key packs
+#     (quality, -id) into one BIGINT (tokens*2^40 - id: exact while
+#     tokens < 2^23 and id < 2^40) so argmax is a plain integer MAX —
+#     deterministic in both engines, no struct-ordering semantics.
+_RET_SHIFT = 1 << 40
+
+
+@register(
+    "q80_dup_retention",
+    oracle=f"""
+WITH sim AS ({sql_simhash_wide(_TOKENS_SQL, "doc_id", "tok", _WIDE_BITS)}),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+qual AS (
+  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+nb AS (
+  SELECT a_id AS doc_id, b_id AS nbr FROM pairs
+  UNION ALL
+  SELECT b_id AS doc_id, a_id AS nbr FROM pairs
+),
+keyed AS (
+  SELECT n.doc_id,
+         qd.n_tokens,
+         qd.n_tokens * {_RET_SHIFT} - n.doc_id AS my_key,
+         n.nbr,
+         qn.n_tokens * {_RET_SHIFT} - n.nbr AS nbr_key
+  FROM nb n
+  JOIN qual qd ON qd.doc_id = n.doc_id
+  JOIN qual qn ON qn.doc_id = n.nbr
+)
+SELECT doc_id,
+       arg_max(nbr, nbr_key) AS kept_by,
+       MIN(n_tokens) AS n_tokens
+FROM keyed
+WHERE nbr_key > my_key
+GROUP BY doc_id
+""",
+)
+def q80_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q76_simhash_wide_pairs(spark, sf_dir).select("a_id", "b_id")
+    d = table(spark, sf_dir, "documents")
+    qual = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    nb = pairs.select(F.col("a_id").alias("doc_id"), F.col("b_id").alias("nbr")).unionAll(
+        pairs.select(F.col("b_id").alias("doc_id"), F.col("a_id").alias("nbr"))
+    )
+    qd = qual.select("doc_id", "n_tokens")
+    qn = qual.select(F.col("doc_id").alias("nbr"), F.col("n_tokens").alias("nbr_tokens"))
+    keyed = (
+        nb.join(qd, "doc_id")
+        .join(qn, "nbr")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") * _RET_SHIFT - F.col("doc_id")).alias("my_key"),
+            "nbr",
+            (F.col("nbr_tokens") * _RET_SHIFT - F.col("nbr")).alias("nbr_key"),
+        )
+    )
+    return (
+        keyed.filter(F.col("nbr_key") > F.col("my_key"))
+        .groupBy("doc_id")
+        .agg(
+            F.max_by("nbr", "nbr_key").alias("kept_by"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+    )

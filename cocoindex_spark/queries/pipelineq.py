@@ -289,3 +289,65 @@ def q78_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+# --- q81: source-mixture reweighting — temperature-scaled (alpha=0.5)
+#     sampling weights per source plus an integer token allocation for
+#     a fixed training budget. The standard pre-training mixing step
+#     (weights ∝ tokens^alpha flatten head sources, upweight tails).
+#     Cross-engine exactness: sqrt is IEEE-correctly-rounded in both
+#     engines, so floor(sqrt(n)*2^20) is bit-identical; every ratio
+#     after that is integer arithmetic or a SINGLE division of two
+#     BIGINTs (no multi-term double sums). The grand total rides in on
+#     a broadcast 1-row frame, not an unpartitioned window. Scale: one
+#     groupBy over the corpus, then O(#sources) work.
+_MIX_Q = 1 << 20  # sqrt quantizer
+_MIX_BUDGET = 1_000_000  # training-token budget to allocate
+
+
+@register(
+    "q81_mixture_weights",
+    oracle=f"""
+WITH per AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+wq AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {_MIX_Q}) AS BIGINT) AS w
+  FROM per
+),
+tot AS (SELECT SUM(w) AS total_w FROM wq)
+SELECT source, n_docs, n_tokens,
+  CAST(w AS DOUBLE) / total_w AS weight,
+  CAST(({_MIX_BUDGET} * w) // total_w AS BIGINT) AS alloc_tokens,
+  CAST(((({_MIX_BUDGET} * w) // total_w) * 1000) // n_tokens AS BIGINT) AS epochs_milli
+FROM wq, tot
+""",
+)
+def q81_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " "))).cast("long").alias("n_tokens"),
+    )
+    wq = per.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * _MIX_Q).cast("long"),
+    )
+    tot = wq.agg(F.sum("w").alias("total_w"))
+    alloc = F.expr(f"({_MIX_BUDGET} * w) div total_w")
+    return (
+        wq.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("w").cast("double") / F.col("total_w")).alias("weight"),
+            alloc.alias("alloc_tokens"),
+            F.expr(f"((({_MIX_BUDGET} * w) div total_w) * 1000) div n_tokens").alias(
+                "epochs_milli"
+            ),
+        )
+    )

@@ -45,6 +45,8 @@ _PRIORITY: list[str] = [
     "q77_token_packing",
     "q78_contamination",
     "q79_ast_definitions",
+    "q80_dup_retention",
+    "q81_mixture_weights",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only
