@@ -90,6 +90,9 @@ HEADLINE = [
     "q77_token_packing",
     "q78_contamination",
     "q79_ast_definitions",
+    "q80_dup_retention",
+    "q81_mixture_weights",
+    "q82_pagerank",
 ]
 
 

@@ -15,7 +15,13 @@ Public API:
 from cocoindex_spark.engine.app import App, SyncStats
 from cocoindex_spark.engine.function import fn
 from cocoindex_spark.engine.reconcile import reconcile
-from cocoindex_spark.fingerprint import fp_col, fp_logic, fp_value
+from cocoindex_spark.fingerprint import (
+    NotMemoKeyable,
+    fp_col,
+    fp_logic,
+    fp_value,
+    register_memo_key,
+)
 from cocoindex_spark.sinks.table import TableTarget
 from cocoindex_spark.state.store import ManagedTable, StateStore
 
@@ -27,6 +33,8 @@ __all__ = [
     "fp_col",
     "fp_logic",
     "fp_value",
+    "NotMemoKeyable",
+    "register_memo_key",
     "TableTarget",
     "ManagedTable",
     "StateStore",

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cocoindex_spark.engine.reconcile import reconcile, tracking_updates
-from cocoindex_spark.fingerprint import fp_col, fp_logic
+from cocoindex_spark.fingerprint import fp_col, fp_logic, fp_value
 from cocoindex_spark.sinks.table import TableTarget
 from cocoindex_spark.state.store import StateStore
 
@@ -771,6 +771,53 @@ class App:
 
     # -- memo GC (§7.4.8; reference: version retention execution.rs:447-452,
     #    tombstone GC Phase 5 app_store.rs:316) --------------------------
+    def call_fn(self, f: Callable, *args, **kwargs):
+        """Driver-side memoized invocation of an ``@fn``-decorated plain
+        Python function — the call-site path of SURVEY §3.2
+        (``await embed(chunk)``: function.py:440-522 memo-key pipeline →
+        memo_fingerprint.py:412 fingerprint_call → LMDB
+        FunctionMemoization lookup, db_schema.rs:67-70).
+
+        The memo key is (logic_fp, canonical-args fp) — args run the
+        full memo-key canonicalization (dataclasses, pydantic,
+        ``__coco_memo_key__`` overrides, registered key fns,
+        NotMemoKeyable poison). A dependency edit changes logic_fp and
+        so transitively invalidates callers, the reference's rule. The
+        lookup is a BUCKET-SCOPED single-key read of the memo table
+        (one bucket's parquet, never a table scan); results round-trip
+        as JSON. Rows written here carry decl_json NULL, which makes
+        them invisible to sync_table's replay path (it filters
+        ``decl_json IS NOT NULL``) — the two memo populations share the
+        table but never cross.
+        """
+        import json as _json
+
+        logic_fp = getattr(f, "logic_fp", None) or fp_logic(f)
+        args_fp = fp_value([list(args), kwargs])
+        key = self.spark.createDataFrame(
+            [(logic_fp, args_fp)], "logic_fp STRING, args_fp STRING"
+        )
+        bks = self.state.memo.touched_buckets(key)
+        hit = (
+            self.state.memo.read(self.spark, bks)
+            .filter(
+                (F.col("logic_fp") == logic_fp) & (F.col("args_fp") == args_fp)
+            )
+            .select("result_json")
+            .limit(1)
+            .collect()  # single-row state read
+        )
+        if hit:
+            return _json.loads(hit[0]["result_json"])
+        out = f(*args, **kwargs)
+        if getattr(f, "memo", True):
+            row = self.spark.createDataFrame(
+                [(logic_fp, args_fp, _json.dumps(out), None, 0)],
+                self.state.memo.schema,
+            )
+            self.state.memo.merge_upsert(row)
+        return out
+
     def gc_memo(self, source: DataFrame, transform: Callable) -> int:
         """Sweep memo rows of ``transform`` whose args fingerprint no
         longer occurs in ``source`` — the rows only dead keys leave

@@ -32,10 +32,64 @@ def fp_bytes(data: bytes) -> str:
     return hashlib.blake2b(data, digest_size=FP_LEN).hexdigest()
 
 
+class NotMemoKeyable:
+    """Poison marker (memo_fingerprint.py's NotMemoKeyable analog):
+    instances — and instances of subclasses — refuse fingerprinting
+    even when they would otherwise be structurally encodable, so a
+    type that must never silently become a memo key (an open handle, a
+    live client) fails loudly at key-derivation time."""
+
+
+_MEMO_KEY_FNS: dict[type, Any] = {}
+
+
+def register_memo_key(tp: type):
+    """Register a key-derivation function for ``tp`` (the reference's
+    registered-key-fn path, memo_fingerprint.py:268-404). The decorated
+    function receives the instance and returns any fingerprintable
+    value; exact-type match only (no MRO walk — same as the reference's
+    registry lookup)."""
+
+    def deco(fn):
+        _MEMO_KEY_FNS[tp] = fn
+        return fn
+
+    return deco
+
+
 def _canonical(value: Any) -> bytes:
     """Canonical byte encoding of a Python value tree (sorted mappings,
     type-tagged scalars) — the memo-key canonicalization analog of
-    memo_fingerprint.py:177-232."""
+    memo_fingerprint.py:177-232. Precedence for non-primitive values
+    (memo_fingerprint.py:268-404): poison > registered key fn >
+    ``__coco_memo_key__`` override > dataclass > pydantic model >
+    containers. Class-keyed encodings are tagged with the qualified
+    class name so two classes with equal field dicts never collide."""
+    if isinstance(value, NotMemoKeyable):
+        raise TypeError(
+            f"not memo-keyable (NotMemoKeyable): {type(value).__qualname__}"
+        )
+    keyfn = _MEMO_KEY_FNS.get(type(value))
+    if keyfn is not None:
+        return b"k" + type(value).__qualname__.encode() + b"\x02" + _canonical(
+            keyfn(value)
+        )
+    override = getattr(type(value), "__coco_memo_key__", None)
+    if override is not None:
+        return b"k" + type(value).__qualname__.encode() + b"\x02" + _canonical(
+            value.__coco_memo_key__()
+        )
+    import dataclasses
+
+    if dataclasses.is_dataclass(value) and not isinstance(value, type):
+        fields = {f.name: getattr(value, f.name) for f in dataclasses.fields(value)}
+        return (
+            b"d" + type(value).__qualname__.encode() + b"\x02" + _canonical(fields)
+        )
+    dump = getattr(value, "model_dump", None)
+    if dump is not None and callable(dump) and hasattr(type(value), "model_fields"):
+        # pydantic v2 duck-type (the library is optional here)
+        return b"p" + type(value).__qualname__.encode() + b"\x02" + _canonical(dump())
     if value is None:
         return b"n"
     if isinstance(value, bool):

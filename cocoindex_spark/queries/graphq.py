@@ -149,3 +149,84 @@ def q68_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_parts"))
         .filter(F.col("shared_parts") >= 2)
     )
+
+
+# --- q82: PageRank — the iterative-algorithm representative, fully
+#     value-oracled. The usual escape hatch for iterative algorithms is
+#     a rows-only check; instead the whole computation is INTEGER
+#     fixed-point (rank mass scaled by 10^12, truncating division) so
+#     three unrolled iterations are bit-identical in Spark and DuckDB
+#     (positive operands: Spark's `div` truncation == DuckDB's `//`
+#     floor). Graph = the bidirected supplier<->part edge set (the
+#     directed projection is bipartite with all-sink parts — rank mass
+#     would die in one hop); bidirecting also guarantees every node has
+#     an out-edge, so there are no dangling nodes and no mass-leak
+#     correction term. Scale shape: each iteration is ONE equi-join of
+#     the rank vector with the (pre-aggregated) out-degree table plus
+#     one groupBy over edge endpoints — the canonical distributed
+#     PageRank plan; the iteration count is fixed, the driver holds no
+#     per-node state, and the node-count scalar rides in as a broadcast
+#     1-row frame. Reference analog: graph targets feeding downstream
+#     graph analytics (docs examples build neo4j graphs for exactly
+#     this kind of traversal scoring).
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def _sql_pagerank() -> str:
+    cte = [
+        f"e AS ({_SQL_EDGES})",
+        "bi AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM bi GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS id FROM bi)",
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"r0 AS (SELECT id, {_PR_SCALE} // t.n AS r FROM nodes, tot t)",
+    ]
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        cte.append(
+            f"s{i} AS (SELECT bi.dst AS id, CAST(SUM({prev}.r // deg.od) AS BIGINT) AS s "
+            f"FROM {prev} JOIN deg ON {prev}.id = deg.src JOIN bi ON bi.src = deg.src "
+            f"GROUP BY bi.dst)"
+        )
+        cte.append(
+            f"r{i} AS (SELECT nodes.id, "
+            f"CAST((3 * {_PR_SCALE}) // (20 * (SELECT n FROM tot)) + (85 * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes LEFT JOIN s{i} ON nodes.id = s{i}.id)"
+        )
+        prev = f"r{i}"
+    return "WITH " + ",\n".join(cte) + f"\nSELECT id, r AS rank FROM {prev}"
+
+
+@register("q82_pagerank", oracle=_sql_pagerank())
+def q82_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir, materialize=True)
+    bi = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = bi.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("od"))
+    nodes = bi.select(F.col("src").alias("id")).distinct()
+    tot = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # rank frames stay (id, r, n): n rides along so the per-iteration
+    # base term needs no repeated cross join
+    r = nodes.crossJoin(F.broadcast(tot)).select(
+        "id", F.expr(f"{_PR_SCALE} div n").alias("r"), "n"
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            r.join(deg, r["id"] == deg["src"])
+            .select(F.col("src"), F.expr("r div od").alias("share"))
+            .join(bi, "src")
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        r = (
+            r.select("id", "n")
+            .join(contrib, r["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                F.expr(
+                    f"CAST((3 * {_PR_SCALE}) div (20 * n) + (85 * COALESCE(s, 0)) div 100 AS BIGINT)"
+                ).alias("r"),
+                "n",
+            )
+        )
+    return r.select("id", F.col("r").alias("rank"))

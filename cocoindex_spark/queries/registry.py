@@ -47,6 +47,7 @@ _PRIORITY: list[str] = [
     "q79_ast_definitions",
     "q80_dup_retention",
     "q81_mixture_weights",
+    "q82_pagerank",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only

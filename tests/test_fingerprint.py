@@ -94,3 +94,125 @@ def test_fn_decorator_dep_propagation():
     fp_with_dep2 = fn(deps=(dep_v2,))(lambda df: df).logic_fp
     assert fp_with_dep1 != fp_with_dep2
     assert caller_a.logic_fp  # decorated fns always carry a fingerprint
+
+
+# ---- memo-key canonicalization beyond primitives (SURVEY §1.3:
+#      dataclasses, pydantic, __coco_memo_key__ overrides, registered
+#      key fns, NotMemoKeyable poison — memo_fingerprint.py:177-404) ----
+import dataclasses
+
+import pytest
+
+from cocoindex_spark.fingerprint import (
+    NotMemoKeyable,
+    fp_value,
+    register_memo_key,
+)
+
+
+@dataclasses.dataclass
+class _Cfg:
+    model: str
+    dim: int
+
+
+@dataclasses.dataclass
+class _Cfg2:
+    model: str
+    dim: int
+
+
+def test_dataclass_memo_key_structural_and_class_tagged():
+    assert fp_value(_Cfg("e5", 384)) == fp_value(_Cfg("e5", 384))
+    assert fp_value(_Cfg("e5", 384)) != fp_value(_Cfg("e5", 512))
+    # equal fields, different class -> different key
+    assert fp_value(_Cfg("e5", 384)) != fp_value(_Cfg2("e5", 384))
+    # field ORDER does not matter (sorted mapping), only names/values
+    assert fp_value(_Cfg("e5", 384)) != fp_value({"model": "e5", "dim": 384})
+
+
+def test_coco_memo_key_override_wins_over_structure():
+    class Handle:
+        def __init__(self, url, secret):
+            self.url, self.secret = url, secret
+
+        def __coco_memo_key__(self):
+            return self.url  # secret excluded from identity
+
+    assert fp_value(Handle("a", "s1")) == fp_value(Handle("a", "s2"))
+    assert fp_value(Handle("a", "s1")) != fp_value(Handle("b", "s1"))
+    # and never equal to the bare payload value
+    assert fp_value(Handle("a", "s1")) != fp_value("a")
+
+
+def test_registered_key_fn_exact_type():
+    class Model:
+        def __init__(self, name):
+            self.name = name
+
+    @register_memo_key(Model)
+    def _model_key(m):
+        return ("model", m.name)
+
+    assert fp_value(Model("x")) == fp_value(Model("x"))
+    assert fp_value(Model("x")) != fp_value(Model("y"))
+
+    class SubModel(Model):  # exact-type registry: subclass is NOT keyed
+        pass
+
+    with pytest.raises(TypeError):
+        fp_value(SubModel("x"))
+
+
+def test_not_memo_keyable_poison():
+    class LiveClient(NotMemoKeyable):
+        def __coco_memo_key__(self):  # poison beats the override
+            return "nope"
+
+    with pytest.raises(TypeError, match="NotMemoKeyable"):
+        fp_value(LiveClient())
+    with pytest.raises(TypeError):
+        fp_value({"nested": [LiveClient()]})
+
+
+def test_pydantic_ducktype_model():
+    class FakeModel:  # pydantic-v2 duck type: model_dump + model_fields
+        model_fields = {"a": None}
+
+        def __init__(self, a):
+            self.a = a
+
+        def model_dump(self):
+            return {"a": self.a}
+
+    assert fp_value(FakeModel(1)) == fp_value(FakeModel(1))
+    assert fp_value(FakeModel(1)) != fp_value(FakeModel(2))
+    assert fp_value(FakeModel(1)) != fp_value({"a": 1})
+
+
+def test_call_fn_memoizes_and_invalidates(tmp_path, spark):
+    from cocoindex_spark.engine.app import App
+    from cocoindex_spark.engine.function import fn
+
+    calls = []
+
+    @fn()
+    def embed(text, dim=4):
+        calls.append(text)
+        return [float(len(text))] * dim
+
+    app = App("callmemo", state_dir=str(tmp_path), spark=spark)
+    assert app.call_fn(embed, "hello", dim=2) == [5.0, 5.0]
+    assert app.call_fn(embed, "hello", dim=2) == [5.0, 5.0]
+    assert calls == ["hello"]  # second call replayed from the memo table
+    app.call_fn(embed, "hello", dim=3)  # different args -> recompute
+    assert calls == ["hello", "hello"]
+
+    @fn(version=2)
+    def embed_v2(text, dim=4):
+        calls.append(text)
+        return [float(len(text))] * dim
+
+    # logic change (version bump) invalidates the cached call
+    app.call_fn(embed_v2, "hello", dim=2)
+    assert calls == ["hello", "hello", "hello"]

@@ -182,6 +182,19 @@ CHECKS = {
         [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", r"HashAggregate"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    "q80_dup_retention": (
+        # retention: band equi-joins + candidate-scoped dominance agg —
+        # never a corpus-wide cross product
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q81_mixture_weights": (
+        # one corpus groupBy; the grand total attaches as a broadcast
+        # 1-row side (the intentional tiny-side nested-loop), so BNLJ
+        # is EXPECTED here — forbid only a non-broadcast cartesian
+        [r"HashAggregate", r"Broadcast"],
+        [r"CartesianProduct"],
+    ),
 }
 
 # Node-count ceilings: (node regex, max occurrences in the plan).
