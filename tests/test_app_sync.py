@@ -480,3 +480,35 @@ def test_empty_source_wipes_target(app, spark, tmp_state):
     again = app.sync_table(src, ["path"], enrich, t)
     assert again.inserts == 2
     assert _contents(t, spark) == {"a": ("X", 1), "b": ("YY", 2)}
+
+
+def test_replay_rewrite_restores_target_from_memo(app, spark, tmp_state):
+    """A replayed (memo-hit) component whose tracking says
+    may_be_missing must REWRITE its target rows from the memoized
+    payload without recomputing — the recovery path that drives the
+    sink phase's bucket-scoped memo fetch (payloads deserialize for
+    exactly the replayed rows reconcile marks insert/update)."""
+    t = _target(app, tmp_state)
+    src = _source(spark, [("a", "alpha"), ("b", "beta"), ("c", "gamma")])
+    app.sync_table(src, ["path"], enrich, t)
+
+    # Simulate a sink that may have lost component 'b' (the reference's
+    # prev_may_be_missing forcing, target_state.mdx:140-144): flip the
+    # tracking flag, leaving source + memo untouched.
+    tr = app.state.tracking.read(spark)
+    flagged = tr.withColumn(
+        "may_be_missing",
+        F.when(F.col("component_path").endswith("/b"), F.lit(True)).otherwise(
+            F.col("may_be_missing")
+        ),
+    )
+    app.state.tracking.overwrite(flagged)
+
+    st = app.sync_table(src, ["path"], enrich, t)
+    assert st.memo_misses == 0, "recovery must replay from memo, not recompute"
+    assert st.updates == 1 and st.inserts == 0 and st.deletes == 0
+    rows = {r["path"]: r["text_upper"] for r in t.read(spark).collect()}
+    assert rows == {"a": "ALPHA", "b": "BETA", "c": "GAMMA"}
+
+    st2 = app.sync_table(src, ["path"], enrich, t)
+    assert st2.updates == 0 and st2.noops > 0, "recovery converges to noop"
