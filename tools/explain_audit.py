@@ -195,6 +195,12 @@ CHECKS = {
         [r"HashAggregate", r"Broadcast"],
         [r"CartesianProduct"],
     ),
+    "q82_pagerank": (
+        # iterative rank: equi-joins + endpoint groupBys per iteration;
+        # the node-count scalar is a broadcast 1-row side (BNLJ ok)
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", r"HashAggregate"],
+        [r"CartesianProduct"],
+    ),
 }
 
 # Node-count ceilings: (node regex, max occurrences in the plan).
