@@ -93,6 +93,7 @@ HEADLINE = [
     "q80_dup_retention",
     "q81_mixture_weights",
     "q82_pagerank",
+    "q83_multiprobe_topk",
 ]
 
 

@@ -48,6 +48,7 @@ _PRIORITY: list[str] = [
     "q80_dup_retention",
     "q81_mixture_weights",
     "q82_pagerank",
+    "q83_multiprobe_topk",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only

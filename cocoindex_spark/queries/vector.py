@@ -577,3 +577,76 @@ def q28_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --- q83: multi-probe LSH top-k — the recall lever that does NOT grow
+#     the index. Single-bucket LSH (q23) misses neighbors that land one
+#     sign-flip away; multi-probe additionally scans the query bucket's
+#     Hamming-1 neighborhood (9 buckets of 2^8) — the classic
+#     multi-probe trade (Lv et al.: probe sequence instead of more
+#     tables), here as a broadcast 9-row probe list equi-joined to the
+#     bucketed corpus, so the scan stays index-backed at any scale.
+#     Ranking uses the RAW fixed-point dot product (BIGINT) as the sort
+#     key — integer-exact in both engines, no float-ordering hazard —
+#     with vec_id as the unique tiebreak.
+_PROBE_MASKS = [0] + [1 << j for j in range(8)]
+_SQL_MASKS = ", ".join(f"({m})" for m in _PROBE_MASKS)
+
+
+@register(
+    "q83_multiprobe_topk",
+    oracle=f"""
+WITH eb AS (
+  SELECT vec_id, embedding, {sql_sign_bucket("embedding", 8)} AS bucket,
+         {sql_dot_fixed("embedding", "embedding")} AS sqn
+  FROM embeddings
+),
+q AS (SELECT bucket, embedding AS q_emb, sqn AS q_sqn FROM eb WHERE vec_id = 0),
+probes AS (
+  SELECT xor(q.bucket, m.m) AS bucket, q.q_emb, q.q_sqn
+  FROM q, (VALUES {_SQL_MASKS}) AS m(m)
+),
+cand AS (
+  SELECT e.vec_id,
+         CAST({sql_dot_fixed("p.q_emb", "e.embedding")} AS BIGINT) AS dq,
+         e.sqn, p.q_sqn
+  FROM probes p JOIN eb e ON e.bucket = p.bucket
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, dq,
+       CAST(dq AS DOUBLE) / sqrt(CAST(sqn AS DOUBLE) * CAST(q_sqn AS DOUBLE)) AS sim
+FROM cand ORDER BY dq DESC, vec_id ASC LIMIT 25
+""",
+)
+def q83_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .withColumn("bucket", sign_bucket_arrow(F.col("embedding"), 8))
+        .withColumn("sqn", dot_fixed_arrow(F.col("embedding"), F.col("embedding")))
+        .localCheckpoint(eager=True)
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qb"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sqn").alias("q_sqn"),
+    )
+    probes = q.select(
+        F.explode(
+            F.array(*[F.col("qb").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS])
+        ).alias("bucket"),
+        "q_emb",
+        "q_sqn",
+    )
+    cand = F.broadcast(probes).join(e, "bucket").filter(F.col("vec_id") != 0)
+    return (
+        cand.withColumn(
+            "dq", dot_fixed_arrow(F.col("embedding"), F.col("q_emb"))
+        )
+        .select(
+            "vec_id",
+            "dq",
+            cosine_from_fixed(F.col("dq"), F.col("sqn"), F.col("q_sqn")).alias("sim"),
+        )
+        .orderBy(F.desc("dq"), F.asc("vec_id"))
+        .limit(25)
+    )

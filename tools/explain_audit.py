@@ -195,6 +195,12 @@ CHECKS = {
         [r"HashAggregate", r"Broadcast"],
         [r"CartesianProduct"],
     ),
+    "q83_multiprobe_topk": (
+        # multi-probe: 9-row probe list BROADCAST onto the bucketed
+        # corpus — index-backed equi-join, never a corpus scan per probe
+        [r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
     "q82_pagerank": (
         # iterative rank: equi-joins + endpoint groupBys per iteration;
         # the node-count scalar is a broadcast 1-row side (BNLJ ok)
