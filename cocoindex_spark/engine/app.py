@@ -571,9 +571,20 @@ class App:
             )
             bks = self.state.tracking.touched_buckets(upsert_keys)
             _phase("precommit_buckets")
-            pending = mark_pending(self.state.tracking.read(spark, bks), plan, token)
-            self.state.tracking.merge_upsert(pending, touched=bks)
-            _phase("precommit_merge")
+            if stats.updates:
+                pending = mark_pending(
+                    self.state.tracking.read(spark, bks), plan, token
+                )
+                self.state.tracking.merge_upsert(pending, touched=bks)
+                _phase("precommit_merge")
+            # Pure-insert (or insert+delete) syncs skip the pending
+            # merge entirely: the marker exists to widen possible_fps
+            # when an UPDATE may or may not have reached the sink, but
+            # an insert has no prior state to mis-trust — a crash
+            # anywhere re-classifies it as insert next run and the
+            # idempotent sink MERGE converges (phase order guarantees
+            # tracking rows are only written AFTER sink apply). On a
+            # cold 100 TB load this removes one full state-table merge.
 
             # ---- Phase 3 sink apply (idempotent MERGE) ----
             upserts = plan.actions.filter(F.col("action").isin("insert", "update"))
