@@ -216,3 +216,34 @@ def test_call_fn_memoizes_and_invalidates(tmp_path, spark):
     # logic change (version bump) invalidates the cached call
     app.call_fn(embed_v2, "hello", dim=2)
     assert calls == ["hello", "hello", "hello"]
+
+
+def test_poison_inside_dataclass_and_registered_fn_result():
+    @dataclasses.dataclass
+    class Holder:
+        client: object
+
+    class Live(NotMemoKeyable):
+        pass
+
+    with pytest.raises(TypeError):  # poison propagates through dataclass fields
+        fp_value(Holder(Live()))
+
+    class Wrapped:
+        pass
+
+    @register_memo_key(Wrapped)
+    def _k(w):
+        return Live()  # a key fn must not launder a poison value
+
+    with pytest.raises(TypeError):
+        fp_value(Wrapped())
+
+
+def test_canonical_distinguishes_primitive_types():
+    # type-tagged scalars: equal reprs across types must not collide
+    assert fp_value(1) != fp_value("1")
+    assert fp_value(True) != fp_value(1)
+    assert fp_value([1, 2]) == fp_value((1, 2))  # sequence types unify by design
+    assert fp_value({"a": 1}) != fp_value([("a", 1)])
+    assert fp_value(None) != fp_value("n")
