@@ -94,6 +94,9 @@ HEADLINE = [
     "q81_mixture_weights",
     "q82_pagerank",
     "q83_multiprobe_topk",
+    "q84_event_dedup_windowed",
+    "q85_funnel",
+    "q86_retention_weekly",
 ]
 
 

@@ -49,6 +49,9 @@ _PRIORITY: list[str] = [
     "q81_mixture_weights",
     "q82_pagerank",
     "q83_multiprobe_topk",
+    "q84_event_dedup_windowed",
+    "q85_funnel",
+    "q86_retention_weekly",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only

@@ -203,3 +203,132 @@ def q55_range_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select(
         "event_id", "user_id", F.unix_micros("ts").alias("us"), "n_recent_clicks"
     )
+
+
+# --- q84: windowed event dedup — first-arrival-wins per
+#     (user, type, 5-min bucket), the batch rendition of the
+#     streaming first-arrival dedup in streaming/stateful.py (there
+#     keyed state across micro-batches; here one groupBy). Bucketing is
+#     integer epoch-us division, exact in both engines; emitting only
+#     groups that HAD duplicates keeps the result ∝ dup volume, and
+#     the plan is a single hash aggregation at any scale.
+_DEDUP_WIN_US = 5 * 60 * 1_000_000
+
+
+@register(
+    "q84_event_dedup_windowed",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id, event_type, epoch_us(ts) // {_DEDUP_WIN_US} AS bucket, event_id
+  FROM events
+)
+SELECT user_id, event_type, bucket,
+       MIN(event_id) AS keep_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+FROM b GROUP BY user_id, event_type, bucket
+HAVING COUNT(*) > 1
+""",
+)
+def q84_event_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").withColumn(
+        "bucket", F.expr(f"unix_micros(ts) div {_DEDUP_WIN_US}")
+    )
+    return (
+        e.groupBy("user_id", "event_type", "bucket")
+        .agg(
+            F.min("event_id").alias("keep_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 0)
+    )
+
+
+# --- q85: conversion funnel view → click → purchase with STRICT
+#     first-occurrence ordering (a user converts a step only if their
+#     first click is after their first view, etc.). One groupBy with
+#     conditional MINs then one global conditional count — two
+#     aggregations total, no joins, no windows; NULL comparisons fall
+#     out of the strict > in both engines identically. Integer epoch-us
+#     only.
+@register(
+    "q85_funnel",
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+  CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+  CAST(SUM(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+FROM f
+""",
+)
+def q85_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("us")))
+
+    f = e.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_buy"),
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    return f.agg(
+        F.count(one).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), one).otherwise(zero)).alias("step_view"),
+        F.sum(F.when(F.col("t_click") > F.col("t_view"), one).otherwise(zero)).alias(
+            "step_click"
+        ),
+        F.sum(
+            F.when(
+                (F.col("t_click") > F.col("t_view")) & (F.col("t_buy") > F.col("t_click")),
+                one,
+            ).otherwise(zero)
+        ).alias("step_purchase"),
+    )
+
+
+# --- q86: weekly retention cohort — users active N whole weeks after
+#     their first signup. signup anchors broadcast onto the event scan
+#     (the cohort table is ≤ |users|); week index = integer epoch-us
+#     floor division (non-negative ⇒ Spark div == DuckDB //).
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "q86_retention_weekly",
+    oracle=f"""
+WITH su AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, (epoch_us(e.ts) - su.t0) // {_WEEK_US} AS wk
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE epoch_us(e.ts) >= su.t0
+)
+SELECT wk, CAST(COUNT(*) AS BIGINT) AS active_users
+FROM act GROUP BY wk
+""",
+)
+def q86_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+    )
+    act = (
+        e.join(F.broadcast(su), "user_id")
+        .filter(F.col("us") >= F.col("t0"))
+        .select("user_id", F.expr(f"(us - t0) div {_WEEK_US}").alias("wk"))
+        .distinct()
+    )
+    return act.groupBy("wk").agg(F.count(F.lit(1)).alias("active_users"))
