@@ -195,6 +195,22 @@ CHECKS = {
         [r"HashAggregate", r"Broadcast"],
         [r"CartesianProduct"],
     ),
+    "q84_event_dedup_windowed": (
+        # one hash aggregation over the event scan, no joins
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BroadcastHashJoin"],
+    ),
+    "q85_funnel": (
+        # two aggregations (per-user conditional MINs, then global),
+        # no joins, no windows
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BroadcastHashJoin", r"Window"],
+    ),
+    "q86_retention_weekly": (
+        # signup anchors broadcast onto the event scan
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
     "q83_multiprobe_topk": (
         # multi-probe: 9-row probe list BROADCAST onto the bucketed
         # corpus — index-backed equi-join, never a corpus scan per probe
