@@ -459,9 +459,10 @@ def q37_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     SimHash, hamming<=3 — q76's relation) strictly dominates it on
 #     (token_count, -doc_id); ties on quality keep the lower doc_id.
 #     This is the pairwise form of "keep the best doc per near-dup
-#     cluster" (reference analog: dedup canonical selection,
-#     python/cocoindex/ops/dedup — the reference also picks one
-#     survivor per duplicate group): candidate-scoped, so at 100 TB it
+#     cluster" (reference analog: canonical-side selection per positive
+#     pair match, python/cocoindex/ops/entity_resolution/__init__.py:36-53
+#     CanonicalSide — the reference likewise picks one survivor per
+#     matched pair): candidate-scoped, so at 100 TB it
 #     costs one extra equi-join + groupBy over the (small) pair list —
 #     never a pass over the corpus. The dominance key packs
 #     (quality, -id) into one BIGINT (tokens*2^40 - id: exact while
