@@ -512,3 +512,44 @@ def test_replay_rewrite_restores_target_from_memo(app, spark, tmp_state):
 
     st2 = app.sync_table(src, ["path"], enrich, t)
     assert st2.updates == 0 and st2.noops > 0, "recovery converges to noop"
+
+
+def test_cheap_path_logic_change_reloads_everything(app, spark, tmp_state):
+    """The cheap fingerprint folds the LOGIC fp (fp_col(lit(logic_fp),
+    cheap cols)), so editing the transform must invalidate every
+    cheap-level hit and reload all content — a stale cheap map must
+    never replay results of the OLD logic."""
+    t = _target(app, tmp_state)
+    rows = [("a", "alpha"), ("b", "beta")]
+    src = _source(spark, rows).withColumn("mtime", F.length("text"))
+
+    def load(df):
+        return df  # content rides inline; listing cols suffice here
+
+    st = app.sync_table(
+        src, ["path"], enrich, t, cheap_fp_cols=["mtime"], load=load
+    )
+    assert st.memo_misses == 2
+
+    warm = app.sync_table(
+        src, ["path"], enrich, t, cheap_fp_cols=["mtime"], load=load
+    )
+    assert warm.memo_misses == 0 and warm.extra["loaded"] == 0
+
+    @fn(memo=True, version=2)
+    def enrich_v2(df):
+        return df.select(
+            "__args_fp",
+            "__component_path",
+            F.col("path"),
+            F.lower(F.col("text")).alias("text_upper"),  # changed logic
+            F.length(F.col("text")).alias("text_len"),
+        )
+
+    v2 = app.sync_table(
+        src, ["path"], enrich_v2, t, cheap_fp_cols=["mtime"], load=load
+    )
+    assert v2.extra["loaded"] == 2, "logic edit must reload every row"
+    assert v2.memo_misses == 2 and v2.updates == 2
+    got = {r["path"]: r["text_upper"] for r in t.read(spark).collect()}
+    assert got == {"a": "alpha", "b": "beta"}  # v2 lowercases
