@@ -97,6 +97,7 @@ HEADLINE = [
     "q84_event_dedup_windowed",
     "q85_funnel",
     "q86_retention_weekly",
+    "q87_outlier_trim",
 ]
 
 

@@ -351,3 +351,74 @@ def q81_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- q87: per-source outlier trim (winsorization bounds) — the
+#     curation step after q57's quantiles: compute exact p01/p99 token
+#     bounds per source (rank-pick, interpolation-free) and sweep the
+#     corpus once against the BROADCAST bounds table, reporting
+#     trimmed-tail counts and the kept token mass. Scale shape: one
+#     keyed window + one broadcast join + one groupBy — the bounds side
+#     is O(#sources) regardless of corpus size.
+@register(
+    "q87_outlier_trim",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT source, n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM t
+), b AS (
+  SELECT source,
+    MAX(CASE WHEN rk = CAST(ceil(0.01 * n) AS BIGINT) THEN n_tokens END) AS lo,
+    MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN n_tokens END) AS hi
+  FROM r GROUP BY source
+)
+SELECT t.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN t.n_tokens < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+  CAST(SUM(CASE WHEN t.n_tokens > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+  CAST(SUM(CASE WHEN t.n_tokens BETWEEN b.lo AND b.hi THEN t.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM t JOIN b ON t.source = b.source
+GROUP BY t.source
+""",
+)
+def q87_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens")
+    )
+    win = Window.partitionBy("source")
+    r = t.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(win.orderBy("n_tokens", "doc_id")).alias("rk"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rk") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("n_tokens"))
+    )
+    b = r.groupBy("source").agg(pick(0.01).alias("lo"), pick(0.99).alias("hi"))
+    one, zero = F.lit(1), F.lit(0)
+    return (
+        t.join(F.broadcast(b), "source")
+        .groupBy("source")
+        .agg(
+            F.count(one).alias("n_docs"),
+            F.sum(F.when(F.col("n_tokens") < F.col("lo"), one).otherwise(zero)).alias(
+                "n_low"
+            ),
+            F.sum(F.when(F.col("n_tokens") > F.col("hi"), one).otherwise(zero)).alias(
+                "n_high"
+            ),
+            F.sum(
+                F.when(
+                    F.col("n_tokens").between(F.col("lo"), F.col("hi")),
+                    F.col("n_tokens"),
+                ).otherwise(zero)
+            ).alias("kept_tokens"),
+        )
+    )

@@ -52,6 +52,7 @@ _PRIORITY: list[str] = [
     "q84_event_dedup_windowed",
     "q85_funnel",
     "q86_retention_weekly",
+    "q87_outlier_trim",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only

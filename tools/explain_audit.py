@@ -195,6 +195,12 @@ CHECKS = {
         [r"HashAggregate", r"Broadcast"],
         [r"CartesianProduct"],
     ),
+    "q87_outlier_trim": (
+        # bounds table broadcast back onto the corpus scan; one keyed
+        # window for the rank-picks — never a global window
+        [r"BroadcastHashJoin", r"hashpartitioning\(source", r"Window"],
+        [r"CartesianProduct"],
+    ),
     "q84_event_dedup_windowed": (
         # one hash aggregation over the event scan, no joins
         [r"HashAggregate"],
