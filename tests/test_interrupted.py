@@ -77,3 +77,41 @@ def test_repeated_identical_sync_is_idempotent(app, spark, tmp_state):
         else:
             assert s.noops == 1 and s.inserts == 0
     assert target.read(spark).count() == 1
+
+
+def test_crash_on_pure_insert_sync_converges(app, spark, tmp_state):
+    """Pure-insert syncs write no pending markers (nothing prior to
+    mis-trust); a crash at the sink leaves NO tracking rows, and the
+    re-run re-classifies every component as insert — restoring payloads
+    from the flushed memo (0 recomputes) through the bucket-scoped
+    sink fetch."""
+    target = app.target(f"{tmp_state}/t2", ["path"], "path STRING, up STRING")
+    src = spark.createDataFrame([("a", "x"), ("b", "y")], "path STRING, text STRING")
+
+    real_upsert = target.upsert
+    target.upsert = lambda rows: (_ for _ in ()).throw(RuntimeError("boom"))
+    with pytest.raises(RuntimeError, match="boom"):
+        app.sync_table(src, ["path"], upcase, target)
+    target.upsert = real_upsert
+
+    # tracking commit never ran and inserts skip the pending merge
+    assert app.state.tracking.read(spark).count() == 0
+    assert target.read(spark).count() == 0
+
+    # The memo flush rides a helper thread the crash does not join —
+    # wait for it so the recovery deterministically replays (a recovery
+    # BEFORE the flush lands would recompute instead; both converge).
+    import time
+
+    for _ in range(100):
+        if app.state.memo.read(spark).count() >= 2:
+            break
+        time.sleep(0.2)
+
+    s = app.sync_table(src, ["path"], upcase, target)
+    assert s.inserts == 2
+    assert s.memo_misses == 0, "recovery replays the crashed run's memo"
+    assert {r.path: r.up for r in target.read(spark).collect()} == {"a": "X", "b": "Y"}
+
+    s2 = app.sync_table(src, ["path"], upcase, target)
+    assert s2.noops == 2 and s2.inserts == 0
