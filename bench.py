@@ -10,6 +10,12 @@ operator family: scan/agg, join, window, vector top-k + similarity
 join, minhash/simhash dedup, text analysis, sessionization, reconcile,
 connected components, multimodal decode. The incremental pipeline
 phases are single-run sequences (cold→warm→edit→delete mutate state).
+
+Interpreting numbers: this container's wall-clock varies up to ±30%
+between whole runs (shared-host scheduling), and the single-run
+pipeline phases carry that fully — compare medians across runs, or
+the per-phase breakdown in SyncStats.extra["phase_ms"], before
+reading any single delta as a regression.
 """
 
 from __future__ import annotations
