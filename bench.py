@@ -104,6 +104,7 @@ HEADLINE = [
     "q85_funnel",
     "q86_retention_weekly",
     "q87_outlier_trim",
+    "q88_length_bucketed_batches",
 ]
 
 

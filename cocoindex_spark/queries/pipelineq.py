@@ -422,3 +422,60 @@ def q87_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_tokens"),
         )
     )
+
+
+# --- q88: length-bucketed inference batching — sort docs by token
+#     count within each source, cut into fixed-size batches of B, and
+#     report each batch's padding overhead (B × batch-max − token sum:
+#     the waste a padded inference batch actually pays). Sorting by
+#     length first is what makes the waste small — the point of
+#     length-bucketed batching. One keyed window (rank within source,
+#     never global) + one groupBy; all integers.
+_BATCH_B = 16
+
+
+@register(
+    "q88_length_bucketed_batches",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT source, doc_id, n_tokens,
+    (ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) - 1)
+      // {_BATCH_B} AS batch
+  FROM t
+)
+SELECT source, batch,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MAX(n_tokens) AS max_tokens,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding_waste
+FROM r GROUP BY source, batch
+""",
+)
+def q88_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    )
+    r = t.withColumn("rk", rk).withColumn(
+        "batch", F.expr(f"(rk - 1) div {_BATCH_B}")
+    )
+    return (
+        r.groupBy("source", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")).alias(
+                "padding_waste"
+            ),
+        )
+    )

@@ -53,6 +53,7 @@ _PRIORITY: list[str] = [
     "q85_funnel",
     "q86_retention_weekly",
     "q87_outlier_trim",
+    "q88_length_bucketed_batches",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only

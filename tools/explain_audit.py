@@ -195,6 +195,11 @@ CHECKS = {
         [r"HashAggregate", r"Broadcast"],
         [r"CartesianProduct"],
     ),
+    "q88_length_bucketed_batches": (
+        # keyed window + one groupBy, no joins
+        [r"Window", r"hashpartitioning\(source", r"HashAggregate"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BroadcastHashJoin"],
+    ),
     "q87_outlier_trim": (
         # bounds table broadcast back onto the corpus scan; one keyed
         # window for the rank-picks — never a global window
