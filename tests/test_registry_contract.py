@@ -1,0 +1,43 @@
+"""Registry/driver-contract invariants — cheap guards that catch a
+rename or registration slip before the driver's gate does.
+
+No SparkSession needed: these check the static wiring only.
+"""
+
+from __future__ import annotations
+
+
+def test_every_query_has_an_oracle():
+    from cocoindex_spark.queries import all_oracles, all_queries
+
+    q, o = all_queries(), all_oracles()
+    missing = sorted(set(q) - set(o))
+    # The repo's standard: ZERO rows-only queries — every operator is
+    # value-checked cross-engine (the brief allows omitting oracles for
+    # non-SQL-expressible ops; this repo has none).
+    assert missing == [], f"queries without oracles: {missing}"
+    assert set(o) <= set(q), "orphan oracles"
+
+
+def test_bench_headline_names_resolve():
+    import bench
+
+    from cocoindex_spark.queries import all_queries
+
+    q = all_queries()
+    bad = [n for n in bench.HEADLINE if n not in q]
+    assert bad == [], f"HEADLINE entries not in registry: {bad}"
+
+
+def test_priority_names_resolve_and_window_covers_unchecked():
+    from cocoindex_spark.queries import all_queries
+    from cocoindex_spark.queries.registry import _PRIORITY
+
+    q = all_queries()
+    bad = [n for n in _PRIORITY if n not in q]
+    assert bad == [], f"_PRIORITY entries not in registry: {bad}"
+    # priority names must come first in iteration order (the driver
+    # checks only the first ~50)
+    names = list(q)
+    k = len([n for n in _PRIORITY if n in q])
+    assert set(names[:k]) == {n for n in _PRIORITY if n in q}
