@@ -105,6 +105,7 @@ HEADLINE = [
     "q86_retention_weekly",
     "q87_outlier_trim",
     "q88_length_bucketed_batches",
+    "q89_source_overlap",
 ]
 
 

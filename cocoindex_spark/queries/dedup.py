@@ -538,3 +538,51 @@ def q80_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_tokens").alias("n_tokens"),
         )
     )
+
+
+# --- q89: cross-source near-dup overlap matrix — which SOURCES
+#     duplicate each other (the corpus-provenance view a curation run
+#     reports before deciding what to drop): the wide-SimHash pair
+#     relation rolled up per unordered source pair. Same candidate
+#     plan as q76 plus one broadcast id→source attach and one rollup;
+#     LEAST/GREATEST orders the pair so (web,books) and (books,web)
+#     collapse into one row in both engines.
+@register(
+    "q89_source_overlap",
+    oracle=f"""
+WITH sim AS ({sql_simhash_wide(_TOKENS_SQL, "doc_id", "tok", _WIDE_BITS)}),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+src AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(sa.source, sb.source) AS source_a,
+       GREATEST(sa.source, sb.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT p.a_id) + COUNT(DISTINCT p.b_id) AS BIGINT) AS n_docs_involved
+FROM pairs p
+JOIN src sa ON sa.doc_id = p.a_id
+JOIN src sb ON sb.doc_id = p.b_id
+GROUP BY 1, 2
+""",
+)
+def q89_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q76_simhash_wide_pairs(spark, sf_dir).select("a_id", "b_id")
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.countDistinct("a_id") + F.countDistinct("b_id")).alias(
+                "n_docs_involved"
+            ),
+        )
+    )

@@ -54,6 +54,7 @@ _PRIORITY: list[str] = [
     "q86_retention_weekly",
     "q87_outlier_trim",
     "q88_length_bucketed_batches",
+    "q89_source_overlap",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only
