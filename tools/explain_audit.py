@@ -81,6 +81,17 @@ CHECKS = {
         [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", r"HashAggregate"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    "q70_multimodal_decode": (
+        # Arrow-batched decode plumbing, shuffle-free scan->project
+        [r"MapInPandas"],
+        [r"Exchange", r"CartesianProduct"],
+    ),
+    "q74_frame_near_dup": (
+        # frame signatures bucket-join then popcount verify: equi-join
+        # only, never all-pairs across videos
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
     "q72_multimodal_frames": (
         # Arrow-batched Python fan-out; the whole plan is shuffle-free
         [r"MapInPandas"],
