@@ -106,6 +106,7 @@ HEADLINE = [
     "q87_outlier_trim",
     "q88_length_bucketed_batches",
     "q89_source_overlap",
+    "q90_phrase_search",
 ]
 
 

@@ -60,3 +60,54 @@ def q75_fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = bm25_join(postings, doclens, qt, "doc_id")
     return scored.orderBy(F.desc("bm25_int"), F.asc("doc_id")).limit(20)
+
+
+# --- q90: phrase search — the positional-index extension of q75. The
+#     query phrase is doc 0's first two tokens; a doc matches when the
+#     two tokens appear ADJACENT (over the empty-filtered token
+#     sequence, both engines). Spark side is the index-backed plan a
+#     positional inverted index executes: the (doc, pos, term) posting
+#     rows are pruned to the two broadcast query terms BEFORE any join,
+#     then adjacency is a pure equi-join on (doc_id, pos+1) — never an
+#     array scan of the corpus. The oracle is the naive per-doc array
+#     scan (same result, quadratic-free either way). Occurrence counts
+#     are integers; no floats anywhere.
+@register(
+    "q90_phrase_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens("text")} AS w FROM documents
+),
+q AS (SELECT w[1] AS t1, w[2] AS t2 FROM toks WHERE doc_id = 0)
+SELECT t.doc_id,
+  CAST(list_sum(list_transform(range(1, len(t.w)), i ->
+    CASE WHEN t.w[i] = q.t1 AND t.w[i+1] = q.t2 THEN 1 ELSE 0 END
+  )) AS BIGINT) AS n_occ
+FROM toks t, q
+WHERE t.doc_id <> 0
+  AND CAST(list_sum(list_transform(range(1, len(t.w)), i ->
+    CASE WHEN t.w[i] = q.t1 AND t.w[i+1] = q.t2 THEN 1 ELSE 0 END
+  )) AS BIGINT) > 0
+""",
+)
+def q90_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    q = d.filter(F.col("doc_id") == 0).select(
+        F.element_at(tokens_col(F.col("text")), 1).alias("t1"),
+        F.element_at(tokens_col(F.col("text")), 2).alias("t2"),
+    )
+    pos = d.filter(F.col("doc_id") != 0).select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "term")
+    )
+    withq = pos.crossJoin(F.broadcast(q))
+    p1 = withq.filter(F.col("term") == F.col("t1")).select(
+        "doc_id", (F.col("pos") + 1).alias("p2")
+    )
+    p2 = withq.filter(F.col("term") == F.col("t2")).select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    return (
+        p1.join(p2, ["doc_id", "p2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )

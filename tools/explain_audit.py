@@ -217,6 +217,12 @@ CHECKS = {
         [r"BroadcastHashJoin", r"hashpartitioning\(source", r"Window"],
         [r"CartesianProduct"],
     ),
+    "q90_phrase_search": (
+        # positional phrase: postings pruned to the two broadcast query
+        # terms, adjacency as a pure equi-join on (doc_id, pos+1)
+        [r"BroadcastNestedLoopJoin|BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct"],
+    ),
     "q84_event_dedup_windowed": (
         # one hash aggregation over the event scan, no joins
         [r"HashAggregate"],
