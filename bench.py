@@ -107,6 +107,7 @@ HEADLINE = [
     "q88_length_bucketed_batches",
     "q89_source_overlap",
     "q90_phrase_search",
+    "q91_sliding_revenue",
 ]
 
 

@@ -56,6 +56,7 @@ _PRIORITY: list[str] = [
     "q88_length_bucketed_batches",
     "q89_source_overlap",
     "q90_phrase_search",
+    "q91_sliding_revenue",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only

@@ -332,3 +332,51 @@ def q86_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return act.groupBy("wk").agg(F.count(F.lit(1)).alias("active_users"))
+
+
+# --- q91: sliding 7-day moving aggregate over daily event revenue —
+#     the sliding-window complement of q50's tumbling windows, as a
+#     ROWS frame over the (small) per-day rollup rather than a
+#     self-join: the window runs over one row per day, so the frame is
+#     O(days) regardless of event volume, and the heavy lifting stays
+#     in the pre-aggregation (map-side combinable). Exactness: daily
+#     sums in DECIMAL (order-independent), the 7-row moving sum is a
+#     DECIMAL sum of ≤7 terms, and the average is ONE double division
+#     at the end.
+@register(
+    "q91_sliding_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT day,
+  CAST(rev AS DOUBLE) AS day_revenue,
+  CAST(SUM(rev) OVER w AS DOUBLE) AS rev_7d,
+  CAST(CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS DOUBLE) AS avg_7d
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def q91_sliding_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("rev"))
+    )
+    # One row per day: the unpartitioned frame is over O(days) rows —
+    # at 100 TB of events this window sees a few thousand rows, never
+    # the event stream (the same "aggregate first" rule as q45's
+    # two-phase rank; an unpartitioned window over RAW data would be
+    # the anti-pattern).
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("rev").cast("double").alias("day_revenue"),
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+        (F.sum("rev").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "avg_7d"
+        ),
+    )
