@@ -108,6 +108,7 @@ HEADLINE = [
     "q89_source_overlap",
     "q90_phrase_search",
     "q91_sliding_revenue",
+    "q92_decayed_user_value",
 ]
 
 

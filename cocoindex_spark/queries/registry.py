@@ -57,6 +57,7 @@ _PRIORITY: list[str] = [
     "q89_source_overlap",
     "q90_phrase_search",
     "q91_sliding_revenue",
+    "q92_decayed_user_value",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only

@@ -380,3 +380,54 @@ def q91_sliding_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_7d"
         ),
     )
+
+
+# --- q92: recency-decayed user value — every purchase contributes its
+#     value halved once per week of age (exponential decay with a
+#     half-life of one week), the standard recency-weighted scoring a
+#     feature pipeline feeds to ranking/retention models. Exactness
+#     discipline: cents = floor(value·100) (one correctly-rounded
+#     double product + floor), age in whole weeks by integer epoch-us
+#     division, decay = cents div 2^age with the shift capped at 40
+#     (beyond that the contribution is 0 anyway and uncapped shifts
+#     hit engine-specific shift-modulo semantics); values are filtered
+#     non-negative so integer division truncation == floor in both
+#     engines (they differ on negatives). The "now" anchor is
+#     MAX(ts) over the table — deterministic, no wall clock. One
+#     groupBy; the anchor rides in as a broadcast row.
+@register(
+    "q92_decayed_user_value",
+    oracle=f"""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events),
+p AS (
+  SELECT user_id,
+    CAST(floor(value * 100) AS BIGINT) AS cents,
+    LEAST((mx.now_us - epoch_us(ts)) // {_WEEK_US}, 40) AS age_w
+  FROM events, mx WHERE event_type = 'purchase' AND value >= 0
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(cents // (CAST(1 AS BIGINT) << age_w)) AS BIGINT) AS decayed_cents
+FROM p GROUP BY user_id
+""",
+)
+def q92_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    mx = e.agg(F.max("us").alias("now_us"))
+    p = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") >= 0))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            F.least(
+                F.expr(f"(now_us - us) div {_WEEK_US}"), F.lit(40)
+            ).alias("age_w"),
+        )
+    )
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(
+            F.expr("cents div (shiftleft(CAST(1 AS BIGINT), CAST(age_w AS INT)))")
+        ).alias("decayed_cents"),
+    )
