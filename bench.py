@@ -109,6 +109,8 @@ HEADLINE = [
     "q90_phrase_search",
     "q91_sliding_revenue",
     "q92_decayed_user_value",
+    "q93_region_share",
+    "q94_weekday_type_pivot",
 ]
 
 

@@ -58,6 +58,8 @@ _PRIORITY: list[str] = [
     "q90_phrase_search",
     "q91_sliding_revenue",
     "q92_decayed_user_value",
+    "q93_region_share",
+    "q94_weekday_type_pivot",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only

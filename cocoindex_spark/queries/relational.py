@@ -608,3 +608,61 @@ def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(disc), 4).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- q93: share-of-parent analytics — each nation's revenue as a
+#     fraction of its region's total, with the nation's rank inside
+#     the region. The percent-of-parent window shape: revenue rolls up
+#     per nation first (map-side combinable), the region total is a
+#     window SUM over the tiny per-nation rollup (O(nations) rows —
+#     never a window over raw lineitem), and the share is ONE double
+#     division of two exact DECIMAL sums.
+@register(
+    "q93_region_share",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+  CAST(revenue AS DOUBLE) AS revenue,
+  CAST(CAST(revenue AS DOUBLE) / CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE) AS DOUBLE) AS share,
+  CAST(ROW_NUMBER() OVER (PARTITION BY region ORDER BY revenue DESC, nation) AS BIGINT) AS rk
+FROM rev
+""",
+)
+def q93_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    amt = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    rev = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(amt).alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.col("revenue").cast("double").alias("revenue"),
+        (
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(w).cast("double")
+        ).alias("share"),
+        F.row_number()
+        .over(w.orderBy(F.desc("revenue"), F.asc("nation")))
+        .cast("long")
+        .alias("rk"),
+    )

@@ -431,3 +431,38 @@ def q92_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cents div (shiftleft(CAST(1 AS BIGINT), CAST(age_w AS INT)))")
         ).alias("decayed_cents"),
     )
+
+
+# --- q94: pivot / crosstab — events pivoted to one column per event
+#     type, rows = ISO weekday. Exercises Spark's native
+#     groupBy().pivot() (a first-class relational surface the pack
+#     lacked); the pivot column set is the FIXED event-type vocabulary
+#     — pivot with an explicit value list never runs the extra
+#     distinct-discovery job, the scale-correct spelling. Counts only;
+#     integer-exact.
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q94_weekday_type_pivot",
+    oracle=f"""
+SELECT CAST(isodow(ts) AS BIGINT) AS weekday,
+  {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+""",
+)
+def q94_weekday_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    # dayofweek() is 1=Sunday; ISO dow = ((dayofweek+5) % 7) + 1
+    wd = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    out = (
+        e.select(wd.alias("weekday"), "event_type")
+        .groupBy("weekday")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot leaves NULL for empty cells; the crosstab contract is 0
+    return out.select(
+        "weekday",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
