@@ -105,7 +105,6 @@ HEADLINE = [
     "q86_retention_weekly",
     "q87_outlier_trim",
     "q88_length_bucketed_batches",
-    "q89_source_overlap",
     "q90_phrase_search",
     "q91_sliding_revenue",
     "q92_decayed_user_value",
