@@ -110,6 +110,7 @@ HEADLINE = [
     "q92_decayed_user_value",
     "q93_region_share",
     "q94_weekday_type_pivot",
+    "q95_cube_revenue",
 ]
 
 

@@ -60,6 +60,7 @@ _PRIORITY: list[str] = [
     "q92_decayed_user_value",
     "q93_region_share",
     "q94_weekday_type_pivot",
+    "q95_cube_revenue",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only

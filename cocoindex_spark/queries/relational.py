@@ -666,3 +666,48 @@ def q93_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rk"),
     )
+
+
+# --- q95: CUBE aggregation — the full grouping-sets lattice (the
+#     ROLLUP complement of q14): revenue across (segment, priority),
+#     every subtotal combination plus the grand total, GROUPING()
+#     flags distinguishing real NULL-like labels from subtotal rows.
+#     Spark cube() == SQL GROUP BY CUBE; DECIMAL sums keep every cell
+#     order-independent and exact.
+@register(
+    "q95_cube_revenue",
+    oracle="""
+SELECT
+  COALESCE(c_mktsegment, '<ALL>') AS segment,
+  COALESCE(o_orderpriority, '<ALL>') AS priority,
+  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE(c_mktsegment, o_orderpriority)
+""",
+)
+def q95_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    return (
+        j.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping("c_mktsegment").cast("long").alias("g_seg"),
+            F.grouping("o_orderpriority").cast("long").alias("g_pri"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("<ALL>")).alias("segment"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<ALL>")).alias("priority"),
+            "g_seg",
+            "g_pri",
+            "revenue",
+            "n_orders",
+        )
+    )
