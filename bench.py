@@ -111,6 +111,7 @@ HEADLINE = [
     "q93_region_share",
     "q94_weekday_type_pivot",
     "q95_cube_revenue",
+    "q96_shared_sql_topspenders",
 ]
 
 

@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "q93_region_share",
     "q94_weekday_type_pivot",
     "q95_cube_revenue",
+    "q96_shared_sql_topspenders",
     # failed in r2 (oracle cast fixed this round)
     "q28_pq_topk",
     # last checked in r1 only

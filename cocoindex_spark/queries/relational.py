@@ -711,3 +711,29 @@ def q95_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# --- q96: the shared-SQL surface — ONE ANSI string executed verbatim
+#     by BOTH engines: Spark runs it via spark.sql() over registered
+#     temp views, DuckDB runs the byte-identical text as the oracle.
+#     The strongest parity statement the gate can make: not
+#     "equivalent semantics", literally the same query text. The
+#     dialect-neutral subset: JOIN/GROUP BY/ORDER BY/LIMIT, DECIMAL
+#     casts (exact, order-independent), a single final DOUBLE cast,
+#     unique-key tiebreak.
+_SHARED_SQL = """
+SELECT c_custkey,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+ORDER BY total_spend DESC, c_custkey
+LIMIT 10
+""".strip()
+
+
+@register("q96_shared_sql_topspenders", oracle=_SHARED_SQL)
+def q96_shared_sql_topspenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SHARED_SQL)
