@@ -304,7 +304,17 @@ def main() -> None:
     spark.stop()
     spark = get_spark("cocoindex-bench-pipe")
     spark.sparkContext.setLogLevel("ERROR")
-    bench_incremental(spark, sf_dir, timings)
+    # Best-of-2 for the pipeline phases too: each pass runs the whole
+    # cold→…→edit_cheap sequence against a FRESH state dir (the
+    # sequence mutates state, so repetition must restart it), and each
+    # phase keeps its min. Shared-host stalls have produced 5-8×
+    # single-phase outliers; one clean pass bounds them.
+    t1: dict[str, float] = {}
+    bench_incremental(spark, sf_dir, t1)
+    t2: dict[str, float] = {}
+    bench_incremental(spark, sf_dir, t2)
+    for k in t1:
+        timings[k] = min(t1[k], t2.get(k, t1[k]))
 
     total = round(sum(timings.values()), 3)
     print(
