@@ -391,8 +391,10 @@ def q91_sliding_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     division, decay = cents div 2^age with the shift capped at 40
 #     (beyond that the contribution is 0 anyway and uncapped shifts
 #     hit engine-specific shift-modulo semantics); values are filtered
-#     non-negative so integer division truncation == floor in both
-#     engines (they differ on negatives). The "now" anchor is
+#     non-negative so refunds never contribute negative decayed mass
+#     (both engines truncate integer division toward zero — pinned in
+#     tests/test_cross_engine.py — so this is semantics, not an
+#     exactness requirement). The "now" anchor is
 #     MAX(ts) over the table — deterministic, no wall clock. One
 #     groupBy; the anchor rides in as a broadcast row.
 @register(

@@ -88,3 +88,27 @@ def test_arrow_vector_ops_bit_equal_to_expressions(spark):
         (sign_bucket(F.col("a"), 8) == sign_bucket_arrow(F.col("a"), 8)).alias("b_eq"),
     ).filter(~F.col("d_eq") | ~F.col("b_eq")).count()
     assert bad == 0
+
+
+def test_integer_division_parity_nonnegative(spark):
+    """Spark's `div` truncates toward zero; DuckDB's `//` floors. The
+    query pack's integer-division discipline (q82 PageRank, q84/q86
+    epoch bucketing, q88 batching, q92 decay) therefore only ever
+    divides NON-NEGATIVE operands, where the two agree exactly. Pin
+    both facts: agreement on non-negatives, and the documented
+    divergence on negatives that motivates the guard."""
+    import duckdb
+
+    pairs = [
+        (a, b)
+        for a in [0, 1, 2, 3, 7, 99, 10**12, 2**40, -1, -3, -99, -(10**12)]
+        for b in [1, 2, 3, 7, 64, 10**6]
+    ]
+    df = spark.createDataFrame(pairs, "a LONG, b LONG").selectExpr("a", "b", "a div b AS q")
+    got = {(r.a, r.b): r.q for r in df.collect()}
+    for (a, b), q in got.items():
+        (dq,) = duckdb.sql(f"SELECT CAST({a} AS BIGINT) // {b}").fetchone()
+        assert q == int(dq), (a, b, q, dq)
+    # Both TRUNCATE toward zero (DuckDB's integer `//` is NOT Python
+    # floor division): -3 div 2 = -3 // 2 = -1 in both engines.
+    assert got[(-3, 2)] == -1
