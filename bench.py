@@ -112,6 +112,11 @@ HEADLINE = [
     "q94_weekday_type_pivot",
     "q95_cube_revenue",
     "q96_shared_sql_topspenders",
+    # round-4 additions. q99_pair_relation_read is deliberately NOT
+    # benched: it runs a full engine sync (a pipe_cold twin) whose cost
+    # the pipe_* phases already measure.
+    "q97_shared_sql_doc_quality",
+    "q98_brace_definitions",
 ]
 
 
@@ -317,18 +322,30 @@ def main() -> None:
         timings[k] = min(t1[k], t2.get(k, t1[k]))
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": CPUS,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+    }
+    # Persist the FULL result set: the driver's BENCH_r{N}.json keeps
+    # only a truncated tail of stdout, which loses the early queries
+    # and the headline value — round-over-round deltas read this file.
+    try:
+        outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results")
+        os.makedirs(outdir, exist_ok=True)
+        import datetime
+
+        stamp = datetime.datetime.now().strftime("%Y%m%dT%H%M%S")
+        with open(os.path.join(outdir, f"bench_{stamp}.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        with open(os.path.join(outdir, "latest.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout line below is still complete
+    print(json.dumps(payload))
     spark.stop()
 
 

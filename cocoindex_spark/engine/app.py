@@ -587,6 +587,12 @@ class App:
             # cold 100 TB load this removes one full state-table merge.
 
             # ---- Phase 3 sink apply (idempotent MERGE) ----
+            # Label-deduplicating sinks (stream-load shape) need the run
+            # version folded into their load labels: retries within this
+            # sync stay idempotent, later syncs re-sending identical
+            # bytes aren't silently dropped by the server's label dedup.
+            if hasattr(target, "set_sync_version"):
+                target.set_sync_version(version)
             upserts = plan.actions.filter(F.col("action").isin("insert", "update"))
             if stats.inserts or stats.updates:
                 # Attach payloads to the action rows: miss components
@@ -597,7 +603,7 @@ class App:
                 # is ∝ changes, not corpus).
                 payload_miss = miss_out.withColumn(
                     "target_path", self._path_col(target.name, target.pk)
-                ).select("target_path", *out_cols)
+                ).select("__args_fp", "target_path", *out_cols)
                 if memo and not full_reprocess and counts.get("__replay_upserts"):
                     # Replayed components needing a (re)write are the
                     # upsert fps that are NOT misses — normally zero
@@ -635,16 +641,24 @@ class App:
                     )
                 replay_payload = (
                     payload_rows.select(
+                        "__args_fp",
                         F.explode(
                             F.from_json(F.col("result_json"), ArrayType(row_schema))
-                        ).alias("__row")
+                        ).alias("__row"),
                     )
-                    .select(F.col("__row.*"))
+                    .select("__args_fp", F.col("__row.*"))
                     .withColumn("target_path", self._path_col(target.name, target.pk))
-                    .select("target_path", *out_cols)
+                    .select("__args_fp", "target_path", *out_cols)
                 )
-                upsert_rows = upserts.select("target_path").join(
-                    payload_miss.unionByName(replay_payload), "target_path", "inner"
+                # Join on BOTH (__args_fp, target_path): two components
+                # declaring the same target_path (validate_unique=False)
+                # must each pick up only their OWN payload rows — a
+                # path-only join would cross-join their payloads and
+                # could commit A's tracked fp over B's sink row.
+                upsert_rows = upserts.select("__args_fp", "target_path").join(
+                    payload_miss.unionByName(replay_payload),
+                    ["__args_fp", "target_path"],
+                    "inner",
                 )
                 target.upsert(upsert_rows.select(*out_cols))
             if stats.deletes:

@@ -62,6 +62,173 @@ def supports(language: str) -> bool:
     return language in _C_FAMILY and language in (_KEYWORDS.keys() | _HEADER_LANGS)
 
 
+# --- lexer-exact definition regions -------------------------------------
+# The reference classifies named regions (functions, types, traits) from
+# tree-sitter parse trees for 31 languages (rust/code_ast/src/view/
+# lang.rs:1-887). Python is AST-exact here (operators/pyast.py); this
+# section closes the gap for brace languages with the same token stream
+# that drives the boundaries above: a `fn` inside a string literal or a
+# `/* struct */` comment can never start a region, because the lexer
+# already dropped it — the failure mode of the regex DEF_PATTERNS.
+#
+# Region-introducing keyword → kind, per language. Deliberately only
+# definition keywords (no var/let/const): a region is a named block a
+# code view would index, matching lang.rs `is_region`.
+_DEF_KINDS: dict[str, dict[str, str]] = {
+    "rust": {
+        "fn": "function",
+        "struct": "struct",
+        "enum": "enum",
+        "trait": "trait",
+        "impl": "impl",
+        "mod": "module",
+        "union": "union",
+        "macro_rules": "macro",
+    },
+    "go": {"func": "function", "type": "type"},
+    "java": {
+        "class": "class",
+        "interface": "interface",
+        "enum": "enum",
+        "record": "record",
+    },
+    "c_sharp": {
+        "class": "class",
+        "interface": "interface",
+        "struct": "struct",
+        "enum": "enum",
+        "record": "record",
+    },
+    "kotlin": {
+        "fun": "function",
+        "class": "class",
+        "interface": "interface",
+        "object": "object",
+    },
+}
+
+_MAX_DEF_DEPTH = 1  # top-level regions and their direct members
+
+
+def supports_definitions(language: str) -> bool:
+    return language in _DEF_KINDS
+
+
+def brace_definitions(text: str, language: str) -> list[dict] | None:
+    """Named definition regions [{kind, name, start, end, depth}] from
+    the comment/string-stripping token stream, or None when the
+    language has no lexer-exact kind table (caller falls back to the
+    regex patterns).
+
+    Span rules (matching what a tree-sitter region yields):
+    - start: first modifier token of the statement (``pub fn f`` starts
+      at ``pub``), else the keyword itself;
+    - end: the matching ``}`` of the region's block, or the ``;`` of a
+      bodyless declaration (``struct Foo;``, trait method signatures).
+    """
+    kinds = _DEF_KINDS.get(language)
+    if kinds is None:
+        return None
+    toks = tokenize(text, language)
+
+    line_starts = [0]
+    for i, ch in enumerate(text):
+        if ch == "\n":
+            line_starts.append(i + 1)
+    import bisect
+
+    def line_start_of(offset: int) -> int:
+        return line_starts[bisect.bisect_right(line_starts, offset) - 1]
+
+    def statement_start(idx: int) -> int | None:
+        """Offset where the keyword's statement starts (first modifier
+        on the line), or None when a non-modifier precedes it — the
+        keyword is mid-expression, not a definition."""
+        ls = line_start_of(toks[idx].start)
+        j = idx - 1
+        start = toks[idx].start
+        while j >= 0 and toks[j].start >= ls:
+            if toks[j].text not in _MODIFIERS:
+                return None
+            start = toks[j].start
+            j -= 1
+        return start
+
+    def name_after(idx: int) -> str | None:
+        """First identifier after the keyword; skips ``!`` (macro_rules!)
+        and a balanced generic parameter list (``impl<T> Foo``)."""
+        j = idx + 1
+        while j < len(toks):
+            t = toks[j].text
+            if t == "!":
+                j += 1
+                continue
+            if t == "<":
+                bal = 1
+                j += 1
+                while j < len(toks) and bal:
+                    if toks[j].text == "<":
+                        bal += 1
+                    elif toks[j].text == ">":
+                        bal -= 1
+                    j += 1
+                continue
+            if t[0].isalpha() or t[0] == "_":
+                return t
+            return None
+        return None
+
+    def region_end(idx: int) -> int:
+        """End offset: matching ``}`` of the first block after the
+        keyword, or the terminating ``;`` before any block."""
+        j = idx + 1
+        while j < len(toks):
+            t = toks[j].text
+            if t == ";":
+                return toks[j].end
+            if t == "{":
+                bal = 1
+                j += 1
+                while j < len(toks):
+                    if toks[j].text == "{":
+                        bal += 1
+                    elif toks[j].text == "}":
+                        bal -= 1
+                        if bal == 0:
+                            return toks[j].end
+                    j += 1
+                break
+            j += 1
+        return toks[-1].end if toks else len(text)
+
+    out: list[dict] = []
+    depth = 0
+    for i, t in enumerate(toks):
+        if t.text == "{":
+            depth += 1
+            continue
+        if t.text == "}":
+            depth = max(0, depth - 1)
+            continue
+        if depth <= _MAX_DEF_DEPTH and t.text in kinds:
+            start = statement_start(i)
+            if start is None:
+                continue
+            name = name_after(i)
+            if not name:
+                continue
+            out.append(
+                {
+                    "kind": kinds[t.text],
+                    "name": name,
+                    "start": start,
+                    "end": region_end(i),
+                    "depth": depth,
+                }
+            )
+    return sorted(out, key=lambda d: (d["start"], d["kind"]))
+
+
 def brace_boundaries(text: str, language: str) -> list[list[int]] | None:
     """Line-start boundary offsets grouped by brace depth, or None when
     the language is unsupported or the source yields no boundaries

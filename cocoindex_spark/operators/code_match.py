@@ -430,6 +430,33 @@ def definitions(source: "str | CodeSource", language: str = "python") -> list[di
                 ),
                 key=lambda d: (d["start"], d["kind"]),
             )
+    else:
+        # Brace languages with a lexer-exact kind table get definitions
+        # from the comment/string-stripping token stream — a `fn` inside
+        # a string literal or comment can never become a region
+        # (operators/code_boundaries.py; reference: tree-sitter region
+        # classification, rust/code_ast/src/view/lang.rs).
+        from cocoindex_spark.operators.code_boundaries import (
+            brace_definitions,
+            supports_definitions,
+        )
+
+        if supports_definitions(language):
+            text = source.text if isinstance(source, CodeSource) else source
+            lex_defs = brace_definitions(text, language)
+            if lex_defs is not None:
+                return sorted(
+                    (
+                        {
+                            "kind": d["kind"],
+                            "name": d["name"],
+                            "start": d["start"],
+                            "end": d["end"],
+                        }
+                        for d in lex_defs
+                    ),
+                    key=lambda d: (d["start"], d["kind"]),
+                )
     if not isinstance(source, CodeSource):
         source = CodeSource(source, language)
     out = []

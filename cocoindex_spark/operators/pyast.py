@@ -86,9 +86,23 @@ def py_definitions(text: str, tree: ast.Module | None = None) -> list[dict] | No
                     }
                 )
                 walk(child, depth + 1)
-            elif isinstance(child, (ast.If, ast.Try, ast.With, ast.AsyncWith)):
-                # defs guarded by module-level if/try keep their depth:
-                # they are still top-level regions to a chunker.
+            elif isinstance(
+                child,
+                (
+                    ast.If,
+                    ast.Try,
+                    ast.With,
+                    ast.AsyncWith,
+                    ast.For,
+                    ast.AsyncFor,
+                    ast.While,
+                    ast.Match,
+                    ast.match_case,
+                ),
+            ):
+                # defs guarded by module-level if/try/for/while/match
+                # keep their depth: they are still top-level regions to
+                # a chunker (tree-sitter surfaces them the same way).
                 walk(child, depth)
 
     walk(tree, 0)

@@ -161,9 +161,12 @@ def simhash_wide(
     """
     if not 1 <= n_bits <= 60:
         raise ValueError("simhash_wide: n_bits must be in [1, 60]")
+    # id_col may be a single column name or a composite key (the sync
+    # engine's @fn transforms carry (__args_fp, __component_path, pk)).
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     n_hex = (n_bits + 3) // 4
     toks = (
-        df.select(id_col, F.col(token_col).alias("__tok"))
+        df.select(*ids, F.col(token_col).alias("__tok"))
         .distinct()
         .withColumn("__h", hex_to_int(md5_hex(F.col("__tok")), n_hex))
     )
@@ -172,11 +175,11 @@ def simhash_wide(
         bit = F.expr(f"__h div {1 << j}") % 2
         contrib = F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
         aggs.append(F.sum(contrib).alias(f"__s{j}"))
-    summed = toks.groupBy(id_col).agg(*aggs)
+    summed = toks.groupBy(*ids).agg(*aggs)
     sim = F.lit(0).cast("long")
     for j in range(n_bits):
         sim = sim + F.when(F.col(f"__s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-    return summed.select(id_col, sim.alias("simhash"))
+    return summed.select(*ids, sim.alias("simhash"))
 
 
 def sql_simhash_wide(

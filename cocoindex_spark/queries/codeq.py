@@ -283,3 +283,71 @@ def q49_definition_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(out_no)
         .select("doc_id", "def_kind", "def_name")
     )
+
+
+# --- q98: lexer-exact definitions for a brace language (Rust) — the
+#     q29/q79 guarantee extended past Python: a `fn` inside a string
+#     literal, a `// fn` line comment, or a `/* struct */` block comment
+#     is NEVER a definition, because the comment/string-stripping token
+#     stream (operators/code_boundaries.py brace_definitions) already
+#     dropped it — the failure mode of regex definition patterns.
+#     Spans are full regions (keyword statement → matching `}` or `;`),
+#     the shape tree-sitter yields (reference:
+#     rust/code_ast/src/view/lang.rs region classification). Executes
+#     as one Arrow-batched pandas_udf pass — per-row, no shuffle.
+@register(
+    "q98_brace_definitions",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+    CAST(doc_id AS VARCHAR) AS sid,
+    'pub fn real' || CAST(doc_id AS VARCHAR) || '(x: i64) -> i64 {' || chr(10) ||
+    '    let s = "fn fake_str() {}";' || chr(10) ||
+    '    // fn fake_line() {}' || chr(10) ||
+    '    /* struct FakeBlock; */' || chr(10) ||
+    '    x + 1' || chr(10) || '}' || chr(10) AS p1,
+    'struct Point' || CAST(doc_id AS VARCHAR) || ';' || chr(10) AS p2,
+    'trait Greet' || CAST(doc_id AS VARCHAR) || ' {' || chr(10) ||
+    '    fn hello(&self);' || chr(10) || '}' || chr(10) AS p3
+  FROM documents
+)
+SELECT doc_id, 'function' AS def_kind, 'real' || sid AS def_name,
+       CAST(0 AS BIGINT) AS def_start, CAST(strlen(p1) - 1 AS BIGINT) AS def_end
+FROM src
+UNION ALL
+SELECT doc_id, 'struct', 'Point' || sid,
+       CAST(strlen(p1) AS BIGINT), CAST(strlen(p1) + strlen(p2) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'trait', 'Greet' || sid,
+       CAST(strlen(p1) + strlen(p2) AS BIGINT),
+       CAST(strlen(p1) + strlen(p2) + strlen(p3) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'function', 'hello',
+       CAST(strlen(p1) + strlen(p2) + 18 + strlen(sid) AS BIGINT),
+       CAST(strlen(p1) + strlen(p2) + 34 + strlen(sid) AS BIGINT)
+FROM src
+""",
+)
+def q98_brace_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("pub fn real"), sid,
+        F.lit('(x: i64) -> i64 {\n    let s = "fn fake_str() {}";\n'
+              "    // fn fake_line() {}\n    /* struct FakeBlock; */\n"
+              "    x + 1\n}\n"),
+        F.lit("struct Point"), sid, F.lit(";\n"),
+        F.lit("trait Greet"), sid, F.lit(" {\n    fn hello(&self);\n}\n"),
+    )
+    defs = definitions_df(d.withColumn("code", code), "code", "rust")
+    return defs.select(
+        "doc_id",
+        "def_kind",
+        "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )

@@ -241,7 +241,9 @@ def q77_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_excl", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
     ).select(
         "doc_id", "source", "n_tok",
-        F.floor(F.col("cum_excl") / F.lit(_PACK_BUDGET)).cast("long").alias("batch_id"),
+        # Integer division, NOT floor(x / y): the double division only
+        # agrees with the oracle's BIGINT `//` while cum_excl < 2^53.
+        F.expr(f"cum_excl div {_PACK_BUDGET}").cast("long").alias("batch_id"),
     )
 
 

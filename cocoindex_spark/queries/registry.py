@@ -27,56 +27,57 @@ def register(name: str, oracle: str | None = None):
 # must come first. This list is refreshed each round from the previous
 # CORRECTNESS_r{N}.json: never-checked first, then stalest-checked.
 _PRIORITY: list[str] = [
-    # never driver-checked through r2
-    "q54_asof_attribution",
-    "q55_range_click_burst",
-    "q74_frame_near_dup",
-    "q48_structural_captures",
-    "q49_definition_views",
-    "q39_filter_pipeline",
-    "q57_source_quantiles",
-    "q58_deterministic_sample",
-    "q59_split_assignment",
-    "q68_supplier_triangles",
-    # new this round (no verdict yet)
-    "q29_ast_chunks",
-    "q75_fts_bm25",
-    "q76_simhash_wide_pairs",
-    "q77_token_packing",
-    "q78_contamination",
-    "q79_ast_definitions",
-    "q80_dup_retention",
-    "q81_mixture_weights",
-    "q82_pagerank",
-    "q83_multiprobe_topk",
-    "q84_event_dedup_windowed",
-    "q85_funnel",
-    "q86_retention_weekly",
-    "q87_outlier_trim",
-    "q88_length_bucketed_batches",
-    "q89_source_overlap",
-    "q90_phrase_search",
-    "q91_sliding_revenue",
-    "q92_decayed_user_value",
-    "q93_region_share",
-    "q94_weekday_type_pivot",
-    "q95_cube_revenue",
-    "q96_shared_sql_topspenders",
-    # failed in r2 (oracle cast fixed this round)
-    "q28_pq_topk",
-    # last checked in r1 only
-    "q50_tumbling_daily",
-    "q51_sessionization",
-    "q52_hourly_uniques",
-    "q53_event_transitions",
-    "q70_multimodal_decode",
-    "q71_multimodal_stats",
-    "q72_multimodal_frames",
-    "q73_transcribe",
-    "q46_code_language",
-    "q47_code_pattern",
-    "q66_graph_degree",
-    "q67_motif_cosupplier",
+    # new this round (no driver verdict yet)
+    "q97_shared_sql_doc_quality",
+    "q98_brace_definitions",
+    "q99_pair_relation_read",
+    # last driver-checked in r2 (stalest first window); several had code
+    # touched since r2 (q65 CC node-scope fix, q33 shared simhash operators)
+    "q65_entity_resolution",
+    "q33_simhash_pairs",
+    "q62_connected_components",
+    "q05_top3_orders_per_customer",
+    "q06_groupby_scoring",
+    "q07_customers_without_orders",
+    "q08_unreferenced_parts",
+    "q09_last_wins_per_key",
+    "q10_ownership_latest_supplier",
+    "q11_stats_rollup",
+    "q12_selective_scan",
+    "q13_json_props",
+    "q14_rollup_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_banded_revenue",
+    "q20_vector_topk",
+    "q21_knn_batch",
+    "q22_similarity_join_blocked",
+    "q23_lsh_bucket_join",
+    "q24_label_centroids",
+    "q25_ivf_topk",
+    "q26_hash_embed_knn",
+    "q27_multivector_maxsim",
+    "q30_exact_dedup",
+    "q31_ngram_jaccard_pairs",
+    "q32_minhash_lsh_pairs",
+    "q34_embedding_neardup",
+    "q35_repetition_ngrams",
+    "q36_pii_scrub",
+    "q37_normalized_dedup",
+    "q38_bpe_token_estimate",
+    "q40_token_stats",
+    "q41_quality_score",
+    "q42_langid_confusion",
+    "q43_doc_fingerprint",
+    "q44_chunk_documents",
+    "q45_deterministic_ids",
+    "q56_stemmed_vocab",
+    "q60_reconcile_actions",
+    "q61_memo_miss_join",
+    "q63_rrf_hybrid",
+    "q64_child_existence_diff",
 ]
 
 

@@ -459,3 +459,30 @@ def q56_stemmed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compression"
         ),
     )
+
+
+# --- q97: shared-SQL parity over the DOCUMENTS corpus — ONE ANSI string
+#     executed VERBATIM by both engines (spark.sql here, DuckDB as the
+#     oracle), the text-domain twin of q96's TPC-H proof. Pins the
+#     shared dialect subset for text analytics: length/replace/lower,
+#     LIKE, CASE, GROUP BY + ORDER BY, explicit BIGINT casts (the
+#     cross-engine sum-type discipline). Plan: one scan + one hash agg
+#     on `source` — partial aggregation map-side, ~20 groups shuffle.
+_SHARED_DOC_SQL = """
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+  CAST(MIN(length(text)) AS BIGINT) AS min_len,
+  CAST(MAX(length(text)) AS BIGINT) AS max_len,
+  CAST(SUM(length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS n_spaces,
+  CAST(SUM(CASE WHEN lower(text) LIKE '%the%' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_the
+FROM documents
+GROUP BY source
+ORDER BY source
+""".strip()
+
+
+@register("q97_shared_sql_doc_quality", oracle=_SHARED_DOC_SQL)
+def q97_shared_sql_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SHARED_DOC_SQL)

@@ -9,11 +9,14 @@ Deletes ride the same channel as rows carrying the hidden
 
 Spark-first shape, same as the wire SQL sink: ``foreachPartition`` —
 each executor partition chunks its rows, POSTs each chunk with a
-DETERMINISTIC label (md5 of the chunk payload + target name), commits
-nothing driver-side. A task retry re-sends byte-identical chunks under
-identical labels, so the server's label dedup makes speculative
-execution and failure replay converge — the engine's idempotent-MERGE
-contract carried over an at-least-once transport.
+DETERMINISTIC label (target name + sync version + md5 of the chunk
+payload), commits nothing driver-side. A task retry re-sends
+byte-identical chunks under identical labels, so the server's label
+dedup makes speculative execution and failure replay converge — the
+engine's idempotent-MERGE contract carried over an at-least-once
+transport. The sync version keeps labels unique ACROSS syncs so a
+later run legitimately re-sending identical bytes (value revert,
+delete-then-reinsert) is not dropped by the server's label dedup.
 
 The transport is stdlib ``urllib`` (executor-side, no extra deps).
 Tests run against a recording ``http.server`` (tests/test_http_load.py);
@@ -32,6 +35,10 @@ from pyspark.sql.types import StructType
 DELETE_SIGN = "__DORIS_DELETE_SIGN__"
 
 
+class StreamLoadError(RuntimeError):
+    """A stream load the server reported as failed (possibly under HTTP 200)."""
+
+
 def _put(url: str, label: str, body: bytes, headers: dict | None = None) -> int:
     import urllib.request
 
@@ -43,7 +50,27 @@ def _put(url: str, label: str, body: bytes, headers: dict | None = None) -> int:
     for k, v in (headers or {}).items():
         req.add_header(k, v)
     with urllib.request.urlopen(req) as resp:
-        return resp.status
+        # Doris reports load failures in the JSON body UNDER HTTP 200
+        # (Status=Fail, Label Already Exists, type errors) — a bare
+        # status check silently swallows them and the sync would commit
+        # tracking as applied over a load the server dropped.
+        raw = resp.read()
+        try:
+            payload = json.loads(raw) if raw else {}
+        except ValueError:
+            payload = {}
+        status = payload.get("Status", "Success")
+        if status in ("Success", "Publish Timeout"):
+            return resp.status
+        if status == "Label Already Exists":
+            # Same label ⇒ same sync + identical bytes (labels fold the
+            # sync version): this is a task retry of an already-consumed
+            # chunk — the exactly-once contract working as intended.
+            return resp.status
+        raise StreamLoadError(
+            f"stream load failed: label={label} Status={status} "
+            f"Message={payload.get('Message', '')!r}"
+        )
 
 
 class HttpLoadTarget:
@@ -70,6 +97,19 @@ class HttpLoadTarget:
         self.db = db
         self.rows_per_load = rows_per_load
         self._num_writers = num_writers
+        # Per-sync token folded into load labels. A pure content-hash
+        # label is stable FOREVER: a later sync legitimately re-sending
+        # byte-identical rows (A→B→A revert, delete-then-reinsert) would
+        # reuse an already-consumed label and the server's label dedup
+        # would silently drop the load. Folding the sync version keeps
+        # retry idempotency WITHIN a sync (task retries share the token)
+        # without suppressing future legitimate loads. The engine sets
+        # this per run via set_sync_version(); standalone callers get a
+        # constant and keep the old behavior.
+        self.sync_version: str = "0"
+
+    def set_sync_version(self, version) -> None:
+        self.sync_version = str(version)
 
     @property
     def load_url(self) -> str:
@@ -79,6 +119,7 @@ class HttpLoadTarget:
         cols = [f.name for f in self.schema.fields] if not delete else list(self.pk)
         url, chunk_rows, table = self.load_url, self.rows_per_load, self.name
         sign = {DELETE_SIGN: 1} if delete else {}
+        sync_version = self.sync_version
 
         def load_partition(it) -> None:
             buf = []
@@ -87,10 +128,12 @@ class HttpLoadTarget:
                 if not buf:
                     return
                 body = json.dumps(buf, sort_keys=True, default=str).encode()
-                # Deterministic label: a retried task re-sends the same
-                # bytes under the same label → server-side dedup makes
-                # the load idempotent (the reference's label contract).
-                label = f"{table}-{hashlib.md5(body).hexdigest()}"
+                # Deterministic label WITHIN a sync: a retried task
+                # re-sends the same bytes under the same label →
+                # server-side dedup makes the load idempotent (the
+                # reference's label contract). The sync version keeps
+                # labels from colliding ACROSS syncs (see __init__).
+                label = f"{table}-{sync_version}-{hashlib.md5(body).hexdigest()}"
                 _put(url, label, body)
                 buf.clear()
 
