@@ -120,7 +120,7 @@ HEADLINE = [
 ]
 
 
-def bench_incremental(spark, sf_dir: str, timings: dict) -> None:
+def bench_incremental(spark, sf_dir: str, timings: dict, phases: dict | None = None) -> None:
     """Cold/warm/edit sync phases over the documents table — the Spark
     restatement of the reference's file_summarization benchmark phases
     (BASELINE.md: warm ⇒ 0 cache misses; one edit ⇒ bounded delta)."""
@@ -146,6 +146,14 @@ def bench_incremental(spark, sf_dir: str, timings: dict) -> None:
             F.sha2(F.col("text"), 256).alias("content_fp"),
         )
 
+    def _ph(name: str, st) -> None:
+        # Per-phase wall-clock breakdown (SyncStats.extra["phase_ms"]):
+        # lets a slow pipeline number be attributed to a specific engine
+        # phase instead of guessed at — the auditable evidence that a
+        # cheap-path run's cost is bounded metadata jobs, not O(data).
+        if phases is not None:
+            phases[name] = dict(st.extra.get("phase_ms", {}))
+
     root = tempfile.mkdtemp(prefix="bench_sync_")
     try:
         app = App("bench", state_dir=root, spark=spark)
@@ -158,10 +166,12 @@ def bench_incremental(spark, sf_dir: str, timings: dict) -> None:
         t0 = _time.perf_counter()
         cold = app.sync_table(src, ["doc_id"], doc_stats, target)
         timings["pipe_cold"] = round(_time.perf_counter() - t0, 3)
+        _ph("pipe_cold", cold)
 
         t0 = _time.perf_counter()
         warm = app.sync_table(src, ["doc_id"], doc_stats, target)
         timings["pipe_warm"] = round(_time.perf_counter() - t0, 3)
+        _ph("pipe_warm", warm)
         assert warm.memo_misses == 0, "incremental contract: warm run must be all hits"
 
         edited = src.withColumn(
@@ -173,6 +183,7 @@ def bench_incremental(spark, sf_dir: str, timings: dict) -> None:
         t0 = _time.perf_counter()
         edit = app.sync_table(edited, ["doc_id"], doc_stats, target)
         timings["pipe_edit"] = round(_time.perf_counter() - t0, 3)
+        _ph("pipe_edit", edit)
         assert edit.memo_misses == 1, "incremental contract: one edit ⇒ one recompute"
         assert cold.memo_misses > 0
 
@@ -192,6 +203,7 @@ def bench_incremental(spark, sf_dir: str, timings: dict) -> None:
         t0 = _time.perf_counter()
         shape = app.sync_table(shaped, ["doc_id"], doc_stats, target)
         timings["pipe_shape"] = round(_time.perf_counter() - t0, 3)
+        _ph("pipe_shape", shape)
         assert shape.memo_misses == 2, "shape: rename + add ⇒ exactly 2 recomputes"
         assert shape.deletes == 1, "shape: the renamed key's old path cascades"
 
@@ -200,6 +212,7 @@ def bench_incremental(spark, sf_dir: str, timings: dict) -> None:
         t0 = _time.perf_counter()
         dele = app.sync_table(half, ["doc_id"], doc_stats, target)
         timings["pipe_delete"] = round(_time.perf_counter() - t0, 3)
+        _ph("pipe_delete", dele)
         assert dele.deletes > 0 and dele.memo_misses == 0
 
         # ---- two-level phases: metadata-only listing + load callable
@@ -228,6 +241,7 @@ def bench_incremental(spark, sf_dir: str, timings: dict) -> None:
             cheap_fp_cols=["n_chars"], load=load_text,
         )
         timings["pipe_warm_cheap"] = round(_time.perf_counter() - t0, 3)
+        _ph("pipe_warm_cheap", warm2)
         assert warm2.memo_misses == 0, "cheap-warm run must recompute nothing"
         assert warm2.extra["loaded"] == 0, "cheap-warm run must load zero content rows"
 
@@ -255,6 +269,7 @@ def bench_incremental(spark, sf_dir: str, timings: dict) -> None:
             cheap_fp_cols=["n_chars"], load=load_edited,
         )
         timings["pipe_edit_cheap"] = round(_time.perf_counter() - t0, 3)
+        _ph("pipe_edit_cheap", edit2)
         assert edit2.extra["loaded"] == 1 and edit2.memo_misses == 1
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -315,11 +330,16 @@ def main() -> None:
     # phase keeps its min. Shared-host stalls have produced 5-8×
     # single-phase outliers; one clean pass bounds them.
     t1: dict[str, float] = {}
-    bench_incremental(spark, sf_dir, t1)
+    p1: dict[str, dict] = {}
+    bench_incremental(spark, sf_dir, t1, p1)
     t2: dict[str, float] = {}
-    bench_incremental(spark, sf_dir, t2)
+    p2: dict[str, dict] = {}
+    bench_incremental(spark, sf_dir, t2, p2)
+    phase_ms: dict[str, dict] = {}
     for k in t1:
         timings[k] = min(t1[k], t2.get(k, t1[k]))
+        # the phase breakdown travels with the run that won the min
+        phase_ms[k] = p1.get(k, {}) if t1[k] <= t2.get(k, t1[k]) else p2.get(k, {})
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -327,6 +347,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "phase_ms": phase_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
     }

@@ -785,10 +785,17 @@ class App:
             if cached is not None:
                 cached.unpersist()
 
-        # Adaptive state sharding: safe here — the sync's scoped bucket
-        # ids are all consumed; growth rehashes before the next sync.
+        # Adaptive state maintenance: safe here — the sync's scoped
+        # bucket ids are all consumed; growth rehashes before the next
+        # sync. A grown table is already one fresh version, so
+        # compaction (fragment-count / dead-bytes OPTIMIZE,
+        # store.py maybe_compact) only runs when growth didn't fire.
         for t in (self.state.tracking, self.state.memo, self.state.source_fp):
-            t.maybe_grow(spark)
+            if not t.maybe_grow(spark):
+                t.maybe_compact(spark)
+        tgt_tbl = getattr(target, "_table", None)
+        if tgt_tbl is not None:
+            tgt_tbl.maybe_compact(spark)
         _phase("cleanup")
         stats.extra["phase_ms"] = phase_ms
         stats.wall_sec = time.perf_counter() - t0

@@ -187,6 +187,17 @@ class PandasEmbedder:
     memo) — the broadcast-model pattern. Pass ``runner=GpuRunner(...)``
     to pin the embedding stage onto GPU task slots via stage-level
     scheduling (runner.py:38-485 analog).
+
+    ``rate_limiter`` takes either a plain ``TokenBucket`` (per-executor
+    rate — each executor process gets the full rate) or a
+    ``ClusterRateLimit`` (rate_limit.py:117), which bounds AGGREGATE
+    QPS across the cluster: it divides the cluster rate by the live
+    executor count at plan-build time and each executor's shared bucket
+    runs at that share, so N executors jointly stay under the global
+    rate (the reference's process-global bucket, resources/
+    rate_limit.py:11, restated for a multi-process cluster). Chunk
+    sizes are capped at the limiter's per-acquire capacity so a single
+    acquire can never exceed the bucket and hang the task.
     """
 
     def __init__(
@@ -212,7 +223,9 @@ class PandasEmbedder:
         limiter = self.rate_limiter
         if limiter is not None:
             # A chunk larger than the bucket's capacity could never
-            # acquire() and would hang the task forever — cap at capacity.
+            # acquire() and would hang the task forever — cap at
+            # capacity (for ClusterRateLimit: the per-executor SHARE
+            # capacity, which is what its bucket can ever admit).
             cap = int(getattr(limiter, "capacity", max_bs))
             max_bs = max(1, min(max_bs, cap))
 

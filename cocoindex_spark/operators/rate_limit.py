@@ -152,6 +152,14 @@ class ClusterRateLimit:
         self.n_executors = max(1, n)
 
     @property
+    def capacity(self) -> float:
+        """Per-executor bucket capacity — what a single acquire() can
+        ever admit. PandasEmbedder caps its chunk size at this so a
+        chunk can never exceed the bucket and hang the task."""
+        share_burst = self.share_burst
+        return share_burst if share_burst is not None else self.share_rate
+
+    @property
     def share_rate(self) -> float:
         return self.cluster_rate / self.n_executors
 

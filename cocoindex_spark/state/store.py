@@ -184,6 +184,53 @@ class ManagedTable:
         self.overwrite(self.read(spark), n_buckets=n * 2)
         return True
 
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        max_versions: int = 8,
+        max_waste_fraction: float = 0.5,
+    ) -> bool:
+        """Auto-OPTIMIZE for fragmented tables (reference: LanceDB's
+        fragment-count/deleted-rows compaction heuristics,
+        python/cocoindex/connectors/lancedb/_target.py:368-583).
+
+        N small syncs leave (a) each bucket pointing into its own
+        version dir — the reader globs O(versions) directories — and
+        (b) superseded bucket files alive inside still-referenced dirs
+        (a dir stays until NO bucket references it, so its dead files
+        survive the GC). Compaction rewrites the table into ONE fresh
+        version — one file per bucket — when the live mapping spans
+        more than ``max_versions`` dirs OR dead bytes exceed
+        ``max_waste_fraction`` of referenced bytes.
+
+        The scan is filesystem metadata only (bounded by
+        versions × buckets). Same contract as maybe_grow: call only
+        BETWEEN syncs. Returns True if it compacted."""
+        n, mapping = self._meta()
+        if not mapping:
+            return False
+        versions = set(mapping.values())
+        trigger = len(versions) > max_versions
+        if not trigger:
+            live = set(self._bucket_paths(mapping))
+            ref_bytes = live_bytes = 0
+            for ver in versions:
+                vp = os.path.join(self.path, ver)
+                for d in self.fs.listdir(vp):
+                    if not d.startswith(f"{_BUCKET_COL}="):
+                        continue
+                    p = os.path.join(vp, d)
+                    b = self.fs.total_bytes(p)
+                    ref_bytes += b
+                    if p in live:
+                        live_bytes += b
+            dead = ref_bytes - live_bytes
+            trigger = ref_bytes > 0 and dead / ref_bytes > max_waste_fraction
+        if not trigger:
+            return False
+        self.overwrite(self.read(spark), n_buckets=n)
+        return True
+
     def touched_buckets(self, keys: DataFrame) -> list[int]:
         """Bucket ids the given key rows hash into. Callers that drive
         several phase writes off one key set compute this once and pass

@@ -152,3 +152,32 @@ def test_cluster_rate_limit_global_bound_across_simulated_executors():
     # scheduler jitter.
     assert total <= cluster_rate * 0.5 + burst + 10
     assert total >= 20  # sanity: the buckets actually admitted work
+
+
+def test_embedder_threads_cluster_limiter(spark):
+    """The embed path accepts ClusterRateLimit directly: chunks cap at
+    the per-executor SHARE capacity (not the cluster burst), and the
+    Arrow batches flow through its shared executor bucket."""
+    from cocoindex_spark.operators.rate_limit import (
+        _EXECUTOR_BUCKETS,
+        ClusterRateLimit,
+    )
+
+    lim = ClusterRateLimit(
+        "api-embed-e2e", cluster_rate_per_sec=10_000.0, burst=6.0, spark=spark
+    )
+    assert lim.capacity == 6.0 / lim.n_executors
+    emb = PandasEmbedder(
+        lambda: FakeModel(dim=2),
+        VectorSchema(2),
+        max_batch_size=256,  # far above capacity: must shrink, not hang
+        rate_limiter=lim,
+    )
+    df = spark.createDataFrame([(f"t{i}",) for i in range(25)], "text STRING")
+    out = emb.embed_column(df, "text").collect()
+    assert len(out) == 25 and all(len(r["embedding"]) == 2 for r in out)
+    # the limiter's bucket is the NAMED process-shared bucket at the
+    # divided share rate (each Python worker process builds its own —
+    # they run in separate processes, so probe the construction here)
+    b = lim.bucket()
+    assert b.rate == lim.share_rate and b is _EXECUTOR_BUCKETS["api-embed-e2e"]

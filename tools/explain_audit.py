@@ -251,6 +251,18 @@ CHECKS = {
         [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", r"HashAggregate"],
         [r"CartesianProduct"],
     ),
+    "q97_shared_sql_doc_quality": (
+        # verbatim shared SQL: one scan + partial-then-final hash agg,
+        # every expression JVM-side
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q98_brace_definitions": (
+        # lexer-exact definitions: Arrow-batched extraction + explode,
+        # shuffle-free (per-row, embarrassingly parallel)
+        [r"ArrowEvalPython", r"Generate"],
+        [r"Exchange", r"CartesianProduct"],
+    ),
 }
 
 # Node-count ceilings: (node regex, max occurrences in the plan).
@@ -262,12 +274,31 @@ COUNT_CHECKS = {
     "q66_graph_degree": (r"Exchange hashpartitioning", 1),
 }
 
+# Queries that must NOT carry an explicit broadcast HINT: forcing an
+# unbounded relation (e.g. the full id→source projection of documents)
+# onto every executor is an OOM at 100 TB. Size-based auto-broadcast
+# chosen by the optimizer/AQE at runtime is fine — only explicit hints
+# print `strategy=broadcast` in the optimized logical plan.
+NO_BROADCAST_HINT = [
+    "q89_source_overlap",
+    "q80_dup_retention",
+    "q76_simhash_wide_pairs",
+]
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = all_queries()
+    queries = dict(all_queries())
+
+    # q76 registers the MATERIALIZED pair relation (localCheckpoint —
+    # its registered plan is just the checkpoint scan); audit the
+    # underlying pipeline the checkpoint materializes.
+    from cocoindex_spark.queries.dedup import _compute_wide_pairs
+
+    queries["q76_simhash_wide_pairs"] = _compute_wide_pairs
+
     failures = 0
     for name, (must, must_not) in CHECKS.items():
         plan = queries[name](spark, sf_dir)._jdf.queryExecution().explainString(
@@ -300,7 +331,19 @@ def main() -> None:
             print(f"FAIL {name}: {len(ids)} x {pat!r} (max {max_n})")
         else:
             print(f"PASS {name} ({len(ids)} x {pat!r} <= {max_n})")
-    print(f"\n{len(CHECKS) + len(COUNT_CHECKS) - failures} pass, {failures} fail")
+    for name in NO_BROADCAST_HINT:
+        plan = queries[name](spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+        )
+        if re.search(r"strategy=broadcast", plan):
+            failures += 1
+            print(f"FAIL {name}: explicit broadcast hint on a join side")
+        else:
+            print(f"PASS {name} (no broadcast hint)")
+    print(
+        f"\n{len(CHECKS) + len(COUNT_CHECKS) + len(NO_BROADCAST_HINT) - failures}"
+        f" pass, {failures} fail"
+    )
     sys.exit(1 if failures else 0)
 
 
