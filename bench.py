@@ -117,6 +117,8 @@ HEADLINE = [
     # the pipe_* phases already measure.
     "q97_shared_sql_doc_quality",
     "q98_brace_definitions",
+    "q100_brace_chunks",
+    "q101_tfidf_top_terms",
 ]
 
 

@@ -351,3 +351,54 @@ def q98_brace_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("def_start").cast("long").alias("def_start"),
         F.col("def_end").cast("long").alias("def_end"),
     )
+
+
+# --- q100: lexer-exact recursive chunking for a brace language (Rust)
+#     — q29's guarantee past Python: the chunk boundary between the two
+#     functions comes from the comment/string-stripping TOKEN stream
+#     (operators/code_boundaries.py brace_boundaries via
+#     split_recursive), so the `fn` inside the first function's string
+#     literal is never a split point — the regex-hierarchy failure mode
+#     this oracle pins. Arrow-batched split + explode, shuffle-free.
+@register(
+    "q100_brace_chunks",
+    oracle="""
+WITH parts AS (
+  SELECT doc_id,
+    'fn a' || CAST(doc_id AS VARCHAR) || '() -> i64 {' || chr(10) ||
+    '    let s = "fn fake() {}";' || chr(10) ||
+    '    1' || chr(10) || '}' || chr(10) AS p1,
+    'fn b' || CAST(doc_id AS VARCHAR) || '() -> i64 {' || chr(10) ||
+    '    2' || chr(10) || '}' || chr(10) AS p2
+  FROM documents
+)
+SELECT doc_id, 0 AS chunk_idx, md5(p1 || chr(10)) AS chunk_md5,
+       0 AS start_char, CAST(strlen(p1) + 1 AS INT) AS end_char
+FROM parts
+UNION ALL
+SELECT doc_id, 1, md5(p2),
+       CAST(strlen(p1) + 1 AS INT), CAST(strlen(p1) + 1 + strlen(p2) AS INT)
+FROM parts
+""",
+)
+def q100_brace_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.split import explode_chunks
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("fn a"), sid,
+        F.lit('() -> i64 {\n    let s = "fn fake() {}";\n    1\n}\n\n'),
+        F.lit("fn b"), sid, F.lit("() -> i64 {\n    2\n}\n"),
+    )
+    chunked = explode_chunks(
+        d.withColumn("code", code), "code",
+        mode="recursive", chunk_size=70, language="rust",
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.encode(F.col("chunk_text"), "UTF-8")).alias("chunk_md5"),
+        "start_char",
+        "end_char",
+    )

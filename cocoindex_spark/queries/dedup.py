@@ -509,6 +509,41 @@ def q37_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RET_SHIFT = 1 << 40
 
 
+def retention_drops(pairs: DataFrame, qual: DataFrame) -> DataFrame:
+    """Drop decisions over a near-dup pair relation: a doc is dropped
+    when some neighbor strictly dominates it on (n_tokens, -doc_id).
+    ``pairs`` is (a_id, b_id); ``qual`` is (doc_id, n_tokens). Output:
+    (doc_id, kept_by, n_tokens) — one row per dropped doc. Candidate-
+    scoped: one equi-join + groupBy over the (small) pair list, never
+    a corpus pass. Consumers pass the MATERIALIZED pair relation
+    (wide_pair_relation / a sync-maintained index read)."""
+    nb = pairs.select(F.col("a_id").alias("doc_id"), F.col("b_id").alias("nbr")).unionAll(
+        pairs.select(F.col("b_id").alias("doc_id"), F.col("a_id").alias("nbr"))
+    )
+    qd = qual.select("doc_id", "n_tokens")
+    qn = qual.select(F.col("doc_id").alias("nbr"), F.col("n_tokens").alias("nbr_tokens"))
+    keyed = (
+        nb.join(qd, "doc_id")
+        .join(qn, "nbr")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") * _RET_SHIFT - F.col("doc_id")).alias("my_key"),
+            "nbr",
+            (F.col("nbr_tokens") * _RET_SHIFT - F.col("nbr")).alias("nbr_key"),
+        )
+    )
+    return (
+        keyed.filter(F.col("nbr_key") > F.col("my_key"))
+        .groupBy("doc_id")
+        .agg(
+            F.max_by("nbr", "nbr_key").alias("kept_by"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+
 @register(
     "q80_dup_retention",
     oracle=f"""
@@ -547,38 +582,14 @@ GROUP BY doc_id
 )
 def q80_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reads the MATERIALIZED pair relation (computed once per session,
-    # not re-shingled per consumer) — retention is candidate-scoped:
-    # one equi-join + groupBy over the small pair list.
+    # not re-shingled per consumer).
     pairs = wide_pair_relation(spark, sf_dir).select("a_id", "b_id")
     d = table(spark, sf_dir, "documents")
     qual = d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
     )
-    nb = pairs.select(F.col("a_id").alias("doc_id"), F.col("b_id").alias("nbr")).unionAll(
-        pairs.select(F.col("b_id").alias("doc_id"), F.col("a_id").alias("nbr"))
-    )
-    qd = qual.select("doc_id", "n_tokens")
-    qn = qual.select(F.col("doc_id").alias("nbr"), F.col("n_tokens").alias("nbr_tokens"))
-    keyed = (
-        nb.join(qd, "doc_id")
-        .join(qn, "nbr")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") * _RET_SHIFT - F.col("doc_id")).alias("my_key"),
-            "nbr",
-            (F.col("nbr_tokens") * _RET_SHIFT - F.col("nbr")).alias("nbr_key"),
-        )
-    )
-    return (
-        keyed.filter(F.col("nbr_key") > F.col("my_key"))
-        .groupBy("doc_id")
-        .agg(
-            F.max_by("nbr", "nbr_key").alias("kept_by"),
-            F.min("n_tokens").alias("n_tokens"),
-        )
-    )
+    return retention_drops(pairs, qual)
 
 
 # --- q99: the pair relation read from a SYNC-MAINTAINED index — the

@@ -31,6 +31,8 @@ _PRIORITY: list[str] = [
     "q97_shared_sql_doc_quality",
     "q98_brace_definitions",
     "q99_pair_relation_read",
+    "q100_brace_chunks",
+    "q101_tfidf_top_terms",
     # last driver-checked in r2 (stalest first window); several had code
     # touched since r2 (q65 CC node-scope fix, q33 shared simhash operators)
     "q65_entity_resolution",

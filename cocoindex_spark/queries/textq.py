@@ -486,3 +486,61 @@ ORDER BY source
 def q97_shared_sql_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_SHARED_DOC_SQL)
+
+
+# --- q101: per-source distinguishing terms — integer-exact TF-IDF.
+#     The corpus-analysis operator a curation run uses to characterize
+#     sources. idf uses the same transcendental-free discipline as the
+#     BM25 index (operators/fts.py): an integer odds ratio
+#     ((2(N−df)+1)·2^20) div (2df+1) — BIGINT arithmetic is
+#     bit-identical in both engines, no log(). Plan: one token explode,
+#     two hash aggs (tf keyed on (source,tok), df keyed on tok), the
+#     source count as a broadcast 1-row side, a tok-keyed equi-join,
+#     and a per-source top-5 window — every stage keyed, no global
+#     window, no cross product beyond the scalar broadcast.
+@register(
+    "q101_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT source, UNNEST(string_split(trim(text), ' ')) AS tok FROM documents
+),
+tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY source, tok),
+df AS (SELECT tok, COUNT(DISTINCT source) AS df FROM toks GROUP BY tok),
+n AS (SELECT COUNT(DISTINCT source) AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.tok,
+         CAST(tf.tf * (((2 * (n.n - df.df) + 1) * 1048576) // (2 * df.df + 1))
+              AS BIGINT) AS score
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+)
+SELECT source, tok, score FROM (
+  SELECT source, tok, score,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, tok) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+def q101_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("source").alias("df"))
+    n = d.agg(F.countDistinct("source").alias("n"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))  # 1-row scalar side, intentional
+        .select(
+            "source",
+            "tok",
+            (
+                F.col("tf")
+                * F.expr("((2 * (n - df) + 1) * 1048576) div (2 * df + 1)")
+            ).cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "tok", "score")
+    )

@@ -77,3 +77,52 @@ def test_pair_relation_incremental(app, spark, tmp_state):
     dele = app.sync_table(src3, ["doc_id"], _simhash_index, t)
     assert dele.deletes == 1 and dele.memo_misses == 0
     assert {r["doc_id"] for r in t.read(spark).collect()} == {2, 3}
+
+
+def test_retention_pipeline_reads_maintained_index(app, spark, tmp_state):
+    """End-to-end retention scenario: the drop decision reads the
+    ENGINE-MAINTAINED signature index (never re-shingles the corpus);
+    an edit flows through one signature row and flips the decision."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_spark.queries.dedup import retention_drops
+
+    t = app.target(
+        f"{tmp_state}/ret_idx", ["doc_id"], "doc_id LONG, simhash LONG"
+    )
+    docs = [
+        (1, BASE),
+        (2, BASE),  # exact near-dup of 1: equal tokens → doc 2 dropped
+        (3, "completely unrelated corpus of words with nothing shared at all ever"),
+    ]
+    src = _docs(spark, docs)
+    app.sync_table(src, ["doc_id"], _simhash_index, t)
+
+    def drops():
+        pairs = _band_pairs(t.read(spark).select("doc_id", "simhash")).select(
+            "a_id", "b_id"
+        )
+        qual = src.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+        )
+        return {
+            (r["doc_id"], r["kept_by"]) for r in retention_drops(pairs, qual).collect()
+        }
+
+    # equal token counts → the lower doc_id dominates: 2 dropped, kept by 1
+    assert drops() == {(2, 1)}
+
+    # edit doc 2 away from doc 1: one signature row recomputes, the
+    # pair dissolves, nothing is dropped any more
+    src = _docs(
+        spark,
+        [
+            (1, BASE),
+            (2, "rewritten unrelated text sharing no vocabulary with anything else now"),
+            (3, "completely unrelated corpus of words with nothing shared at all ever"),
+        ],
+    )
+    edit = app.sync_table(src, ["doc_id"], _simhash_index, t)
+    assert edit.memo_misses == 1 and edit.updates == 1
+    assert drops() == set()

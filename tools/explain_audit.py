@@ -263,6 +263,22 @@ CHECKS = {
         [r"ArrowEvalPython", r"Generate"],
         [r"Exchange", r"CartesianProduct"],
     ),
+    "q100_brace_chunks": (
+        # lexer-exact recursive chunking: Arrow split + explode,
+        # shuffle-free
+        [r"ArrowEvalPython", r"Generate"],
+        [r"Exchange", r"CartesianProduct"],
+    ),
+    "q101_tfidf_top_terms": (
+        # tf/df hash aggs + tok-keyed equi-join + per-source window;
+        # the source-count scalar is a broadcast 1-row side (BNLJ ok)
+        [
+            r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            r"HashAggregate",
+            r"hashpartitioning\(source",
+        ],
+        [r"CartesianProduct"],
+    ),
 }
 
 # Node-count ceilings: (node regex, max occurrences in the plan).
