@@ -119,6 +119,8 @@ HEADLINE = [
     "q98_brace_definitions",
     "q100_brace_chunks",
     "q101_tfidf_top_terms",
+    "q102_hll_distinct",
+    "q103_countmin_heavy_hitters",
 ]
 
 

@@ -1,0 +1,198 @@
+"""Mergeable sketches — the cardinality/frequency primitives of a
+100 TB pipeline: HyperLogLog registers (distinct counts that merge
+across partitions/syncs with MAX) and Count-Min cells (frequency
+estimates that merge with SUM). Reference analog: the stats rollups a
+curation run reports (SURVEY §2.6); at cluster scale the sketch IS the
+only way to keep per-partition state mergeable and bounded.
+
+Built integer-deterministic so the sketches are cross-engine
+ORACLE-ABLE (the repo's correctness standard): hashes are md5-prefix
+BIGINTs, register ranks are ``41 - bitlength`` integers, and the HLL
+harmonic sum is computed as an exact BIGINT (``Σ 2^(maxM − M_j)``,
+bounded by m·2^41 < 2^50) — the single float is one literal-constant
+multiply + one IEEE division of exact integers, bit-identical in Spark
+and DuckDB. No small-range linear-counting correction (it needs ln);
+this is the RAW HLL estimator, and the oracle computes the identical
+formula, so parity is exact regardless of estimator accuracy.
+
+Plan shape (both sketches): one token explode → one hash groupBy —
+partial aggregation map-side, register/cell space bounded (m, d×w)
+per group regardless of data size. Estimation joins probe only the
+sketch table, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cocoindex_spark.operators.text_ops import (
+    hex_to_int,
+    md5_hex,
+    sql_hex_to_int,
+)
+
+HLL_M = 256  # registers (b=8); standard error ≈ 1.04/√m ≈ 6.5%
+_HLL_W_BITS = 40  # 48-bit hash minus 8 index bits
+# alpha_m · m² for m=256, embedded as ONE decimal literal in both
+# engines so the parsed double is identical.
+HLL_ALPHA_M2 = repr(0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M)
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def _hll_hash(tok: Column) -> Column:
+    return hex_to_int(md5_hex(tok), 12)  # 48-bit
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], token_col: str) -> DataFrame:
+    """Per-group HLL register table (group..., j, M) — the mergeable
+    sketch state: registers from different partitions/syncs merge with
+    MAX(M), which is what the groupBy's partial aggregation already
+    does map-side."""
+    h = _hll_hash(F.col(token_col))
+    w = F.expr(f"__h div {HLL_M}")
+    rho = F.when(w > 0, F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(_HLL_W_BITS + 1)
+    )
+    return (
+        df.withColumn("__h", h)
+        .select(*group_cols, (F.col("__h") % HLL_M).alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Raw HLL estimate per group from the register table. Absent
+    registers count as M=0. The harmonic sum is the exact BIGINT
+    Σ 2^(maxM − M_j) (+ absent·2^maxM); the estimate is
+    alpha·m² · 2^maxM / Σ — deterministic IEEE on exact inputs."""
+    w = Window.partitionBy(*group_cols)
+    with_max = regs.withColumn("maxM", F.max("M").over(w))
+    agg = with_max.groupBy(*group_cols).agg(
+        F.max("maxM").alias("maxM"),
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), maxM - M)")).alias("s_present"),
+    )
+    intsum = F.col("s_present") + (F.lit(HLL_M) - F.col("present")) * F.expr(
+        "shiftleft(CAST(1 AS BIGINT), maxM)"
+    )
+    est = (
+        F.lit(float(HLL_ALPHA_M2))
+        * F.expr("shiftleft(CAST(1 AS BIGINT), maxM)").cast("double")
+        / intsum.cast("double")
+    )
+    return agg.select(*group_cols, est.alias("hll_estimate"))
+
+
+def sql_hll_estimate(token_table: str, group_col: str, token_col: str) -> str:
+    """DuckDB twin of hll_registers → hll_estimate: SELECT group_col,
+    hll_estimate FROM the same register pipeline."""
+    h = sql_hex_to_int(f"md5({token_col})", 12)
+    return f"""
+  SELECT {group_col},
+         {HLL_ALPHA_M2} * CAST((CAST(1 AS BIGINT) << maxM) AS DOUBLE)
+           / CAST(s_present + ({HLL_M} - present) * (CAST(1 AS BIGINT) << maxM) AS DOUBLE)
+           AS hll_estimate
+  FROM (
+    SELECT {group_col}, MAX(maxM) AS maxM, COUNT(*) AS present,
+           SUM(CAST(1 AS BIGINT) << (maxM - M)) AS s_present
+    FROM (
+      SELECT {group_col}, j, M, MAX(M) OVER (PARTITION BY {group_col}) AS maxM
+      FROM (
+        SELECT {group_col}, j, MAX(rho) AS M
+        FROM (
+          SELECT {group_col}, __h % {HLL_M} AS j,
+                 CASE WHEN (__h // {HLL_M}) > 0
+                      THEN {_HLL_W_BITS + 1} - length(bin(__h // {HLL_M}))
+                      ELSE {_HLL_W_BITS + 1} END AS rho
+          FROM (SELECT {group_col}, {h} AS __h FROM {token_table})
+        )
+        GROUP BY {group_col}, j
+      )
+    )
+    GROUP BY {group_col}
+  )
+"""
+
+
+def cm_cells(df: DataFrame, token_col: str) -> DataFrame:
+    """Count-Min sketch table (row, cell, n): d salted hash rows of
+    width w. Mergeable with SUM(n); one explode + one groupBy."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    hex_to_int(
+                        md5_hex(F.concat(F.lit(f"cm{i}#"), F.col(token_col))), 12
+                    )
+                    % CM_WIDTH
+                ).alias("cell"),
+            )
+            for i in range(CM_DEPTH)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("rc"))
+        .select(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_lookup(sketch: DataFrame, probes: DataFrame, token_col: str) -> DataFrame:
+    """Estimate each probe token's count: min over the d rows of its
+    cell counts. The probe side is tiny (d·|probes| cells) — broadcast
+    onto the bounded sketch table; the corpus is never rescanned."""
+    cells = probes.select(
+        token_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            hex_to_int(
+                                md5_hex(
+                                    F.concat(F.lit(f"cm{i}#"), F.col(token_col))
+                                ),
+                                12,
+                            )
+                            % CM_WIDTH
+                        ).alias("cell"),
+                    )
+                    for i in range(CM_DEPTH)
+                ]
+            )
+        ).alias("rc"),
+    ).select(token_col, F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+    return (
+        sketch.join(F.broadcast(cells), ["row", "cell"])
+        .groupBy(token_col)
+        .agg(F.min("n").alias("cm_estimate"))
+    )
+
+
+def _sql_cm_hash(token_col: str, i: int) -> str:
+    return sql_hex_to_int("md5('cm" + str(i) + "#' || " + token_col + ")", 12)
+
+
+def sql_cm_cells(token_table: str, token_col: str) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, ({_sql_cm_hash(token_col, i)}) % {CM_WIDTH} AS cell"
+        f" FROM {token_table}"
+        for i in range(CM_DEPTH)
+    )
+    return f"SELECT row, cell, COUNT(*) AS n FROM ({rows}) GROUP BY row, cell"
+
+
+def sql_cm_probe_cells(probe_table: str, token_col: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {token_col}, {i} AS row,"
+        f" ({_sql_cm_hash(token_col, i)}) % {CM_WIDTH} AS cell FROM {probe_table}"
+        for i in range(CM_DEPTH)
+    )

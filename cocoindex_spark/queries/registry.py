@@ -33,6 +33,8 @@ _PRIORITY: list[str] = [
     "q99_pair_relation_read",
     "q100_brace_chunks",
     "q101_tfidf_top_terms",
+    "q102_hll_distinct",
+    "q103_countmin_heavy_hitters",
     # last driver-checked in r2 (stalest first window); several had code
     # touched since r2 (q65 CC node-scope fix, q33 shared simhash operators)
     "q65_entity_resolution",

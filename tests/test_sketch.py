@@ -1,0 +1,90 @@
+"""Mergeable sketches (operators/sketch.py): the property that makes
+them the 100 TB primitives — registers/cells computed on disjoint
+partitions of the data merge (MAX / SUM) into exactly the sketch of
+the whole — plus estimator sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cocoindex_spark.operators.sketch import (
+    CM_DEPTH,
+    CM_WIDTH,
+    HLL_M,
+    cm_cells,
+    cm_lookup,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _toks(spark, n, salt=""):
+    return spark.range(n).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit(f"tok{salt}"), F.col("id").cast("string")).alias("tok"),
+    )
+
+
+def test_hll_registers_merge_with_max(spark):
+    whole = _toks(spark, 2000)
+    half_a = whole.filter(F.col("tok").substr(-1, 1).isin("0", "1", "2", "3", "4"))
+    half_b = whole.subtract(half_a)
+    ra = hll_registers(half_a, ["g"], "tok")
+    rb = hll_registers(half_b, ["g"], "tok")
+    merged = (
+        ra.unionByName(rb).groupBy("g", "j").agg(F.max("M").alias("M"))
+    )
+    direct = hll_registers(whole, ["g"], "tok")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    # and therefore identical estimates
+    em = hll_estimate(merged, ["g"]).collect()[0]["hll_estimate"]
+    ed = hll_estimate(direct, ["g"]).collect()[0]["hll_estimate"]
+    assert em == ed
+
+
+def test_hll_estimate_accuracy(spark):
+    """Raw HLL with m=256: standard error ~6.5%; assert within 20%."""
+    for n in (500, 5000):
+        toks = _toks(spark, n)
+        est = hll_estimate(hll_registers(toks, ["g"], "tok"), ["g"]).collect()[0][
+            "hll_estimate"
+        ]
+        assert abs(est - n) / n < 0.20, (n, est)
+
+
+def test_hll_registers_bounded(spark):
+    regs = hll_registers(_toks(spark, 10_000), ["g"], "tok")
+    assert regs.count() <= HLL_M  # sketch state bounded regardless of n
+
+
+def test_cm_cells_merge_with_sum(spark):
+    whole = _toks(spark, 1000).unionByName(_toks(spark, 300))  # dup mass
+    half_a = _toks(spark, 1000)
+    half_b = _toks(spark, 300)
+    merged = (
+        cm_cells(half_a, "tok")
+        .unionByName(cm_cells(half_b, "tok"))
+        .groupBy("row", "cell")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct = cm_cells(whole, "tok")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    assert direct.count() <= CM_DEPTH * CM_WIDTH  # bounded state
+
+
+def test_cm_estimate_upper_bounds_exact(spark):
+    """Count-Min never underestimates; with light load it is near-exact."""
+    toks = _toks(spark, 200).unionByName(_toks(spark, 200)).unionByName(
+        _toks(spark, 50)
+    )  # tok0..49 ×3, tok50..199 ×2
+    probes = spark.createDataFrame([("tok7",), ("tok100",)], "tok STRING")
+    est = {
+        r["tok"]: r["cm_estimate"]
+        for r in cm_lookup(cm_cells(toks, "tok"), probes, "tok").collect()
+    }
+    assert est["tok7"] >= 3 and est["tok100"] >= 2
+    assert est["tok7"] <= 10 and est["tok100"] <= 10  # light load: few collisions

@@ -279,6 +279,18 @@ CHECKS = {
         ],
         [r"CartesianProduct"],
     ),
+    "q102_hll_distinct": (
+        # register build = one hash agg; estimate = per-group rollup;
+        # all JVM expressions (md5/bin/shiftleft), no Python
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q103_countmin_heavy_hitters": (
+        # sketch = one bounded hash agg; probe cells broadcast onto it;
+        # exact top-20 via TakeOrdered, never a global window
+        [r"HashAggregate", r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"Window", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
 }
 
 # Node-count ceilings: (node regex, max occurrences in the plan).
