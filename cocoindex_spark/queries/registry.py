@@ -27,16 +27,11 @@ def register(name: str, oracle: str | None = None):
 # must come first. This list is refreshed each round from the previous
 # CORRECTNESS_r{N}.json: never-checked first, then stalest-checked.
 _PRIORITY: list[str] = [
-    # new this round (no driver verdict yet)
-    "q97_shared_sql_doc_quality",
-    "q98_brace_definitions",
-    "q99_pair_relation_read",
-    "q100_brace_chunks",
-    "q101_tfidf_top_terms",
-    "q102_hll_distinct",
-    "q103_countmin_heavy_hitters",
-    # last driver-checked in r2 (stalest first window); several had code
-    # touched since r2 (q65 CC node-scope fix, q33 shared simhash operators)
+    # last driver-checked in r2 (stalest-first: the r4 gate must refresh
+    # ≥45 of these); several had code touched since r2 (q65 CC
+    # node-scope fix, q33 shared simhash operators). The round's new
+    # queries follow — the first ~5 also land in a 50-row window; the
+    # rest are locally value-verified and rotate in next round.
     "q65_entity_resolution",
     "q33_simhash_pairs",
     "q62_connected_components",
@@ -82,6 +77,15 @@ _PRIORITY: list[str] = [
     "q61_memo_miss_join",
     "q63_rrf_hybrid",
     "q64_child_existence_diff",
+    # new this round (no driver verdict yet; all green in the local
+    # value gate)
+    "q97_shared_sql_doc_quality",
+    "q98_brace_definitions",
+    "q99_pair_relation_read",
+    "q100_brace_chunks",
+    "q101_tfidf_top_terms",
+    "q102_hll_distinct",
+    "q103_countmin_heavy_hitters",
 ]
 
 
