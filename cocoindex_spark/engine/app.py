@@ -43,6 +43,24 @@ from cocoindex_spark.sinks.table import TableTarget
 from cocoindex_spark.state.store import StateStore
 
 
+def _keys_from_paths(
+    paths: DataFrame, target_name: str, pk: list[str], pk_types: list[str]
+) -> DataFrame:
+    """Recover pk value columns from target_path strings (``__tp`` =
+    ``{target_name}/{pk1}/{pk2}/...``) — the delete channel for
+    apply-only wire sinks that cannot be read back. Splitting is exact
+    whenever the path encoding itself is unambiguous (pk string values
+    containing '/' would already collide in tracking)."""
+    rest = F.expr(f"substring(__tp, {len(target_name) + 2})")
+    parts = F.split(rest, "/", len(pk))
+    return paths.select(
+        *[
+            parts.getItem(i).cast(pk_types[i]).alias(col)
+            for i, col in enumerate(pk)
+        ]
+    )
+
+
 @dataclass
 class SyncStats:
     """Per-sync op counts — the metrics the reference's scenario tests
@@ -669,9 +687,6 @@ class App:
                 # upsert above already wrote the new owner's row, and
                 # deleting by target_path would destroy it. Only paths
                 # no component declared get swept.
-                current = target.read(spark).withColumn(
-                    "__tp", self._path_col(target.name, target.pk)
-                )
                 claimed = plan.actions.filter(
                     F.col("action").isin("insert", "update")
                 ).select(F.col("target_path").alias("__tp"))
@@ -680,7 +695,30 @@ class App:
                     .select(F.col("target_path").alias("__tp"))
                     .join(claimed, "__tp", "left_anti")
                 )
-                target.delete(current.join(dead, "__tp").select(*target.pk))
+                if hasattr(target, "read"):
+                    current = target.read(spark).withColumn(
+                        "__tp", self._path_col(target.name, target.pk)
+                    )
+                    target.delete(current.join(dead, "__tp").select(*target.pk))
+                else:
+                    # APPLY-ONLY wire sinks can't be read back: recover
+                    # the pk values from the dead target paths (the
+                    # path encoding IS name/pk1/pk2/... — any value
+                    # that would make the parse ambiguous would already
+                    # collide in tracking, so this adds no new
+                    # constraint). No sink scan at all — at scale this
+                    # is strictly cheaper than the read-based mapping.
+                    target.delete(
+                        _keys_from_paths(
+                            dead,
+                            target.name,
+                            target.pk,
+                            [
+                                target.schema[c].dataType.simpleString()
+                                for c in target.pk
+                            ],
+                        )
+                    )
             _phase("sink_apply")
 
             # ---- Phase 4 commit: tracking + memo flush ----
@@ -913,21 +951,49 @@ class App:
             "pk": target.pk,
             "columns": [[f.name, f.dataType.simpleString()] for f in target.schema.fields],
         }
-        stored = target.stored_contract()
+        # APPLY-ONLY wire sinks (stream-load, qdrant, turbopuffer,
+        # valkey) cannot persist metadata server-side; their contract
+        # lives in the engine's own user-state table instead, so schema
+        # evolution still detects pk/column changes for them.
+        introspectable = hasattr(target, "stored_contract")
+        _ckey = f"__contract/{component_prefix}"
+        if introspectable:
+            stored = target.stored_contract()
+            store = target.store_contract
+        else:
+            stored = self.get_state(_ckey, "contract")
+
+            def store() -> None:
+                self.set_state(_ckey, "contract", declared)
+
         if stored is None:
-            target.store_contract()
+            store()
             return "initial"
         if stored == declared:
             return "none"
         if stored["pk"] != declared["pk"]:
-            target.truncate()
             tracked_keys = (
                 self.state.tracking.read(self.spark)
                 .filter(F.col("component_path").startswith(component_prefix + "/"))
                 .select("component_path", "target_path")
             )
+            if introspectable:
+                target.truncate()
+            else:
+                # no truncate on an apply-only sink: sweep the tracked
+                # target paths through its delete channel instead —
+                # parsed with the OLD contract's pk (the paths encode
+                # the previous key structure)
+                old_types = dict(stored["columns"])
+                dead_keys = _keys_from_paths(
+                    tracked_keys.select(F.col("target_path").alias("__tp")),
+                    target.name,
+                    stored["pk"],
+                    [old_types[c] for c in stored["pk"]],
+                )
+                target.delete(dead_keys)
             self.state.tracking.delete_keys(tracked_keys)
-            target.store_contract()
+            store()
             return "destructive"
         # lossy: widen may_be_missing on every tracked state of this target
         tracked = self.state.tracking.read(self.spark).filter(
@@ -936,7 +1002,7 @@ class App:
         self.state.tracking.merge_upsert(
             tracked.withColumn("may_be_missing", F.lit(True))
         )
-        target.store_contract()
+        store()
         return "lossy"
 
     # -- user state (coco.use_state, api.py:791-885) ----------------------

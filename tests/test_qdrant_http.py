@@ -118,3 +118,61 @@ def test_error_status_raises(spark):
             t.upsert(df)
     finally:
         srv.shutdown()
+
+
+def test_engine_sync_drives_qdrant_target(spark, record_server, tmp_state):
+    """The full sync loop against an APPLY-ONLY wire sink: the engine
+    keeps the schema contract in its own state (the sink can't store
+    metadata), sends only the delta, and cascades deletes by parsing
+    pk values from the tracked paths — no sink read-back required."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_spark.engine.app import App
+    from cocoindex_spark.engine.function import fn
+
+    endpoint, received = record_server
+
+    @fn(memo=True)
+    def embed(df):
+        return df.select(
+            "__args_fp",
+            "__component_path",
+            "doc_id",
+            F.array(F.col("doc_id").cast("float")).alias("embedding"),
+            F.upper("title").alias("title"),
+        )
+
+    app = App("qsync", state_dir=tmp_state, spark=spark)
+    t = _target(endpoint)
+    src = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id LONG, title STRING"
+    )
+    try:
+        s1 = app.sync_table(src, ["doc_id"], embed, t)
+        assert s1.inserts == 3
+        points = [p for r in received for p in r["body"].get("points", [])]
+        assert {p["id"] for p in points} == {1, 2, 3}
+        assert {p["payload"]["title"] for p in points} == {"ONE", "TWO", "THREE"}
+
+        # warm: nothing re-sent
+        received.clear()
+        s2 = app.sync_table(src, ["doc_id"], embed, t)
+        assert s2.noops == 3 and s2.memo_misses == 0
+        assert received == []
+
+        # delete doc 2: cascade arrives as a points/delete with the pk
+        # parsed from the tracked path (the sink was never read)
+        received.clear()
+        s3 = app.sync_table(
+            src.filter(F.col("doc_id") != 2), ["doc_id"], embed, t
+        )
+        assert s3.deletes == 1
+        deleted = [
+            i
+            for r in received
+            if r["path"].endswith("/points/delete?wait=true")
+            for i in r["body"]["points"]
+        ]
+        assert deleted == [2]
+    finally:
+        app.drop()
