@@ -121,6 +121,7 @@ HEADLINE = [
     "q101_tfidf_top_terms",
     "q102_hll_distinct",
     "q103_countmin_heavy_hitters",
+    "q104_bfs_reachability",
 ]
 
 

@@ -240,3 +240,66 @@ def q82_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select("id", F.col("r").alias("rank"))
+
+
+# --- q104: multi-hop BFS reachability — the iterative frontier shape
+#     (complement to q82's fixed-point iteration): min-hop distance
+#     from seed suppliers over the undirected supplier–part graph,
+#     3 unrolled rounds, full value oracle. Canonical distributed BFS:
+#     each round is ONE frontier⋈adjacency equi-join + distinct + an
+#     anti-join against the visited set — frontier-sized work, never a
+#     whole-graph pass, no driver state. At 100× the rounds shuffle on
+#     the node id and the visited anti-join stays keyed; this is the
+#     plan GraphX/Pregel would produce, expressed in DataFrames.
+@register(
+    "q104_bfs_reachability",
+    oracle=f"""
+WITH e AS ({_SQL_EDGES}),
+adj AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e),
+d0 AS (SELECT DISTINCT ('s' || l_suppkey) AS id FROM lineitem WHERE l_suppkey % 50 = 0),
+d1 AS (
+  SELECT DISTINCT adj.b AS id FROM adj JOIN d0 ON adj.a = d0.id
+  WHERE adj.b NOT IN (SELECT id FROM d0)
+),
+d2 AS (
+  SELECT DISTINCT adj.b AS id FROM adj JOIN d1 ON adj.a = d1.id
+  WHERE adj.b NOT IN (SELECT id FROM d0)
+    AND adj.b NOT IN (SELECT id FROM d1)
+),
+d3 AS (
+  SELECT DISTINCT adj.b AS id FROM adj JOIN d2 ON adj.a = d2.id
+  WHERE adj.b NOT IN (SELECT id FROM d0)
+    AND adj.b NOT IN (SELECT id FROM d1)
+    AND adj.b NOT IN (SELECT id FROM d2)
+)
+SELECT id, CAST(0 AS BIGINT) AS dist FROM d0
+UNION ALL SELECT id, CAST(1 AS BIGINT) FROM d1
+UNION ALL SELECT id, CAST(2 AS BIGINT) FROM d2
+UNION ALL SELECT id, CAST(3 AS BIGINT) FROM d3
+""",
+)
+def q104_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir, materialize=True)
+    adj = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    seeds = (
+        li.filter(F.col("l_suppkey") % 50 == 0)
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    visited = seeds
+    frontier = seeds.select("id")
+    for d in (1, 2, 3):
+        nxt = (
+            frontier.join(adj, frontier["id"] == adj["a"])
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("id")
+    return visited

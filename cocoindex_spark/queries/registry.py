@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "q101_tfidf_top_terms",
     "q102_hll_distinct",
     "q103_countmin_heavy_hitters",
+    "q104_bfs_reachability",
 ]
 
 

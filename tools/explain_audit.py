@@ -291,6 +291,12 @@ CHECKS = {
         [r"HashAggregate", r"TakeOrderedAndProject", r"BroadcastHashJoin"],
         [r"CartesianProduct", r"Window", r"BatchEvalPython", r"ArrowEvalPython"],
     ),
+    "q104_bfs_reachability": (
+        # per-round frontier equi-join + visited anti-join; no cross
+        # product, no Python, no global window
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", r"LeftAnti"],
+        [r"CartesianProduct", r"Window", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
 }
 
 # Node-count ceilings: (node regex, max occurrences in the plan).
