@@ -102,3 +102,78 @@ def test_fp_value_key_order_invariant(d):
     changed = dict(d)
     changed["__extra__"] = 1
     assert fp_value(changed) != fp_value(d)
+
+
+# --- new-operator invariants (round 4) ----------------------------------
+
+_RESP_ARG = st.one_of(
+    st.binary(max_size=64),
+    st.text(alphabet=st.sampled_from(list("abc01 #\r\n$*:+-")), max_size=32),
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(_RESP_ARG, min_size=1, max_size=6))
+def test_resp_encoding_roundtrip(args):
+    """RESP2 framing is binary-safe and self-delimiting: parsing the
+    encoded command recovers exactly the argument bytes."""
+    from cocoindex_spark.sinks.valkey_resp import encode_command
+
+    raw = encode_command(*args)
+    # parse
+    assert raw.startswith(b"*")
+    body = raw
+    n, body = body.split(b"\r\n", 1)
+    count = int(n[1:])
+    out = []
+    for _ in range(count):
+        hdr, body = body.split(b"\r\n", 1)
+        assert hdr[:1] == b"$"
+        ln = int(hdr[1:])
+        out.append(body[:ln])
+        assert body[ln : ln + 2] == b"\r\n"
+        body = body[ln + 2 :]
+    assert body == b""
+    want = [a if isinstance(a, bytes) else str(a).encode() for a in args]
+    assert out == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["fn", "struct", "trait", "x", "y", "let", "1"]),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_brace_definitions_never_fire_inside_strings(words):
+    """Whatever keyword soup rides inside a string literal or comment,
+    it can never become a definition — only the one real fn is found."""
+    from cocoindex_spark.operators.code_boundaries import brace_definitions
+
+    inner = " ".join(words).replace('"', "")
+    src = f'fn real() {{\n    let s = "{inner}";\n    // {inner}\n    1\n}}\n'
+    defs = brace_definitions(src, "rust")
+    assert [(d["kind"], d["name"]) for d in defs] == [("function", "real")]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 2**48 - 1), min_size=1, max_size=200))
+def test_hll_register_merge_is_max(hashes):
+    """Pure-python restatement of the register pipeline: merging any
+    partition split with MAX equals the whole-data registers."""
+    M = 256
+    W = 40
+
+    def regs(hs):
+        out = {}
+        for h in hs:
+            j, w = h % M, h // M
+            rho = (W + 1) - w.bit_length() if w > 0 else W + 1
+            out[j] = max(out.get(j, 0), rho)
+        return out
+
+    mid = len(hashes) // 2
+    a, b = regs(hashes[:mid]), regs(hashes[mid:])
+    merged = {j: max(a.get(j, 0), b.get(j, 0)) for j in set(a) | set(b)}
+    assert merged == regs(hashes)
