@@ -105,15 +105,24 @@ def sql_token_hash16(expr: str) -> str:
     return sql_hex_to_int(f"md5({expr})", 4)
 
 
-def simhash16(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
+def simhash16(
+    df: DataFrame, id_col: str, token_col: str, tokens_distinct: bool = False
+) -> DataFrame:
     """16-bit SimHash per id from a (id, token) DataFrame.
 
     bit_j = 1 iff sum over distinct tokens of ±1 (sign of token-hash
     bit j) is > 0. Ties → 0, deterministic.
+
+    ``tokens_distinct=True`` skips the (id, token) distinct — pass it
+    when the caller already deduped per id (``array_distinct`` before
+    the explode): that dedup is map-side and free, while the distinct
+    here is a full extra shuffle of the token stream.
     """
+    toks = df.select(id_col, F.col(token_col).alias("__tok"))
+    if not tokens_distinct:
+        toks = toks.distinct()
     toks = (
-        df.select(id_col, F.col(token_col).alias("__tok"))
-        .distinct()
+        toks
         .withColumn("__h", token_hash16(F.col("__tok")))
     )
     aggs = []
@@ -147,7 +156,11 @@ def sql_simhash16(token_table: str, id_col: str, token_col: str) -> str:
 
 
 def simhash_wide(
-    df: DataFrame, id_col: str, token_col: str, n_bits: int = 60
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    n_bits: int = 60,
+    tokens_distinct: bool = False,
 ) -> DataFrame:
     """Wide SimHash per id from a (id, token) DataFrame.
 
@@ -165,11 +178,13 @@ def simhash_wide(
     # engine's @fn transforms carry (__args_fp, __component_path, pk)).
     ids = [id_col] if isinstance(id_col, str) else list(id_col)
     n_hex = (n_bits + 3) // 4
-    toks = (
-        df.select(*ids, F.col(token_col).alias("__tok"))
-        .distinct()
-        .withColumn("__h", hex_to_int(md5_hex(F.col("__tok")), n_hex))
-    )
+    toks = df.select(*ids, F.col(token_col).alias("__tok"))
+    if not tokens_distinct:
+        # ``tokens_distinct=True`` callers deduped per id map-side
+        # (array_distinct before the explode) — this distinct is a full
+        # extra shuffle of the token stream, skip it then.
+        toks = toks.distinct()
+    toks = toks.withColumn("__h", hex_to_int(md5_hex(F.col("__tok")), n_hex))
     aggs = []
     for j in range(n_bits):
         bit = F.expr(f"__h div {1 << j}") % 2

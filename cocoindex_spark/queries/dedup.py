@@ -254,8 +254,14 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 )
 def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
-    sim = simhash16(toks, "doc_id", "tok")
+    # per-doc token dedup MAP-SIDE (array_distinct before the explode):
+    # the rows already carry doc_id, so this equals the (id, token)
+    # distinct — without its full extra shuffle of the token stream
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), " "))).alias("tok"),
+    )
+    sim = simhash16(toks, "doc_id", "tok", tokens_distinct=True)
     # 2 bands × 8 bits: candidates = pairs sharing either half (equi-join).
     bands = sim.select(
         "doc_id",
@@ -365,8 +371,14 @@ def wide_pair_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _compute_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
-    return _band_pairs(simhash_wide(toks, "doc_id", "tok", _WIDE_BITS))
+    # map-side per-doc dedup — see q33; saves the distinct's shuffle
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), " "))).alias("tok"),
+    )
+    return _band_pairs(
+        simhash_wide(toks, "doc_id", "tok", _WIDE_BITS, tokens_distinct=True)
+    )
 
 
 @register("q76_simhash_wide_pairs", oracle=_WIDE_PAIRS_ORACLE)
@@ -612,10 +624,14 @@ def _simhash_index(df: DataFrame) -> DataFrame:
         "__args_fp",
         "__component_path",
         "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), " "))).alias("tok"),
     )
     return simhash_wide(
-        toks, ["__args_fp", "__component_path", "doc_id"], "tok", _WIDE_BITS
+        toks,
+        ["__args_fp", "__component_path", "doc_id"],
+        "tok",
+        _WIDE_BITS,
+        tokens_distinct=True,
     )
 
 
