@@ -144,6 +144,39 @@ def cm_cells(df: DataFrame, token_col: str) -> DataFrame:
     )
 
 
+def cm_cells_from_counts(
+    counts: DataFrame, token_col: str, cnt_col: str
+) -> DataFrame:
+    """Count-Min sketch from a pre-aggregated (token, count) relation —
+    cell-identical to ``cm_cells`` over the raw occurrence stream
+    (SUM of per-token counts per cell == the cell's occurrence count),
+    but hashes each DISTINCT token once instead of once per occurrence,
+    and the hash work runs across the count-shuffle's partitions
+    instead of the raw scan's input splits. The shape of choice when a
+    per-token count table already exists in the plan (exchange reuse
+    makes the corpus scan single-pass)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    hex_to_int(
+                        md5_hex(F.concat(F.lit(f"cm{i}#"), F.col(token_col))), 12
+                    )
+                    % CM_WIDTH
+                ).alias("cell"),
+            )
+            for i in range(CM_DEPTH)
+        ]
+    )
+    return (
+        counts.select(F.explode(pairs).alias("rc"), F.col(cnt_col).alias("__cnt"))
+        .select("rc.row", "rc.cell", "__cnt")
+        .groupBy("row", "cell")
+        .agg(F.sum("__cnt").alias("n"))
+    )
+
+
 def cm_lookup(sketch: DataFrame, probes: DataFrame, token_col: str) -> DataFrame:
     """Estimate each probe token's count: min over the d rows of its
     cell counts. The probe side is tiny (d·|probes| cells) — broadcast

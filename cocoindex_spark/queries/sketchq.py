@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cocoindex_spark.operators.sketch import (
-    cm_cells,
+    cm_cells_from_counts,
     cm_lookup,
     hll_estimate,
     hll_registers,
@@ -91,12 +91,17 @@ FROM top t JOIN est e ON t.tok = e.tok
 def q103_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
-    sketch = cm_cells(toks, "tok")
+    # Single corpus pass: the per-token count table feeds BOTH the
+    # exact top-20 and the sketch (cell-identical to hashing every
+    # occurrence, but md5 runs once per distinct token, spread across
+    # the count shuffle's partitions — not once per occurrence on the
+    # raw scan's input split, which for a small parquet is ONE task).
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    sketch = cm_cells_from_counts(counts, "tok", "cnt")
     top = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+        counts.orderBy(F.col("cnt").desc(), F.col("tok"))
         .limit(20)
+        .select("tok", F.col("cnt").alias("exact_n"))
     )
     est = cm_lookup(sketch, top.select("tok"), "tok")
     return top.join(est, "tok").select("tok", "exact_n", "cm_estimate")

@@ -12,6 +12,7 @@ from cocoindex_spark.operators.sketch import (
     CM_WIDTH,
     HLL_M,
     cm_cells,
+    cm_cells_from_counts,
     cm_lookup,
     hll_estimate,
     hll_registers,
@@ -74,6 +75,18 @@ def test_cm_cells_merge_with_sum(spark):
         tuple(r) for r in direct.collect()
     }
     assert direct.count() <= CM_DEPTH * CM_WIDTH  # bounded state
+
+
+def test_cm_cells_from_counts_identical(spark):
+    """The pre-aggregated-counts construction (hash distinct tokens,
+    SUM counts) yields exactly the occurrence-stream sketch."""
+    toks = _toks(spark, 400).unionByName(_toks(spark, 150))  # skewed dup mass
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    via_counts = cm_cells_from_counts(counts, "tok", "cnt")
+    direct = cm_cells(toks, "tok")
+    assert {tuple(r) for r in via_counts.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
 
 
 def test_cm_estimate_upper_bounds_exact(spark):
