@@ -88,35 +88,49 @@ def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     return agg.select(*group_cols, est.alias("hll_estimate"))
 
 
-def sql_hll_estimate(token_table: str, group_col: str, token_col: str) -> str:
-    """DuckDB twin of hll_registers → hll_estimate: SELECT group_col,
-    hll_estimate FROM the same register pipeline."""
+def sql_hll_registers(token_table: str, group_col: str, token_col: str) -> str:
+    """DuckDB twin of hll_registers: (group_col, j, M)."""
     h = sql_hex_to_int(f"md5({token_col})", 12)
     return f"""
-  SELECT {group_col},
+  SELECT {group_col}, j, MAX(rho) AS M
+  FROM (
+    SELECT {group_col}, __h % {HLL_M} AS j,
+           CASE WHEN (__h // {HLL_M}) > 0
+                THEN {_HLL_W_BITS + 1} - length(bin(__h // {HLL_M}))
+                ELSE {_HLL_W_BITS + 1} END AS rho
+    FROM (SELECT {group_col}, {h} AS __h FROM {token_table})
+  )
+  GROUP BY {group_col}, j
+"""
+
+
+def sql_hll_estimate_from_regs(regs_table: str, group_cols: list[str]) -> str:
+    """DuckDB twin of hll_estimate over an existing (group..., j, M)
+    register table: (group..., hll_estimate)."""
+    g = ", ".join(group_cols)
+    part = ", ".join(group_cols)
+    return f"""
+  SELECT {g},
          {HLL_ALPHA_M2} * CAST((CAST(1 AS BIGINT) << maxM) AS DOUBLE)
            / CAST(s_present + ({HLL_M} - present) * (CAST(1 AS BIGINT) << maxM) AS DOUBLE)
            AS hll_estimate
   FROM (
-    SELECT {group_col}, MAX(maxM) AS maxM, COUNT(*) AS present,
+    SELECT {g}, MAX(maxM) AS maxM, COUNT(*) AS present,
            SUM(CAST(1 AS BIGINT) << (maxM - M)) AS s_present
     FROM (
-      SELECT {group_col}, j, M, MAX(M) OVER (PARTITION BY {group_col}) AS maxM
-      FROM (
-        SELECT {group_col}, j, MAX(rho) AS M
-        FROM (
-          SELECT {group_col}, __h % {HLL_M} AS j,
-                 CASE WHEN (__h // {HLL_M}) > 0
-                      THEN {_HLL_W_BITS + 1} - length(bin(__h // {HLL_M}))
-                      ELSE {_HLL_W_BITS + 1} END AS rho
-          FROM (SELECT {group_col}, {h} AS __h FROM {token_table})
-        )
-        GROUP BY {group_col}, j
-      )
+      SELECT {g}, j, M, MAX(M) OVER (PARTITION BY {part}) AS maxM
+      FROM {regs_table}
     )
-    GROUP BY {group_col}
+    GROUP BY {g}
   )
 """
+
+
+def sql_hll_estimate(token_table: str, group_col: str, token_col: str) -> str:
+    """DuckDB twin of hll_registers → hll_estimate: SELECT group_col,
+    hll_estimate FROM the same register pipeline."""
+    regs = f"({sql_hll_registers(token_table, group_col, token_col)})"
+    return sql_hll_estimate_from_regs(regs, [group_col])
 
 
 def cm_cells(df: DataFrame, token_col: str) -> DataFrame:

@@ -87,6 +87,8 @@ _PRIORITY: list[str] = [
     "q102_hll_distinct",
     "q103_countmin_heavy_hitters",
     "q104_bfs_reachability",
+    "q105_bloom_prefilter_join",
+    "q106_hll_overlap_matrix",
 ]
 
 

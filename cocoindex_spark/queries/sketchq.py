@@ -15,6 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cocoindex_spark.operators.bloom import (
+    bloom_prefilter,
+    bloom_words,
+    sql_bloom_pass,
+    sql_bloom_words,
+)
 from cocoindex_spark.operators.sketch import (
     cm_cells_from_counts,
     cm_lookup,
@@ -23,6 +29,8 @@ from cocoindex_spark.operators.sketch import (
     sql_cm_cells,
     sql_cm_probe_cells,
     sql_hll_estimate,
+    sql_hll_estimate_from_regs,
+    sql_hll_registers,
 )
 from cocoindex_spark.queries.registry import register, table
 
@@ -105,3 +113,147 @@ def q103_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = cm_lookup(sketch, top.select("tok"), "tok")
     return top.join(est, "tok").select("tok", "exact_n", "cm_estimate")
+
+
+# --- q105: Bloom-filter runtime prefilter — the 100 TB semi-join
+#     pattern. A selective dim subset (high-balance customers) becomes
+#     a 256-bit OR-mergeable bitmap; the orders fact side probes it as
+#     K broadcast joins (zero fact shuffles), and the exact join then
+#     runs only over candidates. The output exposes the candidate /
+#     exact / false-positive counts per priority class, so the
+#     deterministic FP behavior itself is value-oracled. m=256 is the
+#     didactic size (visible FPs at sf0.01); sizing m to the key count
+#     is the knob, the plan shape is invariant.
+_BLOOM_M_Q = 256
+_b0c, _b0t = sql_bloom_pass("o.o_custkey", 0, _BLOOM_M_Q)
+_b1c, _b1t = sql_bloom_pass("o.o_custkey", 1, _BLOOM_M_Q)
+
+
+@register(
+    "q105_bloom_prefilter_join",
+    oracle=f"""
+WITH dim AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9900),
+words AS ({sql_bloom_words("dim", "c_custkey", _BLOOM_M_Q)}),
+cand AS (
+  SELECT o.o_orderpriority, o.o_custkey
+  FROM orders o JOIN words w0 ON {_b0c} JOIN words w1 ON {_b1c}
+  WHERE {_b0t} AND {_b1t}
+)
+SELECT c.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS bloom_candidates,
+       CAST(SUM(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS exact_matches,
+       CAST(COUNT(*) - SUM(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_positives
+FROM cand c LEFT JOIN dim d ON c.o_custkey = d.c_custkey
+GROUP BY c.o_orderpriority
+""",
+)
+def q105_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_acctbal") > 9900).select("c_custkey")
+    words = bloom_words(dim, "c_custkey", _BLOOM_M_Q)
+    orders = table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    cand = bloom_prefilter(orders, "o_custkey", words, _BLOOM_M_Q)
+    flagged = cand.join(
+        F.broadcast(
+            dim.select(F.col("c_custkey").alias("__dk"), F.lit(1).alias("__hit"))
+        ),
+        F.col("o_custkey") == F.col("__dk"),
+        "left",
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("bloom_candidates"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("exact_matches"),
+        )
+        .withColumn(
+            "false_positives",
+            (F.col("bloom_candidates") - F.col("exact_matches")).cast("long"),
+        )
+    )
+
+
+# --- q106: pairwise source-vocabulary overlap via HLL
+#     inclusion-exclusion — the BOUNDED-STATE version of q89's overlap
+#     matrix. Exact pairwise distinct-intersections at 100 TB shuffle
+#     the full (token, source) relation once per consumer; here each
+#     source is reduced to 256 registers, pair union = MAX-merge of
+#     two register rows (190 pairs × ≤256 rows via a broadcast pair
+#     list), and |A∩B| ≈ |A| + |B| − |A∪B| on the estimates. All
+#     arithmetic is the integer-deterministic raw-HLL estimator, so
+#     the approximate matrix itself is value-oracled cross-engine.
+@register(
+    "q106_hll_overlap_matrix",
+    oracle=f"""
+WITH regs AS ({sql_hll_registers(_TOKENS_SQL, "source", "tok")}),
+srcs AS (SELECT DISTINCT source FROM regs),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+uregs AS (
+  SELECT p.sa, p.sb, r.j, MAX(r.M) AS M
+  FROM pairs p JOIN regs r ON r.source = p.sa OR r.source = p.sb
+  GROUP BY p.sa, p.sb, r.j
+),
+uest AS ({sql_hll_estimate_from_regs("uregs", ["sa", "sb"])}),
+sest AS ({sql_hll_estimate_from_regs("regs", ["source"])})
+SELECT u.sa, u.sb,
+       ea.hll_estimate AS a_distinct,
+       eb.hll_estimate AS b_distinct,
+       u.hll_estimate AS union_distinct,
+       ea.hll_estimate + eb.hll_estimate - u.hll_estimate AS intersect_est
+FROM uest u
+JOIN sest ea ON ea.source = u.sa
+JOIN sest eb ON eb.source = u.sb
+""",
+)
+def q106_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    regs = hll_registers(toks, ["source"], "tok")
+    srcs = regs.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    # O(#pairs) broadcast onto the bounded register table; pair-union
+    # registers then re-group with MAX — never touches the token stream.
+    uregs = (
+        regs.join(
+            F.broadcast(pairs),
+            (F.col("source") == F.col("sa")) | (F.col("source") == F.col("sb")),
+        )
+        .groupBy("sa", "sb", "j")
+        .agg(F.max("M").alias("M"))
+    )
+    uest = hll_estimate(uregs, ["sa", "sb"]).withColumnRenamed(
+        "hll_estimate", "union_distinct"
+    )
+    sest = hll_estimate(regs, ["source"])
+    ea = sest.select(
+        F.col("source").alias("sa"), F.col("hll_estimate").alias("a_distinct")
+    )
+    eb = sest.select(
+        F.col("source").alias("sb"), F.col("hll_estimate").alias("b_distinct")
+    )
+    return (
+        uest.join(F.broadcast(ea), "sa")
+        .join(F.broadcast(eb), "sb")
+        .select(
+            "sa",
+            "sb",
+            "a_distinct",
+            "b_distinct",
+            "union_distinct",
+            (
+                F.col("a_distinct") + F.col("b_distinct") - F.col("union_distinct")
+            ).alias("intersect_est"),
+        )
+    )

@@ -101,3 +101,25 @@ def test_cm_estimate_upper_bounds_exact(spark):
     }
     assert est["tok7"] >= 3 and est["tok100"] >= 2
     assert est["tok7"] <= 10 and est["tok100"] <= 10  # light load: few collisions
+
+
+def test_hll_inclusion_exclusion_overlap(spark):
+    """|A∩B| ≈ |A|+|B|−|A∪B| from MAX-merged registers: two 2000-token
+    sources sharing 1000 tokens. Three compounded ~6.5%-σ estimates —
+    assert the recovered overlap within 40%."""
+    a = _toks(spark, 2000).select(F.lit("A").alias("source"), "tok")
+    b = (
+        _toks(spark, 1000)
+        .unionByName(_toks(spark, 1000, salt="x"))
+        .select(F.lit("B").alias("source"), "tok")
+    )
+    regs = hll_registers(a.unionByName(b), ["source"], "tok")
+    union_regs = regs.groupBy("j").agg(F.max("M").alias("M")).select(
+        F.lit("U").alias("source"), "j", "M"
+    )
+    est = {
+        r["source"]: r["hll_estimate"]
+        for r in hll_estimate(regs.unionByName(union_regs), ["source"]).collect()
+    }
+    inter = est["A"] + est["B"] - est["U"]
+    assert abs(inter - 1000) / 1000 < 0.40, est
