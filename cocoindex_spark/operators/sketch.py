@@ -243,3 +243,97 @@ def sql_cm_probe_cells(probe_table: str, token_col: str) -> str:
         f" ({_sql_cm_hash(token_col, i)}) % {CM_WIDTH} AS cell FROM {probe_table}"
         for i in range(CM_DEPTH)
     )
+
+
+# --- HDR-style mergeable histogram: power-of-2 exponent buckets with
+#     2^HIST_S linear sub-buckets — bounded relative error 2^-HIST_S
+#     (~3.1%), pure integer bit arithmetic (no log), so bucket ids and
+#     the recovered quantiles are bit-identical cross-engine. State is
+#     (group, bucket, n), SUM-mergeable, ≤ 64·2^HIST_S rows per group
+#     regardless of data size — the quantile analog of the HLL/CM
+#     sketches above.
+
+HIST_S = 5  # sub-bucket bits; relative error ≤ 2^-5
+_HIST_BASE = 1 << (HIST_S + 1)  # bucket id = e * BASE + sub, totally ordered
+
+
+def hist_bucket(colname: str) -> Column:
+    """Totally-ordered BIGINT bucket id for a non-negative BIGINT
+    column (same SQL text as ``sql_hist_bucket`` modulo shift
+    spelling)."""
+    e = f"(CASE WHEN {colname} > 0 THEN length(bin(CAST({colname} AS BIGINT)))" \
+        f" ELSE 0 END)"
+    sub = (
+        f"(CASE WHEN {e} <= {HIST_S + 1} THEN {colname}"
+        f" ELSE shiftright(CAST({colname} AS BIGINT), {e} - 1 - {HIST_S}) END)"
+    )
+    return F.expr(f"CAST(CAST({e} AS BIGINT) * {_HIST_BASE} + {sub} AS BIGINT)")
+
+
+def sql_hist_bucket(v: str) -> str:
+    e = f"(CASE WHEN {v} > 0 THEN length(bin(CAST({v} AS BIGINT))) ELSE 0 END)"
+    sub = (
+        f"(CASE WHEN {e} <= {HIST_S + 1} THEN {v}"
+        f" ELSE CAST({v} AS BIGINT) >> ({e} - 1 - {HIST_S}) END)"
+    )
+    return f"(CAST({e} AS BIGINT) * {_HIST_BASE} + {sub})"
+
+
+def hist_lower(colname: str) -> Column:
+    """Lower bound of a bucket-id column — the deterministic quantile
+    estimate."""
+    return F.expr(
+        f"CAST(CASE WHEN {colname} div {_HIST_BASE} <= {HIST_S + 1}"
+        f" THEN {colname} % {_HIST_BASE}"
+        f" ELSE shiftleft({colname} % {_HIST_BASE},"
+        f" ({colname} div {_HIST_BASE}) - 1 - {HIST_S}) END AS BIGINT)"
+    )
+
+
+def sql_hist_lower(b: str) -> str:
+    return (
+        f"(CASE WHEN {b} // {_HIST_BASE} <= {HIST_S + 1} THEN {b} % {_HIST_BASE}"
+        f" ELSE ({b} % {_HIST_BASE}) << ({b} // {_HIST_BASE} - 1 - {HIST_S})"
+        f" END)"
+    )
+
+
+def hist_cells(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """(group..., bucket, n) — merge with SUM(n) per bucket."""
+    return (
+        df.withColumn("__hv", F.col(value_col).cast("long"))
+        .withColumn("__hb", hist_bucket("__hv"))
+        .groupBy(*group_cols, F.col("__hb").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hist_quantiles(
+    cells: DataFrame, group_cols: list[str], percentiles: list[int]
+) -> DataFrame:
+    """Per-group quantile estimates from the histogram: for each
+    integer percentile p, the lower bound of the first bucket whose
+    cumulative count reaches ceil(p·n/100). Integer thresholds —
+    deterministic, oracle-able."""
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    wp = Window.partitionBy(*group_cols)
+    cum = cells.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "tot", F.sum("n").over(wp)
+    )
+    parts = []
+    for p in percentiles:
+        thr = F.expr(f"(tot * {p} + 99) div 100")
+        parts.append(
+            cum.filter(F.col("cum") >= thr)
+            .groupBy(*group_cols)
+            .agg(F.min("bucket").alias("__hb"))
+            .select(
+                *group_cols,
+                F.lit(p).alias("p"),
+                hist_lower("__hb").alias("est"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out

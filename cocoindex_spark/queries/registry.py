@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "q104_bfs_reachability",
     "q105_bloom_prefilter_join",
     "q106_hll_overlap_matrix",
+    "q107_hist_quantiles",
 ]
 
 

@@ -23,6 +23,10 @@ from cocoindex_spark.operators.bloom import (
 )
 from cocoindex_spark.operators.sketch import (
     cm_cells_from_counts,
+    hist_cells,
+    hist_quantiles,
+    sql_hist_bucket,
+    sql_hist_lower,
     cm_lookup,
     hll_estimate,
     hll_registers,
@@ -256,4 +260,83 @@ def q106_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a_distinct") + F.col("b_distinct") - F.col("union_distinct")
             ).alias("intersect_est"),
         )
+    )
+
+
+# --- q107: per-source length quantiles from the mergeable HDR-style
+#     histogram (operators/sketch.py) vs exact rank-pick. Exact
+#     percentiles at 100 TB need a full sort (or per-group rank
+#     shuffle) per consumer; the histogram is ≤64·2^5 SUM-mergeable
+#     rows per source, built in one pass, and its power-of-2/linear
+#     sub-bucket decomposition is pure integer bit math — so the
+#     ESTIMATES (bucket lower bounds, ≤3.1% relative error) are
+#     value-oracled, not just the exact side.
+_HIST_PS = (50, 90, 99)
+
+
+def _sql_hist_est_branch(p: int) -> str:
+    return (
+        f"SELECT source, {p} AS p, MIN(bucket) AS b FROM cum"
+        f" WHERE cum >= (tot * {p} + 99) // 100 GROUP BY source"
+    )
+
+
+def _sql_hist_exact_branch(p: int) -> str:
+    return (
+        f"SELECT source, {p} AS p,"
+        f" CAST(MAX(CASE WHEN rn = (tot * {p} + 99) // 100 THEN n_chars END)"
+        f" AS BIGINT) AS exact_q FROM ranked GROUP BY source"
+    )
+
+
+@register(
+    "q107_hist_quantiles",
+    oracle=f"""
+WITH cells AS (
+  SELECT source, {sql_hist_bucket("n_chars")} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, bucket
+),
+cum AS (
+  SELECT source, bucket,
+         SUM(n) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+         SUM(n) OVER (PARTITION BY source) AS tot
+  FROM cells
+),
+est AS ({" UNION ALL ".join(_sql_hist_est_branch(p) for p in _HIST_PS)}),
+ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS tot
+  FROM documents
+),
+exact AS ({" UNION ALL ".join(_sql_hist_exact_branch(p) for p in _HIST_PS)})
+SELECT e.source, e.p, e.exact_q, {sql_hist_lower('s.b')} AS est_q
+FROM exact e JOIN est s ON e.source = s.source AND e.p = s.p
+""",
+)
+def q107_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    cells = hist_cells(d, ["source"], "n_chars")
+    est = hist_quantiles(cells, ["source"], list(_HIST_PS)).withColumnRenamed(
+        "est", "est_q"
+    )
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wp = Window.partitionBy("source")
+    ranked = d.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "tot", F.count(F.lit(1)).over(wp)
+    )
+    parts = [
+        ranked.filter(F.col("rn") == F.expr(f"(tot * {p} + 99) div 100")).select(
+            "source", F.lit(p).alias("p"), F.col("n_chars").alias("exact_q")
+        )
+        for p in _HIST_PS
+    ]
+    exact = parts[0]
+    for part in parts[1:]:
+        exact = exact.unionByName(part)
+    return exact.join(est, ["source", "p"]).select(
+        "source", "p", "exact_q", "est_q"
     )

@@ -123,3 +123,55 @@ def test_hll_inclusion_exclusion_overlap(spark):
     }
     inter = est["A"] + est["B"] - est["U"]
     assert abs(inter - 1000) / 1000 < 0.40, est
+
+
+def _vals(spark, n, mult=1):
+    # skewed: v = (id*id*mult) % 100000 — heavy small-value mass
+    return spark.range(n).select(
+        F.expr(f"CAST((id * id * {mult}) % 100000 AS BIGINT)").alias("v"),
+        F.lit("g").alias("g"),
+        F.col("id"),
+    )
+
+
+def test_hist_cells_merge_with_sum(spark):
+    from cocoindex_spark.operators.sketch import hist_cells
+
+    whole = _vals(spark, 3000)
+    half_a = whole.filter(F.col("id") % 2 == 0)
+    half_b = whole.filter(F.col("id") % 2 == 1)
+    merged = (
+        hist_cells(half_a, ["g"], "v")
+        .unionByName(hist_cells(half_b, ["g"], "v"))
+        .groupBy("g", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct = hist_cells(whole, ["g"], "v")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+
+def test_hist_quantile_sandwich(spark):
+    """est is the bucket lower bound: est ≤ exact < est·(1 + 2^-5) + 1
+    — the histogram's deterministic error contract."""
+    from pyspark.sql.window import Window
+
+    from cocoindex_spark.operators.sketch import hist_cells, hist_quantiles
+
+    d = _vals(spark, 5000)
+    cells = hist_cells(d, ["g"], "v")
+    est = {
+        r["p"]: r["est"]
+        for r in hist_quantiles(cells, ["g"], [50, 90, 99]).collect()
+    }
+    wr = Window.partitionBy("g").orderBy("v", "id")
+    ranked = d.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "tot", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    for p in (50, 90, 99):
+        exact = (
+            ranked.filter(F.col("rn") == F.expr(f"(tot * {p} + 99) div 100"))
+            .collect()[0]["v"]
+        )
+        assert est[p] <= exact <= est[p] + (est[p] >> 5) + 1, (p, est[p], exact)
