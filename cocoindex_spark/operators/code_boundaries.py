@@ -105,6 +105,15 @@ _DEF_KINDS: dict[str, dict[str, str]] = {
         "interface": "interface",
         "object": "object",
     },
+    # template literals lex as single string tokens (code_match
+    # _scan_template), so `function` inside `…${}…` never defines
+    "javascript": {"function": "function", "class": "class"},
+    "typescript": {
+        "function": "function",
+        "class": "class",
+        "interface": "interface",
+        "enum": "enum",
+    },
 }
 
 _MAX_DEF_DEPTH = 1  # top-level regions and their direct members

@@ -61,6 +61,106 @@ _C_FAMILY = {
     "rust", "kotlin", "scala", "swift", "php", "dart", "solidity", "css",
 }
 
+# Language-specific string forms the generic single-line regex cannot
+# see. Each would otherwise leak its CONTENTS into the token stream —
+# a `func` inside a Go backtick raw string, a `class` inside a JS
+# template literal, a `"fn"` inside a Rust r#"…"# — exactly the fake
+# keywords and stray braces the lexer exists to drop (tree-sitter
+# reference: rust/code_ast scans these as single string nodes).
+_TEMPLATE_LANGS = {"javascript", "typescript", "tsx"}
+_TRIPLE_QUOTE_LANGS = {"java", "kotlin", "scala", "swift", "dart", "c_sharp"}
+_RUST_RAW = re.compile(r'(?:b?r)(#*)"')
+
+
+def _scan_template(text: str, i: int) -> int:
+    """End offset of the template literal opening at text[i] == '`'.
+    Handles escapes, nested `${expr}` interpolations (brace-balanced,
+    string- and nested-template-aware). The whole template, including
+    interpolations, becomes ONE string token: conservative — code
+    inside an interpolation can never produce a chunk boundary or a
+    definition, which is the safe direction for both consumers."""
+    n = len(text)
+    j = i + 1
+    while j < n:
+        c = text[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == "`":
+            return j + 1
+        if c == "$" and j + 1 < n and text[j + 1] == "{":
+            j = _scan_template_expr(text, j + 2)
+            continue
+        j += 1
+    return n
+
+
+def _scan_template_expr(text: str, j: int) -> int:
+    """Offset just past the `}` matching an interpolation opened at
+    `${` (j points past the `{`). Nested braces, quoted strings, and
+    nested template literals all balance."""
+    n = len(text)
+    depth = 1
+    while j < n:
+        c = text[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == "`":
+            j = _scan_template(text, j)
+            continue
+        if c in "\"'":
+            q = c
+            j += 1
+            while j < n and text[j] != q:
+                if text[j] == "\\":
+                    j += 1
+                j += 1
+            j += 1
+            continue
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+        j += 1
+    return n
+
+
+def _scan_special_string(text: str, i: int, language: str) -> int | None:
+    """End offset of a language-specific string form starting at i, or
+    None. Checked BEFORE the generic regex (``\"\"\"`` would otherwise
+    lex as an empty string + a dangling quote)."""
+    n = len(text)
+    ch = text[i]
+    if language == "go" and ch == "`":  # raw string: no escapes, multiline
+        j = text.find("`", i + 1)
+        return n if j < 0 else j + 1
+    if language in _TEMPLATE_LANGS and ch == "`":
+        return _scan_template(text, i)
+    if language == "rust" and ch in "rb":
+        m = _RUST_RAW.match(text, i)
+        if m:  # r#"…"# — unescaped quotes inside; closes at "# (same #s)
+            close = '"' + m.group(1)
+            j = text.find(close, m.end())
+            return n if j < 0 else j + len(close)
+        return None
+    if language in _TRIPLE_QUOTE_LANGS and text.startswith('"""', i):
+        j = text.find('"""', i + 3)  # text block: multiline, no escapes seen
+        return n if j < 0 else j + 3
+    if language == "c_sharp" and text.startswith('@"', i):
+        j = i + 2  # verbatim: "" is an escaped quote, backslash literal
+        while j < n:
+            if text[j] == '"':
+                if j + 1 < n and text[j + 1] == '"':
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return n
+    return None
+
 
 @dataclass
 class Tok:
@@ -95,6 +195,11 @@ def tokenize(text: str, language: str = "text") -> list[Tok]:
         if c_family and text.startswith("/*", i):
             j = text.find("*/", i + 2)
             i = n if j < 0 else j + 2
+            continue
+        end = _scan_special_string(text, i, language)
+        if end is not None:
+            toks.append(Tok(text[i:end], i, end))
+            i = end
             continue
         m = _STRING.match(text, i)
         if m:

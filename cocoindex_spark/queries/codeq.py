@@ -402,3 +402,57 @@ def q100_brace_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_char",
         "end_char",
     )
+
+
+# --- q108: template-literal-exact chunking for JavaScript — the q100
+#     guarantee extended to the string form only a real lexer can see:
+#     the first function holds a template literal containing a fake
+#     `function` AND an interpolation `${ {x: 1} }` whose inner braces
+#     would desync a naive depth counter (the regex-hierarchy failure
+#     mode AND the plain-string-lexer failure mode at once). The token
+#     stream (code_match._scan_template) carries the whole template as
+#     one string token, so the only depth-0 boundary is the real
+#     `function b` line. Arrow-batched split + explode, shuffle-free.
+@register(
+    "q108_template_literal_chunks",
+    oracle="""
+WITH parts AS (
+  SELECT doc_id,
+    'function a' || CAST(doc_id AS VARCHAR) || '() {' || chr(10) ||
+    '  const s = `function fake() {} ${ {x: 1} } more`;' || chr(10) ||
+    '  return 1;' || chr(10) || '}' || chr(10) AS p1,
+    'function b' || CAST(doc_id AS VARCHAR) || '() {' || chr(10) ||
+    '  return 2;' || chr(10) || '}' || chr(10) AS p2
+  FROM documents
+)
+SELECT doc_id, 0 AS chunk_idx, md5(p1 || chr(10)) AS chunk_md5,
+       0 AS start_char, CAST(strlen(p1) + 1 AS INT) AS end_char
+FROM parts
+UNION ALL
+SELECT doc_id, 1, md5(p2),
+       CAST(strlen(p1) + 1 AS INT), CAST(strlen(p1) + 1 + strlen(p2) AS INT)
+FROM parts
+""",
+)
+def q108_template_literal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.split import explode_chunks
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("function a"), sid,
+        F.lit("() {\n  const s = `function fake() {} ${ {x: 1} } more`;\n"
+              "  return 1;\n}\n\n"),
+        F.lit("function b"), sid, F.lit("() {\n  return 2;\n}\n"),
+    )
+    chunked = explode_chunks(
+        d.withColumn("code", code), "code",
+        mode="recursive", chunk_size=100, language="javascript",
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.encode(F.col("chunk_text"), "UTF-8")).alias("chunk_md5"),
+        "start_char",
+        "end_char",
+    )

@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "q105_bloom_prefilter_join",
     "q106_hll_overlap_matrix",
     "q107_hist_quantiles",
+    "q108_template_literal_chunks",
 ]
 
 

@@ -165,3 +165,56 @@ def test_match_code_df_spark(spark):
     rows = {r["id"]: r["captures"] for r in out.collect()}
     assert set(rows) == {0, 2}
     assert rows[2]["NAME"] == "b" and rows[2]["A"] == "x" and rows[2]["R"] == "x"
+
+
+# --- language-specific string forms (the generic regex can't see
+#     them): contents must never leak into the token stream ---------
+
+import pytest as _pytest
+
+_SPECIAL_STRING_CASES = [
+    ("go", "var s = `func fake() {}`\nfunc real() int { return 1 }\n"),
+    (
+        "javascript",
+        "const t = `class Fake { ${ {a: `${nested}`} } }`;\nclass Real {}\n",
+    ),
+    ("rust", 'let s = r#"fn fake() { "quoted" }"#;\nfn real() {}\n'),
+    ("rust", 'let s = br##"fn fake()"# still"##;\nfn real() {}\n'),
+    ("java", 'String s = """\nclass Fake {}\n""";\nclass Real {}\n'),
+    ("c_sharp", 'var s = @"class Fake "" still string";\nclass Real {}\n'),
+    ("kotlin", 'val s = """fun fake() {}"""\nfun real() {}\n'),
+]
+
+
+@_pytest.mark.parametrize("lang,src", _SPECIAL_STRING_CASES)
+def test_special_strings_do_not_leak(lang, src):
+    toks = [t.text for t in tokenize(src, lang)]
+    assert "Fake" not in toks and "fake" not in toks, toks
+    assert "Real" in toks or "real" in toks
+
+
+def test_template_interpolation_brace_balance():
+    # a `}` inside ${…} must not desync brace depth: the class after
+    # the template is still at depth 0
+    from cocoindex_spark.operators.code_boundaries import brace_definitions
+
+    src = (
+        "function a() {\n"
+        "  const s = `x ${ {k: '}'} } y`;\n"
+        "  return 1;\n"
+        "}\n"
+        "class Real {}\n"
+    )
+    defs = brace_definitions(src, "javascript")
+    assert [(d["kind"], d["name"], d["depth"]) for d in defs] == [
+        ("function", "a", 0),
+        ("class", "Real", 0),
+    ]
+
+
+def test_js_expression_function_not_a_definition():
+    from cocoindex_spark.operators.code_boundaries import brace_definitions
+
+    src = "const f = function inner() { return 1; };\nfunction outer() {}\n"
+    names = [d["name"] for d in brace_definitions(src, "javascript")]
+    assert names == ["outer"]  # `= function` is mid-expression
