@@ -297,6 +297,37 @@ CHECKS = {
         [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", r"LeftAnti"],
         [r"CartesianProduct", r"Window", r"BatchEvalPython", r"ArrowEvalPython"],
     ),
+    "q105_bloom_prefilter_join": (
+        # every join broadcast (word table ≤ m/32 rows, dim subset):
+        # the fact side must never sort- or shuffle-join
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [
+            r"CartesianProduct",
+            r"SortMergeJoin",
+            r"ShuffledHashJoin",
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+        ],
+    ),
+    "q106_hll_overlap_matrix": (
+        # pair-union registers: the O(#pairs) list broadcast onto the
+        # bounded register table (BNLJ on the OR predicate is the
+        # intended plan — both sides bounded); estimates pure JVM
+        [r"BroadcastNestedLoopJoin", r"HashAggregate"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q107_hist_quantiles": (
+        # histogram = one hash agg; quantile recovery = window over
+        # ≤64·32 bucket rows per group; all integer JVM bit math
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q108_template_literal_chunks": (
+        # template-literal-exact chunking: Arrow split + explode,
+        # shuffle-free
+        [r"ArrowEvalPython", r"Generate"],
+        [r"Exchange", r"CartesianProduct"],
+    ),
 }
 
 # Node-count ceilings: (node regex, max occurrences in the plan).
@@ -306,6 +337,9 @@ COUNT_CHECKS = {
     # exchange in both the initial and final plan sections; count
     # distinct exchange node ids instead of raw matches.
     "q66_graph_degree": (r"Exchange hashpartitioning", 1),
+    # bloom prefilter: the only hash exchanges are the bounded word
+    # build and the final 5-group agg — the FACT side never shuffles
+    "q105_bloom_prefilter_join": (r"Exchange hashpartitioning", 2),
 }
 
 # Queries that must NOT carry an explicit broadcast HINT: forcing an
