@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "q106_hll_overlap_matrix",
     "q107_hist_quantiles",
     "q108_template_literal_chunks",
+    "q109_int8_quantized_topk",
 ]
 
 

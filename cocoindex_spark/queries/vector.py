@@ -650,3 +650,61 @@ def q83_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dq"), F.asc("vec_id"))
         .limit(25)
     )
+
+
+# --- q109: int8-quantized top-k — the memory-scale path. Each vector is
+#     L2-normalized and symmetric-quantized to an int8 code
+#     (q_i = round(127·x_i/||x||), |q_i| ≤ 127 by construction — the
+#     codec the zvec embedded dialect stores,
+#     reference zvec/_target.py:525-536 QuantizeType.INT8); ranking is a
+#     PURE-INTEGER dot product of codes, so the ORDER BY never compares
+#     floats. At 100 TB the code table is 4× smaller than fp32 and the
+#     integer dot is SIMD-friendly; candidate generation still comes
+#     from the LSH/IVF paths — this is the re-rank representation.
+#     Cross-engine exactness: ||x|| is derived from the order-independent
+#     fixed-point sqnorm, and every later op is scalar IEEE double or
+#     integer, spelled identically in both engines.
+_SQL_NRM = f"sqrt(CAST({sql_dot_fixed('embedding', 'embedding')} AS DOUBLE)/1099511627776.0)"
+
+
+@register(
+    "q109_int8_quantized_topk",
+    oracle=f"""
+WITH coded AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / {_SQL_NRM}) AS BIGINT)) AS code
+  FROM embeddings
+)
+SELECT a.vec_id, a.label,
+       CAST(list_sum(list_transform(range(1, len(a.code)+1),
+                                    i -> a.code[i]*b.code[i])) AS BIGINT) AS qdot
+FROM coded a, coded b
+WHERE b.vec_id = 0 AND a.vec_id <> 0
+ORDER BY qdot DESC, a.vec_id ASC
+LIMIT 10
+""",
+)
+def q109_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.vector_ops import FIXED_SCALE
+
+    e = table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(sqnorm_fixed(F.col("embedding")).cast("double") / F.lit(FIXED_SCALE))
+    code = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(127.0) / nrm).cast("long"),
+    )
+    coded = e.select("vec_id", "label", code.alias("code"))
+    q = coded.filter(F.col("vec_id") == 0).select(F.col("code").alias("q_code"))
+    qdot = F.aggregate(
+        F.zip_with(F.col("code"), F.col("q_code"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return (
+        coded.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", qdot.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("vec_id"))
+        .limit(10)
+    )

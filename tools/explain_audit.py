@@ -322,6 +322,18 @@ CHECKS = {
         [r"HashAggregate", r"Window"],
         [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
     ),
+    "q109_int8_quantized_topk": (
+        # 1-row query-code broadcast onto the coded corpus; the integer
+        # dot + top-k is TakeOrderedAndProject — no shuffle join, no
+        # Python worker
+        [r"BroadcastNestedLoopJoin", r"TakeOrderedAndProject"],
+        [
+            r"SortMergeJoin",
+            r"ShuffledHashJoin",
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+        ],
+    ),
     "q108_template_literal_chunks": (
         # template-literal-exact chunking: Arrow split + explode,
         # shuffle-free
