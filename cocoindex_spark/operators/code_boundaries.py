@@ -105,6 +105,19 @@ _DEF_KINDS: dict[str, dict[str, str]] = {
         "interface": "interface",
         "object": "object",
     },
+    # preprocessor directives lex as single tokens (code_match
+    # _scan_preproc), so a `#define … struct X {` can neither define
+    # nor unbalance the depth; keywordless functions come from the
+    # header pass below (`name(args) … {`)
+    "c": {"struct": "struct", "enum": "enum", "union": "union", "typedef": "type"},
+    "cpp": {
+        "class": "class",
+        "struct": "struct",
+        "enum": "enum",
+        "union": "union",
+        "namespace": "namespace",
+        "typedef": "type",
+    },
     # template literals lex as single string tokens (code_match
     # _scan_template), so `function` inside `…${}…` never defines
     "javascript": {"function": "function", "class": "class"},
@@ -117,6 +130,16 @@ _DEF_KINDS: dict[str, dict[str, str]] = {
 }
 
 _MAX_DEF_DEPTH = 1  # top-level regions and their direct members
+
+# Statement keywords that can precede a `(…) {` block without defining
+# a function (control flow, operators, C#/Java block statements).
+_CONTROL = {
+    "if", "for", "while", "switch", "catch", "return", "sizeof", "do",
+    "else", "new", "using", "foreach", "lock", "fixed", "synchronized",
+    "constexpr", "assert",
+}
+# Tokens allowed between a function header's `)` and its `{`.
+_TRAILERS = {"const", "noexcept", "override", "final"}
 
 
 def supports_definitions(language: str) -> bool:
@@ -210,10 +233,100 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
             j += 1
         return toks[-1].end if toks else len(text)
 
+    def typedef_region(idx: int) -> tuple[str, int] | None:
+        """(name, end) of a C/C++ typedef: end = the terminating ``;``
+        at brace balance 0; name = the last balance-0 identifier before
+        it (``typedef struct {…} name_t;``), or — for function-pointer
+        typedefs — the last identifier inside the first paren group
+        (``typedef int (*fp)(void);``)."""
+        j = idx + 1
+        bal = pbal = 0
+        name = paren_name = None
+        seen_paren = False
+        while j < len(toks):
+            tt = toks[j].text
+            if tt == "{":
+                bal += 1
+            elif tt == "}":
+                bal -= 1
+            elif tt == "(" and bal == 0:
+                pbal += 1
+                seen_paren = seen_paren or pbal == 1
+            elif tt == ")" and bal == 0:
+                pbal -= 1
+            elif tt == ";" and bal == 0 and pbal == 0:
+                chosen = paren_name if seen_paren else name
+                return (chosen, toks[j].end) if chosen else None
+            elif tt[0].isalpha() or tt[0] == "_":
+                if bal == 0 and pbal == 0:
+                    name = tt
+                elif bal == 0 and pbal >= 1 and paren_name is None:
+                    paren_name = tt
+            j += 1
+        return None
+
+    def header_function(idx: int) -> tuple[str, int] | None:
+        """(name, name_tok_idx) when the ``{`` at idx closes a
+        keywordless function/method header ``name(args) … {`` (C
+        functions, C++/Java/C# methods — tree-sitter's
+        function_definition/method_declaration). Walks back over
+        trailer tokens and C++ ctor initializer lists; control-flow
+        headers (``if (…) {``) and anonymous classes (``new Foo() {``)
+        are excluded."""
+        j = idx - 1
+        while j >= 0 and toks[j].text in _TRAILERS:
+            j -= 1
+        while True:
+            if j < 1 or toks[j].text != ")":
+                return None
+            bal = 0
+            while j >= 0:
+                if toks[j].text == ")":
+                    bal += 1
+                elif toks[j].text == "(":
+                    bal -= 1
+                    if bal == 0:
+                        break
+                j -= 1
+            k = j - 1
+            if k < 0:
+                return None
+            t0 = toks[k].text
+            if not (t0[0].isalpha() or t0[0] == "_"):
+                return None
+            prev = toks[k - 1].text if k >= 1 else ""
+            if (
+                language == "cpp"
+                and prev in (",", ":")
+                and k >= 2
+                and toks[k - 2].text == ")"
+            ):
+                # ctor initializer-list member (`) : x_(1), y_(2) {`) —
+                # keep walking left; a `public:` access label ahead of
+                # the name has no preceding `)` and falls through
+                j = k - 2
+                continue
+            if t0 in _CONTROL or t0 in kinds or prev == "new" or prev in kinds:
+                return None
+            return t0, k
+
     out: list[dict] = []
     depth = 0
     for i, t in enumerate(toks):
         if t.text == "{":
+            if language in _HEADER_LANGS and depth <= _MAX_DEF_DEPTH:
+                hdr = header_function(i)
+                if hdr is not None:
+                    name, k = hdr
+                    out.append(
+                        {
+                            "kind": "function",
+                            "name": name,
+                            "start": line_start_of(toks[k].start),
+                            "end": region_end(i - 1),
+                            "depth": depth,
+                        }
+                    )
             depth += 1
             continue
         if t.text == "}":
@@ -222,6 +335,19 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
         if depth <= _MAX_DEF_DEPTH and t.text in kinds:
             start = statement_start(i)
             if start is None:
+                continue
+            if t.text == "typedef":
+                td = typedef_region(i)
+                if td is not None:
+                    out.append(
+                        {
+                            "kind": kinds[t.text],
+                            "name": td[0],
+                            "start": start,
+                            "end": td[1],
+                            "depth": depth,
+                        }
+                    )
                 continue
             name = name_after(i)
             if not name:

@@ -70,6 +70,41 @@ _C_FAMILY = {
 _TEMPLATE_LANGS = {"javascript", "typescript", "tsx"}
 _TRIPLE_QUOTE_LANGS = {"java", "kotlin", "scala", "swift", "dart", "c_sharp"}
 _RUST_RAW = re.compile(r'(?:b?r)(#*)"')
+_CPP_RAW = re.compile(r'(?:u8|[uUL])?R"([^()\\\s]{0,16})\(')
+
+# Preprocessor languages: a `#` opening a line starts a directive that
+# runs to end-of-line. The whole directive becomes ONE token — a
+# `#define LOOP(x) for (…) {` can never leak a fake keyword or an
+# unbalanced brace into the token stream (tree-sitter's C grammar
+# likewise parses directives as single preproc nodes; it does NOT
+# evaluate them, so `#if 0` bodies still lex as code — same here).
+_PREPROC_LANGS = {"c", "cpp", "c_sharp"}
+_PREPROC_CONT = {"c", "cpp"}  # backslash-newline continuation
+
+
+def _scan_preproc(text: str, i: int, continuation: bool) -> int:
+    """End offset (exclusive of the newline) of the directive starting
+    at ``#``. Honors ``\\``-newline continuation (C/C++) and block
+    comments, whose embedded newlines do not end the directive."""
+    n = len(text)
+    j = i
+    while j < n:
+        ch = text[j]
+        if ch == "\n":
+            return j
+        if text.startswith("/*", j):
+            k = text.find("*/", j + 2)
+            j = n if k < 0 else k + 2
+            continue
+        if continuation and ch == "\\":
+            k = j + 1
+            if k < n and text[k] == "\r":
+                k += 1
+            if k < n and text[k] == "\n":
+                j = k + 1
+                continue
+        j += 1
+    return n
 
 
 def _scan_template(text: str, i: int) -> int:
@@ -149,6 +184,13 @@ def _scan_special_string(text: str, i: int, language: str) -> int | None:
     if language in _TRIPLE_QUOTE_LANGS and text.startswith('"""', i):
         j = text.find('"""', i + 3)  # text block: multiline, no escapes seen
         return n if j < 0 else j + 3
+    if language == "cpp" and ch in "uULR":
+        m = _CPP_RAW.match(text, i)
+        if m:  # R"delim(…)delim" — nothing escapes; closes at )delim"
+            close = ")" + m.group(1) + '"'
+            j = text.find(close, m.end())
+            return n if j < 0 else j + len(close)
+        return None
     if language == "c_sharp" and text.startswith('@"', i):
         j = i + 2  # verbatim: "" is an escaped quote, backslash literal
         while j < n:
@@ -195,6 +237,15 @@ def tokenize(text: str, language: str = "text") -> list[Tok]:
         if c_family and text.startswith("/*", i):
             j = text.find("*/", i + 2)
             i = n if j < 0 else j + 2
+            continue
+        if (
+            ch == "#"
+            and language in _PREPROC_LANGS
+            and not text[text.rfind("\n", 0, i) + 1 : i].strip()
+        ):
+            end = _scan_preproc(text, i, language in _PREPROC_CONT)
+            toks.append(Tok(text[i:end], i, end))
+            i = end
             continue
         end = _scan_special_string(text, i, language)
         if end is not None:

@@ -456,3 +456,68 @@ def q108_template_literal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_char",
         "end_char",
     )
+
+
+# --- q110: lexer-exact C definitions under preprocessor fire — the
+#     q98 guarantee extended to C, whose failure modes are different:
+#     a `#define` body containing a fake struct AND an unbalanced `{`
+#     (with a backslash continuation) must neither define a region nor
+#     corrupt the brace depth, because the whole directive lexes as ONE
+#     token (code_match._scan_preproc; tree-sitter's C grammar likewise
+#     parses directives as single preproc nodes). Keywordless C
+#     functions come from the `name(args) {` header pass, and typedef
+#     names resolve to the identifier BEFORE the terminating `;`
+#     (operators/code_boundaries.py; reference:
+#     rust/code_ast/src/view/lang.rs C region classification).
+@register(
+    "q110_c_preproc_definitions",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid,
+    '#define MK(x) struct Fake##x { int v; } \\' || chr(10) ||
+    '    extra(y) {' || chr(10) AS p0,
+    'struct Point' || CAST(doc_id AS VARCHAR) || ' { int x; };' || chr(10) AS p1,
+    'static int add' || CAST(doc_id AS VARCHAR) || '(int a, int b) {' || chr(10) ||
+    '    const char *s = "struct FakeStr { int z; };";' || chr(10) ||
+    '    /* union FakeCmt; */' || chr(10) ||
+    '    return a + b;' || chr(10) || '}' || chr(10) AS p2,
+    'typedef struct { int q; } handle' || CAST(doc_id AS VARCHAR) || '_t;' || chr(10) AS p3
+  FROM documents
+)
+SELECT doc_id, 'struct' AS def_kind, 'Point' || sid AS def_name,
+       CAST(strlen(p0) AS BIGINT) AS def_start,
+       CAST(strlen(p0) + strlen(p1) - 2 AS BIGINT) AS def_end
+FROM src
+UNION ALL
+SELECT doc_id, 'function', 'add' || sid,
+       CAST(strlen(p0) + strlen(p1) AS BIGINT),
+       CAST(strlen(p0) + strlen(p1) + strlen(p2) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'type', 'handle' || sid || '_t',
+       CAST(strlen(p0) + strlen(p1) + strlen(p2) AS BIGINT),
+       CAST(strlen(p0) + strlen(p1) + strlen(p2) + strlen(p3) - 1 AS BIGINT)
+FROM src
+""",
+)
+def q110_c_preproc_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("#define MK(x) struct Fake##x { int v; } \\\n    extra(y) {\n"),
+        F.lit("struct Point"), sid, F.lit(" { int x; };\n"),
+        F.lit("static int add"), sid,
+        F.lit('(int a, int b) {\n    const char *s = "struct FakeStr '
+              '{ int z; };";\n    /* union FakeCmt; */\n    return a + b;\n}\n'),
+        F.lit("typedef struct { int q; } handle"), sid, F.lit("_t;\n"),
+    )
+    defs = definitions_df(d.withColumn("code", code), "code", "c")
+    return defs.select(
+        "doc_id",
+        "def_kind",
+        "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )

@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "q107_hist_quantiles",
     "q108_template_literal_chunks",
     "q109_int8_quantized_topk",
+    "q110_c_preproc_definitions",
 ]
 
 

@@ -124,3 +124,87 @@ def test_definitions_dispatches_to_lexer_for_brace_langs():
     assert [(d["kind"], d["name"]) for d in definitions(js, "javascript")] == [
         ("function", "f")
     ]
+
+
+# --- C / C++ lexer-exactness ------------------------------------------
+
+C_SRC = '''#define MK(x) struct FakeMacro##x { int v; } \\
+    extra(y) {
+struct Point { int x; };
+static int add(int a, int b) {
+    const char *s = "struct FakeStr { int z; };";
+    /* union FakeCmt; */
+    return a + b;
+}
+typedef struct { int q; } handle_t;
+typedef int (*cb)(void);
+'''
+
+
+def test_c_preprocessor_is_one_token():
+    from cocoindex_spark.operators.code_match import tokenize
+
+    toks = tokenize(C_SRC, "c")
+    # the directive (including its continuation line) is a single token
+    assert toks[0].text.startswith("#define")
+    assert "extra(y) {" in toks[0].text
+    # nothing from the macro body leaks into the stream
+    assert all("FakeMacro" not in t.text for t in toks[1:])
+
+
+def test_c_definitions():
+    defs = brace_definitions(C_SRC, "c")
+    assert [(d["kind"], d["name"]) for d in defs] == [
+        ("struct", "Point"),
+        ("function", "add"),
+        ("type", "handle_t"),
+        ("type", "cb"),  # function-pointer typedef: name inside parens
+    ]
+    # the unbalanced `{` inside the #define did not corrupt depth
+    assert all(d["depth"] == 0 for d in defs)
+
+
+def test_c_control_flow_not_functions():
+    src = "int main(void) {\n  if (x) { }\n  for (;;) { }\n  while (x) { }\n}\n"
+    assert [(d["kind"], d["name"]) for d in brace_definitions(src, "c")] == [
+        ("function", "main")
+    ]
+
+
+def test_cpp_ctor_initializer_and_labels():
+    src = (
+        "class Foo {\n  public:\n    Foo() : x_(1), y_(2) {\n    }\n"
+        "    int get() const noexcept {\n        return x_;\n    }\n};\n"
+    )
+    defs = brace_definitions(src, "cpp")
+    assert [(d["kind"], d["name"], d["depth"]) for d in defs] == [
+        ("class", "Foo", 0),
+        ("function", "Foo", 1),  # ctor found through the initializer list
+        ("function", "get", 1),
+    ]
+
+
+def test_cpp_raw_string_hides_fakes():
+    from cocoindex_spark.operators.code_match import tokenize
+
+    src = 'const char* r = R"ab(struct NotReal { };)ab";\nnamespace ns {\n}\n'
+    toks = tokenize(src, "cpp")
+    assert any(t.text.startswith('R"ab(') for t in toks)
+    assert all("NotReal" not in t.text or t.text.startswith('R"') for t in toks)
+    assert [(d["kind"], d["name"]) for d in brace_definitions(src, "cpp")] == [
+        ("namespace", "ns")
+    ]
+
+
+def test_java_methods_from_header_pass():
+    src = (
+        "public class Svc {\n"
+        '    String s = "void fake() {}";\n'
+        "    public int size() {\n        return 1;\n    }\n"
+        "}\n"
+    )
+    defs = brace_definitions(src, "java")
+    assert [(d["kind"], d["name"]) for d in defs] == [
+        ("class", "Svc"),
+        ("function", "size"),
+    ]
