@@ -118,6 +118,27 @@ _DEF_KINDS: dict[str, dict[str, str]] = {
         "namespace": "namespace",
         "typedef": "type",
     },
+    "scala": {
+        "def": "function",
+        "class": "class",
+        "object": "object",
+        "trait": "trait",
+    },
+    "swift": {
+        "func": "function",
+        "class": "class",
+        "struct": "struct",
+        "enum": "enum",
+        "protocol": "protocol",
+        "extension": "extension",
+    },
+    "php": {
+        "function": "function",
+        "class": "class",
+        "interface": "interface",
+        "trait": "trait",
+    },
+    "dart": {"class": "class", "mixin": "mixin", "enum": "enum"},
     # template literals lex as single string tokens (code_match
     # _scan_template), so `function` inside `…${}…` never defines
     "javascript": {"function": "function", "class": "class"},

@@ -191,6 +191,14 @@ def _scan_special_string(text: str, i: int, language: str) -> int | None:
             j = text.find(close, m.end())
             return n if j < 0 else j + len(close)
         return None
+    if language == "php" and text.startswith("<<<", i):
+        # heredoc/nowdoc: <<<ID … \nID  (nowdoc quotes the ID)
+        m = re.match(r"<<<['\"]?(\w+)['\"]?\r?\n", text[i:])
+        if m:
+            close = "\n" + m.group(1)
+            j = text.find(close, i + m.end() - 1)
+            return n if j < 0 else j + len(close)
+        return None
     if language == "c_sharp" and text.startswith('@"', i):
         j = i + 2  # verbatim: "" is an escaped quote, backslash literal
         while j < n:

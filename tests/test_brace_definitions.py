@@ -208,3 +208,51 @@ def test_java_methods_from_header_pass():
         ("class", "Svc"),
         ("function", "size"),
     ]
+
+
+@pytest.mark.parametrize(
+    "language,source,expected",
+    [
+        (
+            "scala",
+            'object Main {\n  def run(x: Int): Int = {\n'
+            '    val s = "def fake() {}"\n    x\n  }\n}\ntrait T {}\n',
+            [("object", "Main"), ("function", "run"), ("trait", "T")],
+        ),
+        (
+            "swift",
+            "struct Pt {\n    func mag() -> Int {\n"
+            "        return x  // func fake() {}\n    }\n}\nprotocol P {}\n",
+            [("struct", "Pt"), ("function", "mag"), ("protocol", "P")],
+        ),
+        (
+            "php",
+            '<?php\nclass A {\n    public function go() {\n'
+            '        $s = "function fake() {}";\n    }\n}\ninterface I {}\n',
+            [("class", "A"), ("function", "go"), ("interface", "I")],
+        ),
+        (
+            "dart",
+            "class Widget {\n  int n = 0;\n}\nmixin M {}\n",
+            [("class", "Widget"), ("mixin", "M")],
+        ),
+    ],
+)
+def test_more_languages_lexer_exact(language, source, expected):
+    assert supports_definitions(language)
+    defs = brace_definitions(source, language)
+    assert [(d["kind"], d["name"]) for d in defs] == expected
+    assert not any("fake" in d["name"].lower() for d in defs)
+
+
+def test_php_heredoc_hides_fakes():
+    from cocoindex_spark.operators.code_match import tokenize
+
+    src = (
+        "<?php\n$s = <<<EOT\nfunction fake() {}\nclass FakeHd {}\nEOT;\n"
+        "function real() {\n}\n"
+    )
+    toks = tokenize(src, "php")
+    assert any(t.text.startswith("<<<EOT") for t in toks)
+    defs = brace_definitions(src, "php")
+    assert [(d["kind"], d["name"]) for d in defs] == [("function", "real")]
