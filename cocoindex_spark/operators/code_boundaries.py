@@ -59,6 +59,8 @@ _MAX_DEPTH = 1  # boundary levels: top level and first-level members
 
 
 def supports(language: str) -> bool:
+    if language in _KB_DEF_KINDS:
+        return True
     return language in _C_FAMILY and language in (_KEYWORDS.keys() | _HEADER_LANGS)
 
 
@@ -163,8 +165,246 @@ _CONTROL = {
 _TRAILERS = {"const", "noexcept", "override", "final"}
 
 
+# --- keyword-block languages (def…end / function…end) -------------------
+# Ruby and Lua close blocks with `end` instead of `}`. The same lexer
+# feeds them (heredocs, %-literals, =begin blocks, Lua long brackets
+# all lex as single tokens — code_match._scan_special_string), and a
+# stack of open blocks replaces the brace counter. Reference: the
+# tree-sitter grammars classify the same regions
+# (rust/code_ast/src/view/lang.rs ruby/lua tables).
+_KB_DEF_KINDS: dict[str, dict[str, str]] = {
+    "ruby": {"def": "function", "class": "class", "module": "module"},
+    "lua": {"function": "function"},
+}
+_KB_MODIFIERS: dict[str, set[str]] = {
+    "ruby": {"private", "public", "protected", "module_function"},
+    "lua": {"local"},
+}
+# Ruby keywords that always open an end-terminated block when they
+# start a statement.
+_RUBY_ALWAYS_OPEN = {"def", "class", "module", "case", "begin", "for"}
+# Conditional/loop keywords: block form in statement position, trailing
+# modifier form otherwise (`x = 1 if y` opens nothing).
+_RUBY_STMT_OPEN = {"if", "unless", "while", "until"}
+# Tokens after which a mid-line if/unless/while/until/begin is an
+# expression-position block opener (`x = if cond … end`). Deliberately
+# minimal — a guard clause (`return if x`) must stay a modifier; the
+# safe failure direction is "modifier" (an unmatched `end` floors at
+# depth 0; a phantom opener would mis-span every later region).
+_RUBY_PRE_EXPR = {
+    "=", "(", "[", "{", ",", ";", "||=", "&&=", "=>", "?", ":",
+    "then", "do", "else", "elsif", "when", "in", "begin",
+}
+# module → class → def is the canonical Ruby file shape, so regions
+# one level deeper than the brace-language cap still surface.
+_KB_MAX_DEPTH = 2
+
+
+def _kb_walk(text: str, language: str):
+    """Single pass over the token stream yielding completed definition
+    regions [{kind, name, start, end, depth}] for an end-terminated
+    language. Depth = number of enclosing blocks at the opener."""
+    kinds = _KB_DEF_KINDS[language]
+    mods = _KB_MODIFIERS[language]
+    toks = tokenize(text, language)
+    n_toks = len(toks)
+
+    line_starts = [0]
+    for i, ch in enumerate(text):
+        if ch == "\n":
+            line_starts.append(i + 1)
+    import bisect
+
+    def line_start_of(offset: int) -> int:
+        return line_starts[bisect.bisect_right(line_starts, offset) - 1]
+
+    def statement_start(idx: int) -> int | None:
+        """First modifier offset of the statement, or None when a
+        non-modifier precedes the keyword on its line (mid-expression
+        `obj.class`, `x.def`)."""
+        ls = line_start_of(toks[idx].start)
+        j = idx - 1
+        start = toks[idx].start
+        while j >= 0 and toks[j].start >= ls:
+            if toks[j].text not in mods:
+                return None
+            start = toks[j].start
+            j -= 1
+        return start
+
+    def first_on_line(idx: int) -> bool:
+        ls = line_start_of(toks[idx].start)
+        return idx == 0 or toks[idx - 1].start < ls
+
+    def dotted_name(idx: int) -> tuple[str | None, int]:
+        """(name, next_idx): one identifier after the keyword, extended
+        only through explicit joiners (`Foo::Bar`, `self.run`,
+        `a.b:c`) — a bare identifier never chains to the next token.
+        A setter `def foo=` keeps its adjacent `=`."""
+        j = idx + 1
+        if j >= n_toks or not (toks[j].text[0].isalpha() or toks[j].text[0] == "_"):
+            return None, j
+        parts = [toks[j].text]
+        j += 1
+        while (
+            j + 1 < n_toks
+            and toks[j].text in (".", "::", ":")
+            and (toks[j + 1].text[0].isalpha() or toks[j + 1].text[0] == "_")
+        ):
+            parts.append(toks[j].text)
+            parts.append(toks[j + 1].text)
+            j += 2
+        # setter `def foo=(v)`: `=` glued to the name token
+        if (
+            j < n_toks
+            and toks[j].text == "="
+            and toks[j].start == toks[j - 1].end
+            and j + 1 < n_toks
+            and toks[j + 1].text == "("
+        ):
+            parts.append("=")
+            j += 1
+        return "".join(parts), j
+
+    def line_end_of(offset: int) -> int:
+        j = text.find("\n", offset)
+        return len(text) if j < 0 else j
+
+    out: list[dict] = []
+    # stack frames: (kind|None, name, start_offset) — kind None = an
+    # anonymous/control block that only contributes depth
+    stack: list[tuple[str | None, str | None, int]] = []
+    pending_loop_line = -1  # line of a while/until/for awaiting its `do`
+    expect_then: str | None = None  # lua: "open" after if, "skip" after elseif
+
+    def close(end_off: int) -> None:
+        if not stack:
+            return
+        kind, name, start = stack.pop()
+        if kind is not None and name is not None and len(stack) <= _KB_MAX_DEPTH:
+            out.append(
+                {"kind": kind, "name": name, "start": start,
+                 "end": end_off, "depth": len(stack)}
+            )
+
+    i = 0
+    while i < n_toks:
+        t = toks[i].text
+        if language == "ruby":
+            if t == "end":
+                close(toks[i].end)
+            elif t in _RUBY_ALWAYS_OPEN:
+                start = statement_start(i)
+                if start is None and (
+                    t in kinds  # `obj.class` is a call, not a definition
+                    or not (i > 0 and toks[i - 1].text in _RUBY_PRE_EXPR)
+                ):
+                    i += 1
+                    continue
+                if start is None:
+                    start = toks[i].start  # `x = case y … end`
+                if t in kinds:
+                    name, j = dotted_name(i)
+                    # endless def: `def foo(a) = expr` — no `end`;
+                    # region runs to the end of the `=`'s line
+                    if t == "def" and name is not None:
+                        k = j
+                        if k < n_toks and toks[k].text == "(":
+                            bal = 1
+                            k += 1
+                            while k < n_toks and bal:
+                                if toks[k].text == "(":
+                                    bal += 1
+                                elif toks[k].text == ")":
+                                    bal -= 1
+                                k += 1
+                        if k < n_toks and toks[k].text == "=":
+                            if len(stack) <= _KB_MAX_DEPTH:
+                                out.append(
+                                    {"kind": kinds[t], "name": name,
+                                     "start": start,
+                                     "end": line_end_of(toks[k].start),
+                                     "depth": len(stack)}
+                                )
+                            i += 1
+                            continue
+                    stack.append((kinds[t], name, start))
+                else:
+                    if t == "for":
+                        pending_loop_line = line_start_of(toks[i].start)
+                    stack.append((None, None, start))
+            elif t in _RUBY_STMT_OPEN:
+                opener = first_on_line(i) or (
+                    i > 0 and toks[i - 1].text in _RUBY_PRE_EXPR
+                )
+                if opener:
+                    if t in ("while", "until"):
+                        pending_loop_line = line_start_of(toks[i].start)
+                    stack.append((None, None, toks[i].start))
+            elif t == "do":
+                if line_start_of(toks[i].start) == pending_loop_line:
+                    pending_loop_line = -1  # loop-header `do`, same block
+                else:
+                    stack.append((None, None, toks[i].start))
+        else:  # lua
+            if t == "end":
+                close(toks[i].end)
+            elif t == "until":
+                close(toks[i].end)  # closes its `repeat`
+            elif t == "function":
+                start = statement_start(i)
+                if start is None:
+                    start = toks[i].start  # mid-expression: anonymous
+                name, _ = dotted_name(i)
+                stack.append((kinds[t] if name else None, name, start))
+            elif t == "if":
+                expect_then = "open"
+            elif t == "elseif":
+                expect_then = "skip"
+            elif t == "then":
+                if expect_then == "open":
+                    stack.append((None, None, toks[i].start))
+                expect_then = None
+            elif t in ("do", "repeat"):
+                stack.append((None, None, toks[i].start))
+        i += 1
+    # unterminated regions at EOF still surface (truncated files)
+    while stack:
+        close(toks[-1].end if toks else len(text))
+    return out, toks, line_start_of
+
+
+def keyword_block_definitions(text: str, language: str) -> list[dict] | None:
+    """Named definition regions for end-terminated languages, from the
+    same comment/string-exact token stream as ``brace_definitions`` —
+    a ``def`` inside a heredoc, ``=begin`` block, %-literal, or Lua
+    long bracket can never become a region."""
+    if language not in _KB_DEF_KINDS:
+        return None
+    out, _, _ = _kb_walk(text, language)
+    return sorted(out, key=lambda d: (d["start"], d["kind"]))
+
+
+def keyword_block_boundaries(text: str, language: str) -> list[list[int]] | None:
+    """Line-start chunk boundaries grouped by block depth for
+    end-terminated languages — the ``brace_boundaries`` analog consumed
+    by ``split_recursive``."""
+    if language not in _KB_DEF_KINDS:
+        return None
+    out, _, line_start_of = _kb_walk(text, language)
+    by_depth: dict[int, set[int]] = {}
+    for d in out:
+        off = line_start_of(d["start"])
+        if off > 0:
+            by_depth.setdefault(d["depth"], set()).add(off)
+    if not by_depth:
+        return None
+    max_d = max(by_depth)
+    return [sorted(by_depth.get(k, set())) for k in range(max_d + 1)]
+
+
 def supports_definitions(language: str) -> bool:
-    return language in _DEF_KINDS
+    return language in _DEF_KINDS or language in _KB_DEF_KINDS
 
 
 def brace_definitions(text: str, language: str) -> list[dict] | None:
@@ -179,6 +419,8 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
     - end: the matching ``}`` of the region's block, or the ``;`` of a
       bodyless declaration (``struct Foo;``, trait method signatures).
     """
+    if language in _KB_DEF_KINDS:
+        return keyword_block_definitions(text, language)
     kinds = _DEF_KINDS.get(language)
     if kinds is None:
         return None
@@ -389,6 +631,8 @@ def brace_boundaries(text: str, language: str) -> list[list[int]] | None:
     """Line-start boundary offsets grouped by brace depth, or None when
     the language is unsupported or the source yields no boundaries
     (caller falls back to the regex hierarchy)."""
+    if language in _KB_DEF_KINDS:
+        return keyword_block_boundaries(text, language)
     if not supports(language):
         return None
     toks = tokenize(text, language)

@@ -81,6 +81,61 @@ _CPP_RAW = re.compile(r'(?:u8|[uUL])?R"([^()\\\s]{0,16})\(')
 _PREPROC_LANGS = {"c", "cpp", "c_sharp"}
 _PREPROC_CONT = {"c", "cpp"}  # backslash-newline continuation
 
+# Keyword-block languages (def…end / function…end) get the same
+# string/comment-exact lexing: Lua long brackets and Ruby
+# heredocs/percent-literals/=begin blocks each lex as ONE token, so a
+# `def` or `function` inside them can never define a region or shift
+# the keyword-block depth (tree-sitter parses these as single
+# string/comment nodes; reference region classification:
+# rust/code_ast/src/view/lang.rs).
+_LUA_LONG_OPEN = re.compile(r"\[(=*)\[")
+# Heredoc openers: uppercase-identifier convention only, which is how
+# real Ruby heredocs are written — it keeps `a << b` shifts and
+# `arr << item` appends out of the string scanner. Documented limit:
+# a lowercase heredoc tag lexes as a shift.
+_RUBY_HEREDOC = re.compile(r"<<([~-]?)(['\"]?)([A-Z][A-Z0-9_]*)\2")
+_RUBY_PCT_PAIRED = {"(": ")", "[": "]", "{": "}", "<": ">"}
+_RUBY_PCT = re.compile(r"%[qQwWiIrs]?([^\w\s])")
+
+
+def _scan_lua_long(text: str, i: int) -> int | None:
+    """End offset of a Lua long bracket ``[[…]]`` / ``[=[…]=]``
+    starting at i, or None. Nothing escapes inside; the close must
+    carry the same number of ``=``s."""
+    m = _LUA_LONG_OPEN.match(text, i)
+    if not m:
+        return None
+    close = "]" + m.group(1) + "]"
+    j = text.find(close, m.end())
+    return len(text) if j < 0 else j + len(close)
+
+
+def _scan_ruby_percent(text: str, i: int) -> int | None:
+    """End offset of a Ruby percent literal (``%w[…]``, ``%q{…}``,
+    ``%(…)``) starting at the ``%``, or None. Paired delimiters nest;
+    a backslash escapes the next char."""
+    m = _RUBY_PCT.match(text, i)
+    if not m:
+        return None
+    op = m.group(1)
+    cl = _RUBY_PCT_PAIRED.get(op, op)
+    n = len(text)
+    j = m.end()
+    depth = 1
+    while j < n:
+        c = text[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == op and cl != op:
+            depth += 1
+        elif c == cl:
+            depth -= 1
+            if depth == 0:
+                return j + 1
+        j += 1
+    return n
+
 
 def _scan_preproc(text: str, i: int, continuation: bool) -> int:
     """End offset (exclusive of the newline) of the directive starting
@@ -199,6 +254,23 @@ def _scan_special_string(text: str, i: int, language: str) -> int | None:
             j = text.find(close, i + m.end() - 1)
             return n if j < 0 else j + len(close)
         return None
+    if language == "lua" and ch == "[":
+        return _scan_lua_long(text, i)
+    if language == "ruby" and ch == "<":
+        m = _RUBY_HEREDOC.match(text, i)
+        if m:
+            # swallow through the terminator line: `<<~`/`<<-` allow
+            # indentation before the tag, plain heredocs do not
+            pat = (
+                r"\n[ \t]*" + m.group(3) + r"\b"
+                if m.group(1)
+                else "\n" + m.group(3) + r"\b"
+            )
+            t = re.search(pat, text[m.end():])
+            return n if t is None else m.end() + t.end()
+        return None
+    if language == "ruby" and ch == "%":
+        return _scan_ruby_percent(text, i)
     if language == "c_sharp" and text.startswith('@"', i):
         j = i + 2  # verbatim: "" is an escaped quote, backslash literal
         while j < n:
@@ -233,6 +305,23 @@ def tokenize(text: str, language: str = "text") -> list[Tok]:
         ch = text[i]
         if ch.isspace():
             i += 1
+            continue
+        if language == "lua" and text.startswith("--", i):
+            # long comment --[[…]] / --[=[…]=] before the line form
+            end = _scan_lua_long(text, i + 2)
+            if end is None:
+                j = text.find("\n", i)
+                end = n if j < 0 else j + 1
+            i = end
+            continue
+        if (
+            language == "ruby"
+            and text.startswith("=begin", i)
+            and not text[text.rfind("\n", 0, i) + 1 : i].strip()
+        ):
+            # =begin/=end block comment (both at column 0)
+            m_end = re.search(r"\n=end\b[^\n]*", text[i:])
+            i = n if m_end is None else i + m_end.end()
             continue
         if line_c and text.startswith(line_c, i):
             j = text.find("\n", i)

@@ -521,3 +521,137 @@ def q110_c_preproc_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("def_start").cast("long").alias("def_start"),
         F.col("def_end").cast("long").alias("def_end"),
     )
+
+
+# --- q111: lexer-exact definitions for a keyword-block language (Ruby)
+#     — the q98 guarantee extended past braces: blocks close with `end`,
+#     so region spans come from a STACK of opener keywords over the
+#     comment/string-exact token stream
+#     (operators/code_boundaries.py keyword_block_definitions). The
+#     oracle pins the three forms only a lexer can get right: a `def`
+#     inside a squiggly heredoc (ONE string token), a `# def` comment,
+#     a `"def"` string — none defines; a modifier `if` (`x = 1 if y`)
+#     opens no block, so the enclosing spans stay exact; an endless
+#     `def ping = 1` ends at its line, consuming no `end`. Reference:
+#     tree-sitter ruby region classification,
+#     rust/code_ast/src/view/lang.rs. One Arrow pass, no shuffle.
+@register(
+    "q111_ruby_definitions",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+    CAST(doc_id AS VARCHAR) AS sid,
+    'module Api' || CAST(doc_id AS VARCHAR) || chr(10) ||
+    '  DOC = <<~EOT' || chr(10) ||
+    '    def fake_heredoc' || chr(10) ||
+    '  EOT' || chr(10) AS head,
+    '  def get' || CAST(doc_id AS VARCHAR) || '(x)' || chr(10) ||
+    '    s = "def fake_str"' || chr(10) ||
+    '    # def fake_line' || chr(10) ||
+    '    x = 1 if x' || chr(10) ||
+    '  end' || chr(10) AS defpart,
+    'end' || chr(10) AS tail,
+    'def ping' || CAST(doc_id AS VARCHAR) || ' = 1' || chr(10) AS p2
+  FROM documents
+)
+SELECT doc_id, 'module' AS def_kind, 'Api' || sid AS def_name,
+       CAST(0 AS BIGINT) AS def_start,
+       CAST(strlen(head) + strlen(defpart) + strlen(tail) - 1 AS BIGINT) AS def_end
+FROM src
+UNION ALL
+SELECT doc_id, 'function', 'get' || sid,
+       CAST(strlen(head) + 2 AS BIGINT),
+       CAST(strlen(head) + strlen(defpart) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'function', 'ping' || sid,
+       CAST(strlen(head) + strlen(defpart) + strlen(tail) AS BIGINT),
+       CAST(strlen(head) + strlen(defpart) + strlen(tail) + strlen(p2) - 1 AS BIGINT)
+FROM src
+""",
+)
+def q111_ruby_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("module Api"), sid,
+        F.lit("\n  DOC = <<~EOT\n    def fake_heredoc\n  EOT\n"),
+        F.lit("  def get"), sid,
+        F.lit('(x)\n    s = "def fake_str"\n    # def fake_line\n'
+              "    x = 1 if x\n  end\n"),
+        F.lit("end\n"),
+        F.lit("def ping"), sid, F.lit(" = 1\n"),
+    )
+    defs = definitions_df(d.withColumn("code", code), "code", "ruby")
+    return defs.select(
+        "doc_id",
+        "def_kind",
+        "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )
+
+
+# --- q112: lexer-exact definitions for Lua — `function…end` regions
+#     balanced through nested if/then and for/do blocks (one `end`
+#     each, `elseif…then` opens nothing), with Lua's long brackets
+#     lexing as single tokens: a `function` inside `--[[ … ]]` or
+#     `[[ … ]]` never defines. `local` is the modifier, included in
+#     the span like `pub fn`. Same machinery and oracle style as q111.
+@register(
+    "q112_lua_definitions",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+    CAST(doc_id AS VARCHAR) AS sid,
+    '--[[ function fake_comment() end ]]' || chr(10) ||
+    's = [[ function fake_str() end ]]' || chr(10) AS p1,
+    'local function calc' || CAST(doc_id AS VARCHAR) || '(x)' || chr(10) ||
+    '  if x > 0 then' || chr(10) ||
+    '    return x' || chr(10) ||
+    '  elseif x < 0 then' || chr(10) ||
+    '    return -x' || chr(10) ||
+    '  end' || chr(10) ||
+    'end' || chr(10) AS p2,
+    'function M.run' || CAST(doc_id AS VARCHAR) || '(y)' || chr(10) ||
+    '  for i = 1, y do' || chr(10) ||
+    '    y = y - 1' || chr(10) ||
+    '  end' || chr(10) ||
+    'end' || chr(10) AS p3
+  FROM documents
+)
+SELECT doc_id, 'function' AS def_kind, 'calc' || sid AS def_name,
+       CAST(strlen(p1) AS BIGINT) AS def_start,
+       CAST(strlen(p1) + strlen(p2) - 1 AS BIGINT) AS def_end
+FROM src
+UNION ALL
+SELECT doc_id, 'function', 'M.run' || sid,
+       CAST(strlen(p1) + strlen(p2) AS BIGINT),
+       CAST(strlen(p1) + strlen(p2) + strlen(p3) - 1 AS BIGINT)
+FROM src
+""",
+)
+def q112_lua_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("--[[ function fake_comment() end ]]\n"
+              "s = [[ function fake_str() end ]]\n"),
+        F.lit("local function calc"), sid,
+        F.lit("(x)\n  if x > 0 then\n    return x\n  elseif x < 0 then\n"
+              "    return -x\n  end\nend\n"),
+        F.lit("function M.run"), sid,
+        F.lit("(y)\n  for i = 1, y do\n    y = y - 1\n  end\nend\n"),
+    )
+    defs = definitions_df(d.withColumn("code", code), "code", "lua")
+    return defs.select(
+        "doc_id",
+        "def_kind",
+        "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )

@@ -93,6 +93,9 @@ _PRIORITY: list[str] = [
     "q108_template_literal_chunks",
     "q109_int8_quantized_topk",
     "q110_c_preproc_definitions",
+    "q111_ruby_definitions",
+    "q112_lua_definitions",
+    "q113_kmeans_clusters",
 ]
 
 

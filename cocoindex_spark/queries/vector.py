@@ -708,3 +708,142 @@ def q109_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("qdot"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --- q113: distributed k-means over the embedding corpus — the
+#     clustering primitive LLM curation builds on (SemDeDup-style
+#     semantic dedup, stratified sampling, domain discovery). K seed
+#     centroids (the K smallest vec_ids), two Lloyd iterations, then
+#     the final assignment — all integer fixed-point (components
+#     quantized to BIGINT at 2^20; distances are exact BIGINT sums of
+#     squared diffs; centroid means use `div`, truncation-identical in
+#     both engines), so every assignment is value-exact, tie-broken by
+#     centroid id. Plan shape at 100 TB: assignment = broadcast join
+#     (K rows) + JVM expression per row; update = posexplode to
+#     (cluster, dim) and ONE partial-aggregated groupBy shuffle of
+#     64·N rows — the canonical distributed k-means; no driver state,
+#     iterations unrolled like q82's PageRank. Reference analog:
+#     entity_resolution/__init__.py:200-262 builds FAISS indexes for
+#     candidate scoping; clustering is the same scoping primitive
+#     engine-side.
+_KM_K = 8
+_KM_Q = 1048576.0  # 2^20: fp32 component → exact BIGINT
+
+
+def _km_qv_sql(col: str) -> str:
+    return (
+        f"list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE)*{_KM_Q!r}) AS BIGINT))"
+    )
+
+
+_KM_D2 = (
+    "CAST(list_sum(list_transform(range(1, len(v.qv)+1),"
+    " i -> (v.qv[i]-c.cv[i])*(v.qv[i]-c.cv[i]))) AS BIGINT)"
+)
+
+
+@register(
+    "q113_kmeans_clusters",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, {_km_qv_sql('embedding')} AS qv FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < {_KM_K}),
+a1 AS (
+  SELECT v.vec_id, v.qv, c.cid, {_KM_D2} AS d2
+  FROM v, c0 c
+),
+b1 AS (
+  SELECT vec_id, qv, cid AS c1 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) rn
+    FROM a1
+  ) WHERE rn = 1
+),
+cd AS (
+  SELECT c1, t.i AS d, SUM(qv[t.i]) AS s, COUNT(*) AS n
+  FROM b1, range(1, 65) t(i)
+  GROUP BY c1, t.i
+),
+c1v AS (SELECT c1 AS cid, list(s // n ORDER BY d) AS cv FROM cd GROUP BY c1),
+a2 AS (
+  SELECT v.vec_id, v.qv, c.cid, {_KM_D2} AS d2
+  FROM v, c1v c
+),
+b2 AS (
+  SELECT vec_id, qv, cid AS c2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) rn
+    FROM a2
+  ) WHERE rn = 1
+),
+cd2 AS (
+  SELECT c2, t.i AS d, SUM(qv[t.i]) AS s, COUNT(*) AS n
+  FROM b2, range(1, 65) t(i)
+  GROUP BY c2, t.i
+),
+c2v AS (SELECT c2 AS cid, list(s // n ORDER BY d) AS cv FROM cd2 GROUP BY c2),
+a3 AS (
+  SELECT v.vec_id, c.cid, {_KM_D2} AS d2
+  FROM v, c2v c
+)
+SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) rn
+  FROM a3
+) WHERE rn = 1
+""",
+)
+def q113_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(_KM_Q)).cast("long"),
+    )
+    v = e.select("vec_id", qv.alias("qv"))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    def assign(vecs: DataFrame, cents: DataFrame, out: str) -> DataFrame:
+        """argmin-distance assignment: broadcast K centroid rows, JVM
+        expression distance, min on (d2, cid) struct — deterministic
+        tie-break on centroid id."""
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "qv", "cid", d2(F.col("qv"), F.col("cv")).alias("d2")
+        )
+        m = scored.groupBy("vec_id", "qv").agg(
+            F.min(F.struct("d2", "cid")).alias("m")
+        )
+        return m.select("vec_id", "qv", F.col("m.cid").alias(out),
+                        F.col("m.d2").alias("d2"))
+
+    def update(assigned: DataFrame, cl: str) -> DataFrame:
+        """Centroid recompute: ONE groupBy shuffle over (cluster, dim)
+        rows with map-side partial sums; integer mean via div."""
+        dims = assigned.select(cl, F.posexplode("qv").alias("d", "val"))
+        cd = dims.groupBy(cl, "d").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        cdv = cd.select(cl, "d", F.expr("s div n").alias("cd"))
+        return cdv.groupBy(cl).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cd"))),
+                lambda s: s.getField("cd"),
+            ).alias("cv")
+        ).select(F.col(cl).alias("cid"), "cv")
+
+    c0 = v.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    b1 = assign(v, c0, "c1")
+    c1 = update(b1, "c1")
+    b2 = assign(v, c1, "c2")
+    c2 = update(b2, "c2")
+    b3 = assign(v, c2, "c3")
+    return b3.select(
+        "vec_id",
+        F.col("c3").alias("cluster"),
+        F.col("d2").alias("dist2"),
+    )

@@ -256,3 +256,173 @@ def test_php_heredoc_hides_fakes():
     assert any(t.text.startswith("<<<EOT") for t in toks)
     defs = brace_definitions(src, "php")
     assert [(d["kind"], d["name"]) for d in defs] == [("function", "real")]
+
+
+# --- keyword-block languages: Ruby and Lua (def…end / function…end) -----
+# Blocks close with `end`, so depth comes from a stack of opener
+# keywords instead of a brace counter; heredocs, %-literals, =begin
+# blocks, and Lua long brackets lex as single tokens
+# (code_match._scan_special_string), so a `def`/`function` inside them
+# can never define a region or shift the depth.
+
+RUBY = '''module Outer
+  class Greeter
+    DOC = <<~EOT
+      def fake_heredoc
+      end
+    EOT
+    WORDS = %w[def end class]
+
+    def initialize(name)
+      @name = name
+      return if name.nil?
+      x = 1 if name
+    end
+
+    private def hidden
+      [1, 2].each do |i|
+        puts i while false
+      end
+    end
+
+    def self.version = "1.0"
+
+    def name=(v)
+      @name = v
+    end
+  end
+end
+
+=begin
+def fake_block_comment
+=end
+
+s = "def fake_str"
+# def fake_line
+
+def top_level(a)
+  begin
+    a
+  rescue
+    nil
+  end
+end
+'''
+
+LUA = '''--[[ function fake_longcomment() end ]]
+local s = [[ function fake_longstring() end ]]
+-- function fake_line() end
+
+local function helper(x)
+  if x > 1 then
+    return x
+  elseif x < 0 then
+    return -x
+  else
+    return 0
+  end
+end
+
+function M.process(items)
+  for i = 1, #items do
+    while items[i] > 0 do
+      items[i] = items[i] - 1
+    end
+  end
+  local cb = function(a) return a end
+  repeat
+    x = 1
+  until true
+  return items
+end
+
+function M:method(y)
+  return y
+end
+'''
+
+
+def test_ruby_definitions_lexer_exact():
+    defs = brace_definitions(RUBY, "ruby")
+    byname = {d["name"]: d for d in defs}
+    assert set(byname) == {
+        "Outer", "Greeter", "initialize", "hidden",
+        "self.version", "name=", "top_level",
+    }
+    # no fake from heredoc / %w / =begin / string / comment
+    assert not any("fake" in n for n in byname)
+    # depth: module 0 → class 1 → methods 2; top_level back at 0 proves
+    # the modifier if/while guards never desynced the block stack
+    assert byname["Outer"]["depth"] == 0
+    assert byname["Greeter"]["depth"] == 1
+    assert byname["initialize"]["depth"] == 2
+    assert byname["top_level"]["depth"] == 0
+    # spans: full region to the matching `end`
+    assert RUBY[byname["Greeter"]["start"]:byname["Greeter"]["end"]].startswith(
+        "class Greeter"
+    )
+    assert RUBY[byname["Greeter"]["start"]:byname["Greeter"]["end"]].endswith("end")
+    # `private def` starts at the modifier
+    assert RUBY[byname["hidden"]["start"]:byname["hidden"]["end"]].startswith(
+        "private def hidden"
+    )
+    # endless def: region is its own line, no `end` consumed
+    assert RUBY[
+        byname["self.version"]["start"]:byname["self.version"]["end"]
+    ] == 'def self.version = "1.0"'
+
+
+def test_ruby_expression_position_blocks_balance():
+    src = (
+        "x = if flag\n  1\nelse\n  2\nend\n\n"
+        "y = case n\nwhen 1 then 'a'\nelse 'b'\nend\n\n"
+        "def after\n  1\nend\n"
+    )
+    defs = brace_definitions(src, "ruby")
+    assert [(d["name"], d["depth"]) for d in defs] == [("after", 0)]
+    assert src[defs[0]["start"]:defs[0]["end"]] == "def after\n  1\nend"
+
+
+def test_lua_definitions_lexer_exact():
+    defs = brace_definitions(LUA, "lua")
+    names = [d["name"] for d in defs]
+    assert names == ["helper", "M.process", "M:method"]
+    assert all(d["depth"] == 0 for d in defs)
+    # nested if/elseif/for/while/repeat and the anonymous callback all
+    # balanced: every span ends exactly at its own `end`
+    for d in defs:
+        assert LUA[d["start"]:d["end"]].endswith("end")
+    assert LUA[defs[0]["start"]:defs[0]["end"]].startswith("local function helper")
+
+
+@pytest.mark.parametrize(
+    "language,source",
+    [
+        ("ruby", "x = <<~SQL\n  def fake\nSQL\ndef real\nend\n"),
+        ("ruby", "w = %w[def fake]\ndef real\nend\n"),
+        ("ruby", "=begin\ndef fake\n=end\ndef real\nend\n"),
+        ("lua", "s = [==[ function fake() ]==]\nfunction real()\nend\n"),
+        ("lua", "--[[ function fake()\n]]\nfunction real()\nend\n"),
+    ],
+)
+def test_keyword_block_string_forms_never_define(language, source):
+    defs = brace_definitions(source, language)
+    assert [d["name"] for d in defs] == ["real"]
+
+
+def test_keyword_block_split_boundary():
+    from cocoindex_spark.operators.split import split_recursive
+
+    rb = 'def a\n  x = "def fake"\n  1\nend\n\ndef b\n  2\nend\n'
+    chunks = split_recursive(rb, chunk_size=20, language="ruby")
+    # the boundary between a and b comes from the token stream; the
+    # fake `def` inside the string is never a split point
+    starts = [c.text.split("\n")[0] for c in chunks]
+    assert "def b" in starts
+    assert not any(c.text.startswith('"def fake') for c in chunks)
+
+
+def test_definitions_dispatches_for_keyword_block_langs():
+    assert supports_definitions("ruby") and supports_definitions("lua")
+    rb = 'def real\nend\n'
+    assert [d["name"] for d in definitions(rb, "ruby")] == ["real"]
