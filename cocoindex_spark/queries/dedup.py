@@ -709,3 +709,98 @@ def q89_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- q114: SemDeDup — cluster-scoped semantic dedup (Abbas et al. 2023,
+#     "SemDeDup: Data-efficient learning at web-scale through semantic
+#     deduplication", arXiv:2303.09540). The corpus is k-means-clustered
+#     in embedding space (the q113 primitive: one Lloyd iteration from
+#     deterministic seeds, integer fixed-point so assignment is
+#     value-exact), then pairwise cosine runs ONLY within a cluster and
+#     a doc is dropped when a lower-id cluster-mate exceeds the
+#     threshold. Scale shape: pairing is an equi-join on cluster id —
+#     O(Σ cᵢ²) instead of O(n²); at 100 TB K grows with the corpus so
+#     cluster sizes stay bounded, the per-pair dot product is an Arrow
+#     batch, and the only shuffles are the assignment groupBys and the
+#     cluster equi-join. Reference analog: FAISS-scoped candidate
+#     generation in entity_resolution/__init__.py:200-262 — clustering
+#     as the candidate-scoping primitive, exact verify after.
+SEMDEDUP_COS = 0.35
+
+
+def _q114_oracle() -> str:
+    from cocoindex_spark.operators.vector_ops import sql_cosine_fixed
+    from cocoindex_spark.queries.vector import KM_ONE_ITER_CTE
+
+    cos = sql_cosine_fixed("ea.embedding", "eb.embedding")
+    return f"""
+WITH {KM_ONE_ITER_CTE},
+pairs AS (
+  SELECT x.vec_id AS a_id, y.vec_id AS b_id, x.cluster, {cos} AS sim
+  FROM kma x JOIN kma y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN embeddings ea ON ea.vec_id = x.vec_id
+  JOIN embeddings eb ON eb.vec_id = y.vec_id
+  WHERE {cos} >= {SEMDEDUP_COS}
+)
+SELECT b_id AS vec_id, cluster,
+  MIN(a_id) AS kept_by,
+  CAST(COUNT(*) AS BIGINT) AS n_dominators,
+  MAX(sim) AS max_sim
+FROM pairs GROUP BY b_id, cluster
+"""
+
+
+@register("q114_semdedup", oracle=_q114_oracle())
+def q114_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.vector_ops import (
+        cosine_from_fixed,
+        dot_fixed_arrow,
+    )
+    from cocoindex_spark.queries.vector import km_one_iter_assign
+
+    e = table(spark, sf_dir, "embeddings")
+    # One pass computes the squared norm; localCheckpoint so the
+    # clustering lineage (two broadcast-assign jobs) is not replayed
+    # once per self-join side.
+    assigned = (
+        km_one_iter_assign(spark, sf_dir)
+        .join(e, "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            "embedding",
+            dot_fixed_arrow(F.col("embedding"), F.col("embedding")).alias("sqn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        "cluster",
+        F.col("embedding").alias("a_emb"),
+        F.col("sqn").alias("a_sqn"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster").alias("b_cluster"),
+        F.col("embedding").alias("b_emb"),
+        F.col("sqn").alias("b_sqn"),
+    )
+    sim = cosine_from_fixed(
+        dot_fixed_arrow(F.col("a_emb"), F.col("b_emb")),
+        F.col("a_sqn"),
+        F.col("b_sqn"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("b_cluster"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= SEMDEDUP_COS)
+    )
+    return pairs.groupBy(F.col("b_id").alias("vec_id"), "cluster").agg(
+        F.min("a_id").alias("kept_by"),
+        F.count(F.lit(1)).alias("n_dominators"),
+        F.max("sim").alias("max_sim"),
+    )

@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     "q111_ruby_definitions",
     "q112_lua_definitions",
     "q113_kmeans_clusters",
+    "q114_semdedup",
 ]
 
 

@@ -792,58 +792,116 @@ SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
 """,
 )
 def q113_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * F.lit(_KM_Q)).cast("long"),
-    )
-    v = e.select("vec_id", qv.alias("qv"))
-
-    def d2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-
-    def assign(vecs: DataFrame, cents: DataFrame, out: str) -> DataFrame:
-        """argmin-distance assignment: broadcast K centroid rows, JVM
-        expression distance, min on (d2, cid) struct — deterministic
-        tie-break on centroid id."""
-        scored = vecs.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "qv", "cid", d2(F.col("qv"), F.col("cv")).alias("d2")
-        )
-        m = scored.groupBy("vec_id", "qv").agg(
-            F.min(F.struct("d2", "cid")).alias("m")
-        )
-        return m.select("vec_id", "qv", F.col("m.cid").alias(out),
-                        F.col("m.d2").alias("d2"))
-
-    def update(assigned: DataFrame, cl: str) -> DataFrame:
-        """Centroid recompute: ONE groupBy shuffle over (cluster, dim)
-        rows with map-side partial sums; integer mean via div."""
-        dims = assigned.select(cl, F.posexplode("qv").alias("d", "val"))
-        cd = dims.groupBy(cl, "d").agg(
-            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
-        )
-        cdv = cd.select(cl, "d", F.expr("s div n").alias("cd"))
-        return cdv.groupBy(cl).agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "cd"))),
-                lambda s: s.getField("cd"),
-            ).alias("cv")
-        ).select(F.col(cl).alias("cid"), "cv")
-
-    c0 = v.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
-    )
-    b1 = assign(v, c0, "c1")
-    c1 = update(b1, "c1")
-    b2 = assign(v, c1, "c2")
-    c2 = update(b2, "c2")
-    b3 = assign(v, c2, "c3")
+    v = km_quantized(table(spark, sf_dir, "embeddings"))
+    c0 = km_seeds(v)
+    b1 = km_assign(v, c0, "c1")
+    c1 = km_update(b1, "c1")
+    b2 = km_assign(v, c1, "c2")
+    c2 = km_update(b2, "c2")
+    b3 = km_assign(v, c2, "c3")
     return b3.select(
         "vec_id",
         F.col("c3").alias("cluster"),
         F.col("d2").alias("dist2"),
     )
+
+
+def km_quantized(e: DataFrame) -> DataFrame:
+    """(vec_id, qv) with fp32 components quantized to exact BIGINT."""
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(_KM_Q)).cast("long"),
+    )
+    return e.select("vec_id", qv.alias("qv"))
+
+
+def _km_d2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def km_assign(vecs: DataFrame, cents: DataFrame, out: str) -> DataFrame:
+    """argmin-distance assignment: broadcast K centroid rows, JVM
+    expression distance, min on (d2, cid) struct — deterministic
+    tie-break on centroid id."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qv", "cid", _km_d2(F.col("qv"), F.col("cv")).alias("d2")
+    )
+    m = scored.groupBy("vec_id", "qv").agg(
+        F.min(F.struct("d2", "cid")).alias("m")
+    )
+    return m.select("vec_id", "qv", F.col("m.cid").alias(out),
+                    F.col("m.d2").alias("d2"))
+
+
+def km_update(assigned: DataFrame, cl: str) -> DataFrame:
+    """Centroid recompute: ONE groupBy shuffle over (cluster, dim)
+    rows with map-side partial sums; integer mean via div."""
+    dims = assigned.select(cl, F.posexplode("qv").alias("d", "val"))
+    cd = dims.groupBy(cl, "d").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cdv = cd.select(cl, "d", F.expr("s div n").alias("cd"))
+    return cdv.groupBy(cl).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "cd"))),
+            lambda s: s.getField("cd"),
+        ).alias("cv")
+    ).select(F.col(cl).alias("cid"), "cv")
+
+
+def km_seeds(v: DataFrame) -> DataFrame:
+    return v.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+
+
+# Oracle CTE chain for a one-Lloyd-iteration assignment (seed → update →
+# assign), reused by consumers of the clustering primitive (q114
+# SemDeDup). Produces a relation `kma(vec_id, cluster)`.
+KM_ONE_ITER_CTE = f"""
+kmv AS (
+  SELECT vec_id, {_km_qv_sql('embedding')} AS qv FROM embeddings
+),
+kmc0 AS (SELECT vec_id AS cid, qv AS cv FROM kmv WHERE vec_id < {_KM_K}),
+kma1 AS (
+  SELECT v.vec_id, v.qv, c.cid, {_KM_D2} AS d2
+  FROM kmv v, kmc0 c
+),
+kmb1 AS (
+  SELECT vec_id, qv, cid AS c1 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) rn
+    FROM kma1
+  ) WHERE rn = 1
+),
+kmcd AS (
+  SELECT c1, t.i AS d, SUM(qv[t.i]) AS s, COUNT(*) AS n
+  FROM kmb1, range(1, 65) t(i)
+  GROUP BY c1, t.i
+),
+kmc1v AS (SELECT c1 AS cid, list(s // n ORDER BY d) AS cv FROM kmcd GROUP BY c1),
+kma2 AS (
+  SELECT v.vec_id, c.cid, {_KM_D2} AS d2
+  FROM kmv v, kmc1v c
+),
+kma AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) rn
+    FROM kma2
+  ) WHERE rn = 1
+)
+"""
+
+
+def km_one_iter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of KM_ONE_ITER_CTE: (vec_id, cluster) after one Lloyd
+    iteration from the deterministic seeds."""
+    v = km_quantized(table(spark, sf_dir, "embeddings"))
+    c0 = km_seeds(v)
+    b1 = km_assign(v, c0, "c1")
+    c1 = km_update(b1, "c1")
+    b2 = km_assign(v, c1, "c2")
+    return b2.select("vec_id", F.col("c2").alias("cluster"))
