@@ -20,7 +20,9 @@ from cocoindex_spark.operators.text_ops import (
     md5_hex,
     simhash16,
     sql_hashed_shingle_table,
+    sql_hex_to_int,
     sql_simhash16,
+    sql_words,
 )
 from cocoindex_spark.queries.registry import register, table
 
@@ -804,3 +806,142 @@ def q114_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_dominators"),
         F.max("sim").alias("max_sim"),
     )
+
+
+# --- q115: span-level exact substring dedup (Lee et al. 2022,
+#     "Deduplicating Training Data Makes Language Models Better",
+#     arXiv:2107.06499 — the ExactSubstr operator). Doc-level dedup
+#     (q30/q37) misses boilerplate buried inside otherwise-unique
+#     pages; this finds every maximal word span whose 16-gram windows
+#     all recur in some OTHER document. Shape: explode to (doc, pos,
+#     48-bit gram hash) — O(total tokens) rows on 8-byte keys; one
+#     groupBy-hash shuffle marks cross-doc grams (min≠max doc id — two
+#     partial aggs, NO count-distinct expansion); join back on hash;
+#     per-doc window merges overlapping windows into maximal spans
+#     (island detection: gap when pos jumps by more than the window).
+#     The suffix-array of the paper is a single-node construction; the
+#     shingle-join expresses the same cross-doc recurrence as shuffles
+#     that partition by hash then by doc — the 100 TB shape.
+_SPAN_W = 16
+
+
+@register(
+    "q115_dup_spans",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {sql_words('text')} AS w FROM documents),
+sh AS (
+  SELECT doc_id, i AS pos,
+    {sql_hex_to_int(f"md5(array_to_string(w[i:i+{_SPAN_W}-1], ' '))", 12)} AS h
+  FROM toks CROSS JOIN UNNEST(range(1, greatest(len(w)-{_SPAN_W}+1,0)+1)) AS t(i)
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+d AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_W} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM d)
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_W} - 1 AS span_end,
+  MAX(pos) - MIN(pos) + {_SPAN_W} AS span_words,
+  CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+""",
+)
+def q115_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.text_ops import (
+        hex_to_int,
+        kgrams,
+        md5_hex,
+        words,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = kgrams(words(F.col("text")), _SPAN_W)
+    sh = d.select(
+        "doc_id", F.posexplode(grams).alias("p0", "g")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        hex_to_int(md5_hex(F.col("g")), 12).alias("h"),
+    )
+    # Cross-doc recurrence without COUNT(DISTINCT): min≠max doc id is
+    # two map-side-combinable partial aggregates.
+    dup = (
+        sh.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    dpos = sh.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dpos.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > _SPAN_W),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("brk").over(w))
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + _SPAN_W - 1).alias("span_end"),
+        (F.max("pos") - F.min("pos") + _SPAN_W).alias("span_words"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("island")
+
+
+# --- q116: leakage-safe train/val/test split — the q59 hash split is
+#     contamination-prone: two near-duplicate documents can land in
+#     train and test, leaking evaluation content into training (the
+#     failure mode q78 detects after the fact; this op prevents it).
+#     Near-dup connected components (over the materialized q76 pair
+#     relation) are the split unit: every member hashes by the
+#     component's canonical id, so a whole dup-group moves together.
+#     Scale shape: CC runs on the verified pair list (≪ corpus; driver
+#     union-find under the cap, star contraction above), the corpus
+#     itself only takes one broadcast-mapping join + a hash expression
+#     — no extra corpus shuffle beyond the pair relation it reuses.
+@register(
+    "q116_leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE sim AS ({sql_simhash_wide(_TOKENS_SQL, "doc_id", "tok", _WIDE_BITS)}),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a)
+SELECT doc_id, component_id,
+  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, component_id,
+    {sql_hex_to_int("md5('split:' || CAST(component_id AS VARCHAR))", 8)} % 100 AS b
+  FROM comp
+)
+""",
+)
+def q116_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.entity_resolution import connected_components
+    from cocoindex_spark.operators.text_ops import hex_to_int
+
+    nodes = table(spark, sf_dir, "documents").select("doc_id")
+    edges = wide_pair_relation(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(nodes, edges, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+    key = md5_hex(F.concat(F.lit("split:"), F.col("component_id").cast("string")))
+    b = hex_to_int(key, 8) % 100
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return comp.select("doc_id", "component_id", split.alias("split"))

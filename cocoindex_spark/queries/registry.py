@@ -97,6 +97,8 @@ _PRIORITY: list[str] = [
     "q112_lua_definitions",
     "q113_kmeans_clusters",
     "q114_semdedup",
+    "q115_dup_spans",
+    "q116_leakage_safe_split",
 ]
 
 
