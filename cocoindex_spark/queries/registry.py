@@ -99,6 +99,7 @@ _PRIORITY: list[str] = [
     "q114_semdedup",
     "q115_dup_spans",
     "q116_leakage_safe_split",
+    "q117_mmr_rerank",
 ]
 
 

@@ -905,3 +905,129 @@ def km_one_iter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = km_update(b1, "c1")
     b2 = km_assign(v, c1, "c2")
     return b2.select("vec_id", F.col("c2").alias("cluster"))
+
+
+# --- q117: MMR diversity re-rank (Carbonell & Goldstein 1998 —
+#     maximal marginal relevance). The retrieval stage returns a
+#     bounded candidate set (top-20 by cosine here, the q20 shape);
+#     MMR then greedily picks k=5 items maximizing
+#     λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s), killing redundant
+#     near-duplicate hits in RAG result lists. The greedy loop is
+#     inherently sequential in k but k is a UI constant: each round is
+#     a broadcast join of the (≤k-row) selected set against the
+#     (bounded) candidate set — at 100 TB the corpus only feeds the
+#     candidate stage; MMR never touches it. All similarities are the
+#     fixed-point-integer cosine (bit-identical across engines);
+#     deterministic (score DESC, vec_id ASC) tie-break per round.
+_MMR_LAMBDA_N = 0.7
+_MMR_TOPC = 20
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    dq = sql_dot_fixed("a.embedding", "q.embedding")
+    dcs = sql_dot_fixed("c.embedding", "s.embedding")
+    ctes = [
+        f"""eb AS (
+  SELECT vec_id, embedding, {sql_dot_fixed('embedding', 'embedding')} AS sqn
+  FROM embeddings
+)""",
+        "qv AS (SELECT * FROM eb WHERE vec_id = 0)",
+        f"""c0 AS (
+  SELECT a.vec_id, a.embedding, a.sqn,
+    CAST({dq} AS DOUBLE) / sqrt(CAST(a.sqn AS DOUBLE) * CAST(q.sqn AS DOUBLE)) AS rel
+  FROM eb a, qv q WHERE a.vec_id <> 0
+)""",
+        f"""cand AS (
+  SELECT * FROM c0
+  QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id ASC) <= {_MMR_TOPC}
+)""",
+        """s1 AS (
+  SELECT vec_id, embedding, sqn, rel FROM cand
+  QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id ASC) = 1
+)""",
+    ]
+    sel_union = "SELECT * FROM s1"
+    for r in range(2, _MMR_K + 1):
+        ctes.append(f"""sel{r - 1} AS ({sel_union})""")
+        ctes.append(f"""p{r} AS (
+  SELECT c.vec_id,
+    MAX(CAST({dcs} AS DOUBLE) / sqrt(CAST(c.sqn AS DOUBLE) * CAST(s.sqn AS DOUBLE))) AS pen
+  FROM cand c, sel{r - 1} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+  GROUP BY c.vec_id
+)""")
+        ctes.append(f"""s{r} AS (
+  SELECT cand.vec_id, cand.embedding, cand.sqn, cand.rel
+  FROM cand JOIN p{r} USING (vec_id)
+  QUALIFY row_number() OVER (
+    ORDER BY {_MMR_LAMBDA_N}*cand.rel - {1 - _MMR_LAMBDA_N:.1f}*p{r}.pen DESC,
+             cand.vec_id ASC) = 1
+)""")
+        sel_union += f" UNION ALL SELECT * FROM s{r}"
+    picks = " UNION ALL ".join(
+        f"SELECT {r} AS sel_rank, vec_id, rel FROM s{r}" for r in range(1, _MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + picks
+
+
+@register("q117_mmr_rerank", oracle=_mmr_oracle())
+def q117_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sqnorm_fixed(F.col("embedding")).alias("sqn")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("sqn").alias("q_sqn")
+    )
+    rel = cosine_from_fixed(
+        dot_fixed(F.col("embedding"), F.col("q_emb")), F.col("sqn"), F.col("q_sqn")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", "sqn", rel.alias("rel"))
+    )
+    w = Window.orderBy(F.desc("rel"), F.asc("vec_id"))
+    # The unpartitioned window ranks only to cut the top candidate set;
+    # at scale this stage is the q20 top-k (rank via a per-partition
+    # top-k + merge), never a full sort of the corpus.
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_TOPC)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    sel = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
+    picks = [sel.select(F.lit(1).alias("sel_rank"), "vec_id", "rel")]
+    lam, mu = _MMR_LAMBDA_N, round(1 - _MMR_LAMBDA_N, 1)
+    for r in range(2, _MMR_K + 1):
+        s = sel.select(
+            F.col("vec_id").alias("s_id"),
+            F.col("embedding").alias("s_emb"),
+            F.col("sqn").alias("s_sqn"),
+        )
+        rem = cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+        sim = cosine_from_fixed(
+            dot_fixed(F.col("embedding"), F.col("s_emb")),
+            F.col("sqn"),
+            F.col("s_sqn"),
+        )
+        pen = (
+            rem.crossJoin(F.broadcast(s))
+            .select("vec_id", sim.alias("sim"))
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("pen"))
+        )
+        nxt = (
+            cand.join(pen, "vec_id")
+            .withColumn("score", F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("pen"))
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "embedding", "sqn", "rel")
+        )
+        picks.append(nxt.select(F.lit(r).alias("sel_rank"), "vec_id", "rel"))
+        sel = sel.select("vec_id", "embedding", "sqn", "rel").unionAll(nxt)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out
