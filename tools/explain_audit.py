@@ -340,6 +340,41 @@ CHECKS = {
         [r"ArrowEvalPython", r"Generate"],
         [r"Exchange", r"CartesianProduct"],
     ),
+    "q113_kmeans_clusters": (
+        # assignment = K-row centroid broadcast (BNLJ intended: the
+        # centroid side is K rows); update = partial-aggregated hash
+        # shuffle on (cluster, dim); no Python worker anywhere
+        [r"BroadcastNestedLoopJoin", r"HashAggregate"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q114_semdedup": (
+        # pairwise cosine runs ONLY within a cluster: the self-join
+        # must be a hash/sort equi-join on cluster id, dot products
+        # Arrow-batched, never a cross product of the corpus
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [r"CartesianProduct"],
+    ),
+    "q115_dup_spans": (
+        # gram-hash explode → one hash shuffle for the cross-doc test
+        # (min/max partial aggs, no count-distinct expand) → equi-join
+        # back → per-doc window island merge; all JVM expressions
+        [r"Generate", r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Expand",
+         r"BatchEvalPython"],
+    ),
+    "q116_leakage_safe_split": (
+        # the corpus side takes ONE mapping join (component labels,
+        # broadcast-sized after CC over the verified pair list) + a
+        # hash expression; no corpus self-join here
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [r"CartesianProduct"],
+    ),
+    "q117_mmr_rerank": (
+        # every MMR round is a ≤k-row broadcast against the bounded
+        # candidate set; per-round pick is a TakeOrdered top-1
+        [r"TakeOrderedAndProject"],
+        [r"CartesianProduct"],
+    ),
 }
 
 # Node-count ceilings: (node regex, max occurrences in the plan).
