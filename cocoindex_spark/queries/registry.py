@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "q115_dup_spans",
     "q116_leakage_safe_split",
     "q117_mmr_rerank",
+    "q118_ivf_kmeans_topk",
 ]
 
 

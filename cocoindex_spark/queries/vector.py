@@ -896,15 +896,22 @@ kma AS (
 """
 
 
-def km_one_iter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of KM_ONE_ITER_CTE: (vec_id, cluster) after one Lloyd
-    iteration from the deterministic seeds."""
+def km_one_iter_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of KM_ONE_ITER_CTE: the trained coarse quantizer —
+    ((vec_id, cluster) assignments, (cid, cv) centroids) after one
+    Lloyd iteration from the deterministic seeds."""
     v = km_quantized(table(spark, sf_dir, "embeddings"))
     c0 = km_seeds(v)
     b1 = km_assign(v, c0, "c1")
     c1 = km_update(b1, "c1")
     b2 = km_assign(v, c1, "c2")
-    return b2.select("vec_id", F.col("c2").alias("cluster"))
+    return b2.select("vec_id", F.col("c2").alias("cluster")), c1
+
+
+def km_one_iter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return km_one_iter_model(spark, sf_dir)[0]
 
 
 # --- q117: MMR diversity re-rank (Carbonell & Goldstein 1998 —
@@ -1031,3 +1038,90 @@ def q117_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionAll(p)
     return out
+
+
+# --- q118: IVF-Flat top-k with a TRAINED coarse quantizer. q25's IVF
+#     uses supervised label cells; real IVF (FAISS IndexIVFFlat — the
+#     index the reference builds per entity group,
+#     entity_resolution/__init__.py:200-262) trains unsupervised
+#     centroids. Cells here are the k-means primitive's one-Lloyd-
+#     iteration clusters (integer fixed-point, value-exact); each query
+#     probes its nprobe=2 nearest cells by the same integer distance,
+#     then re-ranks exactly inside the probed cells only. Scale shape:
+#     probe = K-row broadcast, candidates = equi-join on cell id
+#     (shuffle on cluster), re-rank candidate-scoped — recall grows via
+#     nprobe, never a corpus scan.
+_IVFK_NPROBE = 2
+_IVFK_TOPK = 10
+_IVFK_NQ = 5
+
+
+@register(
+    "q118_ivf_kmeans_topk",
+    oracle=f"""
+WITH {KM_ONE_ITER_CTE},
+qs AS (
+  SELECT vec_id AS qid, qv, embedding AS q_emb FROM (
+    SELECT e.vec_id, v.qv, e.embedding FROM embeddings e JOIN kmv v USING (vec_id)
+  ) WHERE vec_id < {_IVFK_NQ}
+),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        CAST(list_sum(list_transform(range(1, len(q.qv)+1),
+          i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) AS BIGINT) ASC, c.cid ASC) AS rn
+    FROM qs q, kmc1v c
+  ) WHERE rn <= {_IVFK_NPROBE}
+),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM probe p JOIN kma a ON a.cluster = p.cid
+  WHERE a.vec_id <> p.qid
+)
+SELECT qid, vec_id, rk FROM (
+  SELECT c.qid, c.vec_id,
+    row_number() OVER (PARTITION BY c.qid ORDER BY
+      {sql_cosine_fixed("e.embedding", "q.q_emb")} DESC, c.vec_id ASC) AS rk
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN qs q ON q.qid = c.qid
+) WHERE rk <= {_IVFK_TOPK}
+""",
+)
+def q118_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    assign, cents = km_one_iter_model(spark, sf_dir)
+    v = km_quantized(e)
+    qs = (
+        v.filter(F.col("vec_id") < _IVFK_NQ)
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("qv").alias("q_qv"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    # nprobe nearest cells per query: K-row centroid broadcast, same
+    # integer distance as training — the assignment function IS the
+    # probe function.
+    d2 = _km_d2(F.col("q_qv"), F.col("cv"))
+    wq = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cid"))
+    probe = (
+        qs.crossJoin(F.broadcast(cents))
+        .select("qid", "q_emb", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVFK_NPROBE)
+        .select("qid", "q_emb", F.col("cid").alias("cluster"))
+    )
+    cand = probe.join(assign, "cluster").filter(F.col("vec_id") != F.col("qid"))
+    withv = cand.join(
+        e.select("vec_id", F.col("embedding").alias("c_emb")), "vec_id"
+    )
+    sim = cosine_fixed(F.col("c_emb"), F.col("q_emb"))
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        withv.select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _IVFK_TOPK)
+        .select("qid", "vec_id", "rk")
+    )
