@@ -481,3 +481,103 @@ def q88_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- q119: importance-weighted data selection (DSIR — Xie et al. 2023,
+#     arXiv:2302.03169, restated with unigram features). Given a target
+#     domain (here: the src0 subset), every document scores by how much
+#     its tokens look drawn from the target vs the whole corpus:
+#     per-token integer odds ratio
+#       w(t) = ((ct+1)·(Nc+V)·2^20) div ((cc+1)·(Nt+V))
+#     (add-1 smoothed, transcendental-free like q101's idf — BIGINT-
+#     exact in both engines; log-space scoring would hit libm ulp
+#     skew), summed over the doc's tokens and length-normalized; the
+#     top-50 most target-like docs are selected. Scale shape: two
+#     token-count hash aggs (one corpus pass), a vocab-sized weight
+#     table equi-joined to the exploded corpus (shuffle on tok — the
+#     weight table alone may broadcast when it fits), one per-doc agg,
+#     bounded top-k. No floats until the output ratio.
+_DSIR_SCALE = 1 << 20
+_DSIR_TARGET = "src0"
+_DSIR_TOPN = 50
+
+
+@register(
+    "q119_importance_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, UNNEST(string_split(trim(text), ' ')) AS tok
+  FROM documents
+),
+cc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_all FROM toks GROUP BY tok),
+ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_tgt FROM toks
+       WHERE source = '{_DSIR_TARGET}' GROUP BY tok),
+tot AS (
+  SELECT CAST(SUM(c_all) AS BIGINT) AS nc,
+         CAST(COUNT(*) AS BIGINT) AS v,
+         (SELECT CAST(COALESCE(SUM(c_tgt), 0) AS BIGINT) FROM ct) AS nt
+  FROM cc
+),
+w AS (
+  SELECT cc.tok,
+    ((COALESCE(ct.c_tgt, 0) + 1) * (tot.nc + tot.v) * {_DSIR_SCALE})
+      // ((cc.c_all + 1) * (tot.nt + tot.v)) AS wt
+  FROM cc LEFT JOIN ct USING (tok), tot
+),
+ds AS (
+  SELECT t.doc_id, t.source,
+    CAST(COUNT(*) AS BIGINT) AS n_tok,
+    CAST(SUM(w.wt) AS BIGINT) AS score
+  FROM toks t JOIN w USING (tok)
+  GROUP BY t.doc_id, t.source
+)
+SELECT doc_id, source, n_tok, score, score // n_tok AS avg_w
+FROM ds
+QUALIFY row_number() OVER (ORDER BY score // n_tok DESC, doc_id ASC) <= {_DSIR_TOPN}
+""",
+)
+def q119_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    )
+    cc = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c_all"))
+    ct = (
+        toks.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_tgt"))
+    )
+    tot = cc.agg(
+        F.sum("c_all").cast("long").alias("nc"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    ).crossJoin(
+        F.broadcast(
+            ct.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).cast("long").alias("nt"))
+        )
+    )
+    w = (
+        cc.join(ct, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.expr(
+                f"((COALESCE(c_tgt, 0) + 1) * (nc + v) * {_DSIR_SCALE})"
+                f" div ((c_all + 1) * (nt + v))"
+            ).alias("wt"),
+        )
+    )
+    ds = (
+        toks.join(w, "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("wt").cast("long").alias("score"),
+        )
+        .withColumn("avg_w", F.expr("score div n_tok"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("avg_w"), F.asc("doc_id")))
+    # the global window ranks the per-doc AGGREGATE (one row per doc,
+    # already reduced); at 100 TB this is the standard top-k-of-agg cut
+    return ds.withColumn("rn", rk).filter(F.col("rn") <= _DSIR_TOPN).drop("rn")

@@ -101,6 +101,7 @@ _PRIORITY: list[str] = [
     "q116_leakage_safe_split",
     "q117_mmr_rerank",
     "q118_ivf_kmeans_topk",
+    "q119_importance_weights",
 ]
 
 
