@@ -122,6 +122,21 @@ HEADLINE = [
     "q102_hll_distinct",
     "q103_countmin_heavy_hitters",
     "q104_bfs_reachability",
+    "q105_bloom_prefilter_join",
+    "q106_hll_overlap_matrix",
+    "q107_hist_quantiles",
+    "q108_template_literal_chunks",
+    "q109_int8_quantized_topk",
+    "q110_c_preproc_definitions",
+    "q111_ruby_definitions",
+    "q112_lua_definitions",
+    "q113_kmeans_clusters",
+    "q114_semdedup",
+    "q115_dup_spans",
+    "q116_leakage_safe_split",
+    "q117_mmr_rerank",
+    "q118_ivf_kmeans_topk",
+    "q119_importance_weights",
 ]
 
 

@@ -79,14 +79,18 @@ def md5_hex(col: Column) -> Column:
 def hex_to_int(col: Column, n_chars: int) -> Column:
     """Parse the first n hex chars of a lowercase hex string → BIGINT.
 
-    Uses only instr arithmetic so the DuckDB twin (strpos) is
-    value-identical.
+    ``conv(hex, 16, 10)`` — ONE evaluation of ``col``. The previous
+    per-digit instr polynomial inlined ``col`` n_chars times, so a
+    ``hex_to_int(md5(...), 12)`` evaluated the md5 twelve times per
+    row (and the polynomial re-appeared verbatim in join keys and
+    filters — q105's fact-side probe paid ~24 md5s/row). Values are
+    identical: every call site passes an md5 hex string (≥ n_chars,
+    lowercase), where base-16 digit folding and conv agree exactly and
+    48 bits fit BIGINT. The DuckDB twin keeps the strpos spelling
+    (no conv there) — cross-engine equality is pinned by the full
+    oracle gate and tests/test_cross_engine.py.
     """
-    total = F.lit(0).cast("long")
-    for i in range(n_chars):
-        digit = F.instr(F.lit(HEX), F.substring(col, i + 1, 1)) - 1
-        total = total * 16 + digit.cast("long")
-    return total
+    return F.conv(F.substring(col, 1, n_chars), 16, 10).cast("long")
 
 
 def sql_hex_to_int(expr: str, n_chars: int) -> str:
