@@ -281,6 +281,41 @@ def hashed_shingles_arrow(text_col: str, k: int = 3) -> Column:
     return F.pandas_udf(ArrayType(LongType()))(_hash)(grams)
 
 
+def positional_window_hashes_arrow(text_col: str, k: int) -> Column:
+    """Every word k-gram window as (pos, h) structs — 1-based word
+    position, 48-bit md5-prefix hash. Arrow batch that builds the
+    windows in ONE pass over the token list; the expression-chain
+    alternative (``kgrams`` at k=16 = 15 stacked zip_with passes, each
+    re-shuffling the interpreter) measured ~5× slower on q115's span
+    sweep. Tokenization mirrors ``words()`` (trim + single-space
+    split); Python's md5 and the engines' agree, so the SQL twin stays
+    the strpos/array_to_string spelling."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    schema = ArrayType(
+        StructType([StructField("pos", LongType()), StructField("h", LongType())])
+    )
+
+    def _win(s):
+        out = []
+        for txt in s:
+            toks = txt.strip().split(" ") if txt is not None else []
+            row = []
+            join = " ".join
+            md5 = hashlib.md5
+            for i in range(len(toks) - k + 1):
+                g = join(toks[i : i + k])
+                row.append((i + 1, int(md5(g.encode()).hexdigest()[:12], 16)))
+            out.append(row)
+        return pd.Series(out)
+
+    _win.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(schema)(_win)(F.col(text_col))
+
+
 def sql_stem_lite(t: str) -> str:
     """Light suffix stemmer (plural/participle stripping with length
     guards — a deliberately rule-tiny Porter cousin) as a CASE chain in

@@ -850,21 +850,18 @@ FROM isl GROUP BY doc_id, island
 """,
 )
 def q115_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cocoindex_spark.operators.text_ops import (
-        hex_to_int,
-        kgrams,
-        md5_hex,
-        words,
-    )
+    from cocoindex_spark.operators.text_ops import positional_window_hashes_arrow
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = kgrams(words(F.col("text")), _SPAN_W)
-    sh = d.select(
-        "doc_id", F.posexplode(grams).alias("p0", "g")
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).cast("long").alias("pos"),
-        hex_to_int(md5_hex(F.col("g")), 12).alias("h"),
+    # localCheckpoint: the window table feeds the cross-doc agg AND the
+    # join back — materialize the Arrow pass once, not per branch.
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(positional_window_hashes_arrow("text", _SPAN_W)).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+        .localCheckpoint(eager=True)
     )
     # Cross-doc recurrence without COUNT(DISTINCT): min≠max doc id is
     # two map-side-combinable partial aggregates.

@@ -355,10 +355,12 @@ CHECKS = {
         [r"CartesianProduct"],
     ),
     "q115_dup_spans": (
-        # gram-hash explode → one hash shuffle for the cross-doc test
-        # (min/max partial aggs, no count-distinct expand) → equi-join
-        # back → per-doc window island merge; all JVM expressions
-        [r"Generate", r"HashAggregate", r"Window"],
+        # window table (Arrow pass + explode) is localCheckpointed, so
+        # the registered plan starts at the checkpoint scan; what must
+        # remain: one hash shuffle for the cross-doc test (min/max
+        # partial aggs, no count-distinct Expand) → equi-join back →
+        # per-doc window island merge, no row-wise Python
+        [r"HashAggregate", r"Window"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Expand",
          r"BatchEvalPython"],
     ),
