@@ -137,6 +137,7 @@ HEADLINE = [
     "q117_mmr_rerank",
     "q118_ivf_kmeans_topk",
     "q119_importance_weights",
+    "q120_decontaminated_corpus",
 ]
 
 

@@ -581,3 +581,55 @@ def q119_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the global window ranks the per-doc AGGREGATE (one row per doc,
     # already reduced); at 100 TB this is the standard top-k-of-agg cut
     return ds.withColumn("rn", rk).filter(F.col("rn") <= _DSIR_TOPN).drop("rn")
+
+
+# --- q120: decontaminated-corpus selection — q78 DETECTS eval
+#     contamination; this is the training-side consequence: drop every
+#     train doc sharing any 3-gram with the benchmark subset and
+#     report the surviving corpus per source (the number a curation
+#     run actually ships). Scale shape: the contaminated-id set is a
+#     hashed-shingle equi-join (benchmark side is corpus-fraction-
+#     sized → broadcasts or bucket-prunes), the drop is ONE left-anti
+#     join on doc_id, and the rollup one groupBy — the corpus is never
+#     compared against itself.
+@register(
+    "q120_decontaminated_corpus",
+    oracle=f"""
+WITH sh AS ({_sql_shingles("documents", "doc_id", "text", 3)}),
+b AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+bad AS (SELECT DISTINCT t.doc_id FROM sh t JOIN b ON t.g = b.g
+        WHERE t.doc_id % 97 <> 0),
+train AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+  CAST(COUNT(*) FILTER (WHERE bad.doc_id IS NULL) AS BIGINT) AS n_clean_docs,
+  CAST(COUNT(*) FILTER (WHERE bad.doc_id IS NOT NULL) AS BIGINT) AS n_dropped
+FROM train LEFT JOIN bad USING (doc_id)
+GROUP BY source
+""",
+)
+def q120_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles("text", 3)).alias("g"))
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    bad = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__bad", F.lit(1))
+    )
+    train = d.filter(F.col("doc_id") % 97 != 0).select("doc_id", "source")
+    return (
+        train.join(bad, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("__bad"), F.lit(0))))
+            .cast("long")
+            .alias("n_clean_docs"),
+            F.sum(F.coalesce(F.col("__bad"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

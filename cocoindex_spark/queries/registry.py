@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "q117_mmr_rerank",
     "q118_ivf_kmeans_topk",
     "q119_importance_weights",
+    "q120_decontaminated_corpus",
 ]
 
 
