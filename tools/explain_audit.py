@@ -377,6 +377,25 @@ CHECKS = {
         [r"TakeOrderedAndProject"],
         [r"CartesianProduct"],
     ),
+    "q118_ivf_kmeans_topk": (
+        # candidates = equi-join on cell id (hash join), probe = K-row
+        # broadcast; never a corpus cross product
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [r"CartesianProduct"],
+    ),
+    "q119_importance_weights": (
+        # two token-count hash aggs + vocab equi-join + bounded top-k;
+        # integer odds ratios are JVM expressions (the BNLJ in the plan
+        # is the intended 1-row totals broadcast, like q81)
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q120_decontaminated_corpus": (
+        # contaminated ids via shingle equi-join (LeftSemi), drop via a
+        # keyed join, one rollup — the corpus never self-crosses
+        [r"LeftSemi", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"BatchEvalPython"],
+    ),
 }
 
 # Node-count ceilings: (node regex, max occurrences in the plan).
