@@ -103,6 +103,7 @@ _PRIORITY: list[str] = [
     "q118_ivf_kmeans_topk",
     "q119_importance_weights",
     "q120_decontaminated_corpus",
+    "q121_rate_anomaly",
 ]
 
 

@@ -468,3 +468,61 @@ def q94_weekday_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weekday",
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
     )
+
+
+# --- q121: rate-anomaly detection — flag (event_type, day) buckets
+#     whose event count deviates from the type's long-run mean by more
+#     than 2 standard deviations. The monitoring op every event
+#     pipeline runs; here in the exact integer formulation: with S=Σc,
+#     S2=Σc², D=#days per type,   (c·D − S)² > 4·(D·S2 − S²)
+#     is (c−mean)² > (2σ)² cleared of divisions — pure BIGINT both
+#     engines (no float mean/stddev, no libm). Days with zero events
+#     don't form rows and are deliberately out of the baseline. Scale:
+#     one (type, day) hash agg over the stream, one O(#types) stats
+#     agg joined back — never a second corpus pass.
+@register(
+    "q121_rate_anomaly",
+    oracle="""
+WITH cnt AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS d,
+    CAST(SUM(n) AS BIGINT) AS s,
+    CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM cnt GROUP BY event_type
+)
+SELECT c.event_type, c.day, c.n,
+  (c.n * st.d - st.s) * (c.n * st.d - st.s) AS dev2,
+  4 * (st.d * st.s2 - st.s * st.s) AS var4,
+  CASE WHEN c.n * st.d > st.s THEN 'spike' ELSE 'dip' END AS direction
+FROM cnt c JOIN st USING (event_type)
+WHERE (c.n * st.d - st.s) * (c.n * st.d - st.s) > 4 * (st.d * st.s2 - st.s * st.s)
+""",
+)
+def q121_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cnt = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    st = cnt.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    dev = F.col("n") * F.col("d") - F.col("s")
+    var4 = F.lit(4) * (F.col("d") * F.col("s2") - F.col("s") * F.col("s"))
+    return (
+        cnt.join(st, "event_type")
+        .filter((dev * dev) > var4)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            (dev * dev).alias("dev2"),
+            var4.alias("var4"),
+            F.when(dev > 0, "spike").otherwise("dip").alias("direction"),
+        )
+    )
