@@ -139,6 +139,7 @@ HEADLINE = [
     "q119_importance_weights",
     "q120_decontaminated_corpus",
     "q121_rate_anomaly",
+    "q122_julia_definitions",
 ]
 
 

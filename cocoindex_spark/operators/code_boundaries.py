@@ -175,10 +175,13 @@ _TRAILERS = {"const", "noexcept", "override", "final"}
 _KB_DEF_KINDS: dict[str, dict[str, str]] = {
     "ruby": {"def": "function", "class": "class", "module": "module"},
     "lua": {"function": "function"},
+    "julia": {"function": "function", "macro": "macro", "struct": "struct",
+              "module": "module", "baremodule": "module"},
 }
 _KB_MODIFIERS: dict[str, set[str]] = {
     "ruby": {"private", "public", "protected", "module_function"},
     "lua": {"local"},
+    "julia": {"mutable"},
 }
 # Ruby keywords that always open an end-terminated block when they
 # start a statement.
@@ -287,9 +290,72 @@ def _kb_walk(text: str, language: str):
                  "end": end_off, "depth": len(stack)}
             )
 
+    bracket_depth = 0  # julia: `a[end]` indexing must not close a block
     i = 0
     while i < n_toks:
         t = toks[i].text
+        if language == "julia":
+            if t == "[":
+                bracket_depth += 1
+            elif t == "]":
+                bracket_depth = max(0, bracket_depth - 1)
+            elif t == "end":
+                if bracket_depth == 0:
+                    close(toks[i].end)
+            elif t in kinds:
+                start = statement_start(i)
+                if start is None:
+                    # expression-position `function` (anonymous) still
+                    # opens a depth frame; other kinds only define in
+                    # statement position
+                    stack.append((None, None, toks[i].start))
+                else:
+                    name, _ = dotted_name(i)
+                    stack.append(
+                        (kinds[t], name, start) if name else (None, None, start)
+                    )
+            elif (
+                t in ("abstract", "primitive")
+                and i + 1 < n_toks
+                and toks[i + 1].text == "type"
+            ):
+                # `abstract type Foo end` / `primitive type F 32 end`
+                start = statement_start(i)
+                name, _ = dotted_name(i + 1)
+                stack.append(
+                    ("type", name, start)
+                    if start is not None and name
+                    else (None, None, toks[i].start)
+                )
+                i += 2
+                continue
+            elif t in ("if", "for", "while", "try", "let", "begin", "quote", "do"):
+                # comprehension generators (`[x for x in y]`) carry no
+                # `end` — inside brackets these open nothing
+                if bracket_depth == 0:
+                    stack.append((None, None, toks[i].start))
+            elif (
+                first_on_line(i)
+                and (t[0].isalpha() or t[0] == "_")
+                and i + 1 < n_toks
+                and toks[i + 1].text == "("
+            ):
+                # short-form def `f(x) = x + 1`: balanced arg list then
+                # a bare `=` (== lexes as one token, so no confusion)
+                k, bal = i + 2, 1
+                while k < n_toks and bal:
+                    if toks[k].text == "(":
+                        bal += 1
+                    elif toks[k].text == ")":
+                        bal -= 1
+                    k += 1
+                if k < n_toks and toks[k].text == "=" and len(stack) <= _KB_MAX_DEPTH:
+                    out.append(
+                        {"kind": "function", "name": t, "start": toks[i].start,
+                         "end": line_end_of(toks[k].start), "depth": len(stack)}
+                    )
+            i += 1
+            continue
         if language == "ruby":
             if t == "end":
                 close(toks[i].end)

@@ -53,7 +53,7 @@ _CLOSERS = {v: k for k, v in _OPENERS.items()}
 # Comment syntax by language family (skipped during tokenization).
 _LINE_COMMENT = {
     "python": "#", "ruby": "#", "bash": "#", "yaml": "#", "toml": "#",
-    "elixir": "#", "perl": "#", "r": "#",
+    "elixir": "#", "perl": "#", "r": "#", "julia": "#",
     "sql": "--", "haskell": "--", "elm": "--", "lua": "--",
 }
 _C_FAMILY = {
@@ -68,7 +68,7 @@ _C_FAMILY = {
 # keywords and stray braces the lexer exists to drop (tree-sitter
 # reference: rust/code_ast scans these as single string nodes).
 _TEMPLATE_LANGS = {"javascript", "typescript", "tsx"}
-_TRIPLE_QUOTE_LANGS = {"java", "kotlin", "scala", "swift", "dart", "c_sharp"}
+_TRIPLE_QUOTE_LANGS = {"java", "kotlin", "scala", "swift", "dart", "c_sharp", "julia"}
 _RUST_RAW = re.compile(r'(?:b?r)(#*)"')
 _CPP_RAW = re.compile(r'(?:u8|[uUL])?R"([^()\\\s]{0,16})\(')
 
@@ -224,7 +224,8 @@ def _scan_special_string(text: str, i: int, language: str) -> int | None:
     lex as an empty string + a dangling quote)."""
     n = len(text)
     ch = text[i]
-    if language == "go" and ch == "`":  # raw string: no escapes, multiline
+    if language in ("go", "julia") and ch == "`":
+        # go raw string / julia command literal: multiline, no escapes
         j = text.find("`", i + 1)
         return n if j < 0 else j + 1
     if language in _TEMPLATE_LANGS and ch == "`":
@@ -313,6 +314,22 @@ def tokenize(text: str, language: str = "text") -> list[Tok]:
                 j = text.find("\n", i)
                 end = n if j < 0 else j + 1
             i = end
+            continue
+        if language == "julia" and text.startswith("#=", i):
+            # #= … =# block comment, NESTED (the tree-sitter grammar
+            # nests these; a `=#` inside an inner comment must not
+            # close the outer one)
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if text.startswith("#=", j):
+                    depth += 1
+                    j += 2
+                elif text.startswith("=#", j):
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            i = j
             continue
         if (
             language == "ruby"

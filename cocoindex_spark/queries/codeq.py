@@ -655,3 +655,80 @@ def q112_lua_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("def_start").cast("long").alias("def_start"),
         F.col("def_end").cast("long").alias("def_end"),
     )
+
+
+# --- q122: lexer-exact definitions for Julia — end-terminated blocks
+#     over the same comment/string-exact token stream (keyword_block
+#     machinery): triple-quoted strings, NESTED #= =# block comments,
+#     and backtick command literals each lex as ONE token so a
+#     `function` inside them never defines; `x[end]` indexing and
+#     bracket-comprehension `for` never desync the block stack;
+#     `mutable struct` starts at its modifier; short-form
+#     `f(x) = expr` defs span exactly their line. Reference:
+#     tree-sitter julia region table, rust/code_ast/src/view/lang.rs.
+@register(
+    "q122_julia_definitions",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+    CAST(doc_id AS VARCHAR) AS sid,
+    'module Api' || CAST(doc_id AS VARCHAR) || chr(10) ||
+    'DOC = ' || repeat(chr(34), 3) || chr(10) ||
+    'function fake_triple' || chr(10) ||
+    repeat(chr(34), 3) || chr(10) ||
+    '# function fake_line' || chr(10) AS head,
+    'function get' || CAST(doc_id AS VARCHAR) || '(x)' || chr(10) ||
+    '    y = x[end]' || chr(10) ||
+    '    s = "function fake_str"' || chr(10) ||
+    'end' || chr(10) AS fn,
+    'mutable struct Point' || CAST(doc_id AS VARCHAR) || chr(10) ||
+    '    x::Int' || chr(10) ||
+    'end' || chr(10) AS st,
+    'end' || chr(10) AS tail,
+    'short' || CAST(doc_id AS VARCHAR) || '(x) = x + 1' || chr(10) AS p2
+  FROM documents
+)
+SELECT doc_id, 'module' AS def_kind, 'Api' || sid AS def_name,
+       CAST(0 AS BIGINT) AS def_start,
+       CAST(strlen(head) + strlen(fn) + strlen(st) + strlen(tail) - 1 AS BIGINT) AS def_end
+FROM src
+UNION ALL
+SELECT doc_id, 'function', 'get' || sid,
+       CAST(strlen(head) AS BIGINT),
+       CAST(strlen(head) + strlen(fn) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'struct', 'Point' || sid,
+       CAST(strlen(head) + strlen(fn) AS BIGINT),
+       CAST(strlen(head) + strlen(fn) + strlen(st) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'function', 'short' || sid,
+       CAST(strlen(head) + strlen(fn) + strlen(st) + strlen(tail) AS BIGINT),
+       CAST(strlen(head) + strlen(fn) + strlen(st) + strlen(tail) + strlen(p2) - 1 AS BIGINT)
+FROM src
+""",
+)
+def q122_julia_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("module Api"), sid,
+        F.lit('\nDOC = """\nfunction fake_triple\n"""\n# function fake_line\n'),
+        F.lit("function get"), sid,
+        F.lit('(x)\n    y = x[end]\n    s = "function fake_str"\nend\n'),
+        F.lit("mutable struct Point"), sid,
+        F.lit("\n    x::Int\nend\n"),
+        F.lit("end\n"),
+        F.lit("short"), sid, F.lit("(x) = x + 1\n"),
+    )
+    defs = definitions_df(d.withColumn("code", code), "code", "julia")
+    return defs.select(
+        "doc_id",
+        "def_kind",
+        "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )

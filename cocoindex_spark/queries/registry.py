@@ -104,6 +104,7 @@ _PRIORITY: list[str] = [
     "q119_importance_weights",
     "q120_decontaminated_corpus",
     "q121_rate_anomaly",
+    "q122_julia_definitions",
 ]
 
 

@@ -426,3 +426,60 @@ def test_definitions_dispatches_for_keyword_block_langs():
     assert supports_definitions("ruby") and supports_definitions("lua")
     rb = 'def real\nend\n'
     assert [d["name"] for d in definitions(rb, "ruby")] == ["real"]
+
+
+JULIA = """module Api
+DOC = \"\"\"
+function fake_triple
+\"\"\"
+# function fake_line
+#= function fake_block #= nested =# =#
+function get(x)
+    s = "function fake_str"
+    y = x[end]
+    t = [i for i in 1:x]
+    if x > 1
+        s = `function fake_cmd`
+    end
+    return s
+end
+mutable struct Point
+    x::Int
+end
+abstract type Shape end
+end
+short(x) = x + 1
+"""
+
+
+def test_julia_definitions_lexer_exact():
+    defs = brace_definitions(JULIA, "julia")
+    by = {d["name"]: d for d in defs}
+    assert set(by) == {"Api", "get", "Point", "Shape", "short"}
+    assert by["Api"]["kind"] == "module" and by["Api"]["depth"] == 0
+    assert by["get"]["kind"] == "function" and by["get"]["depth"] == 1
+    assert by["Point"]["kind"] == "struct"
+    assert JULIA[by["Point"]["start"]:by["Point"]["end"]].startswith(
+        "mutable struct Point"
+    )
+    assert by["Shape"]["kind"] == "type"
+    # `x[end]` indexing and the bracket comprehension `for` must not
+    # desync the block stack: get's region closes at ITS `end`
+    assert JULIA[by["get"]["start"]:by["get"]["end"]].endswith("return s\nend")
+    # short-form def spans exactly its line
+    assert JULIA[by["short"]["start"]:by["short"]["end"]] == "short(x) = x + 1"
+
+
+@pytest.mark.parametrize(
+    "source",
+    [
+        's = """\nfunction fake\n"""\nfunction real(x)\nend\n',
+        "#= function fake =#\nfunction real(x)\nend\n",
+        "#= outer #= function fake =# still =#\nfunction real(x)\nend\n",
+        "c = `function fake`\nfunction real(x)\nend\n",
+        "# function fake\nfunction real(x)\nend\n",
+    ],
+)
+def test_julia_string_forms_never_define(source):
+    defs = brace_definitions(source, "julia")
+    assert [d["name"] for d in defs] == ["real"]
