@@ -140,6 +140,7 @@ HEADLINE = [
     "q120_decontaminated_corpus",
     "q121_rate_anomaly",
     "q122_julia_definitions",
+    "q123_r_definitions",
 ]
 
 

@@ -470,7 +470,7 @@ def keyword_block_boundaries(text: str, language: str) -> list[list[int]] | None
 
 
 def supports_definitions(language: str) -> bool:
-    return language in _DEF_KINDS or language in _KB_DEF_KINDS
+    return language in _DEF_KINDS or language in _KB_DEF_KINDS or language == "r"
 
 
 def brace_definitions(text: str, language: str) -> list[dict] | None:
@@ -487,6 +487,8 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
     """
     if language in _KB_DEF_KINDS:
         return keyword_block_definitions(text, language)
+    if language == "r":
+        return r_definitions(text)
     kinds = _DEF_KINDS.get(language)
     if kinds is None:
         return None
@@ -767,3 +769,92 @@ def brace_boundaries(text: str, language: str) -> list[list[int]] | None:
         return None
     max_d = max(by_depth)
     return [sorted(by_depth.get(d, set())) for d in range(max_d + 1)]
+
+
+# --- R: assignment-form definitions --------------------------------------
+# R introduces functions by ASSIGNMENT, not keyword:
+#   name <- function(args) { … }     (also `=`, `<<-`)
+# so the kind-table walkers above don't apply. Same lexer contract: a
+# `function` inside a string or a `#` comment never defines (the
+# tree-sitter R grammar's function_definition under a binding —
+# rust/code_ast/src/view/lang.rs). The lexer splits `<-` into `<`,`-`;
+# the matcher recognizes the 2-token arrow forms explicitly.
+def r_definitions(text: str) -> list[dict]:
+    toks = tokenize(text, "r")
+    n = len(toks)
+
+    line_starts = [0]
+    for i, ch in enumerate(text):
+        if ch == "\n":
+            line_starts.append(i + 1)
+    import bisect
+
+    def line_start_of(offset: int) -> int:
+        return line_starts[bisect.bisect_right(line_starts, offset) - 1]
+
+    def line_end_of(offset: int) -> int:
+        j = text.find("\n", offset)
+        return len(text) if j < 0 else j
+
+    out: list[dict] = []
+    depth = 0
+    i = 0
+    while i < n:
+        t = toks[i].text
+        if t == "{":
+            depth += 1
+            i += 1
+            continue
+        if t == "}":
+            depth = max(0, depth - 1)
+            i += 1
+            continue
+        if depth <= _MAX_DEF_DEPTH and (t[0].isalpha() or t[0] == "_"):
+            # arrow after the name: `=`, `<-` (as `<`,`-`), `<<-`
+            k = None
+            if i + 1 < n and toks[i + 1].text == "=":
+                k = i + 2
+            elif (
+                i + 2 < n
+                and toks[i + 1].text in ("<", "<<")
+                and toks[i + 2].text == "-"
+                and toks[i + 2].start == toks[i + 1].end  # `< -` is a comparison
+            ):
+                k = i + 3
+            stmt_pos = (
+                i == 0
+                or toks[i - 1].start < line_start_of(toks[i].start)
+                or toks[i - 1].text in (";", "{", "}")
+            )
+            if (
+                k is not None
+                and stmt_pos
+                and k + 1 < n
+                and toks[k].text == "function"
+                and toks[k + 1].text == "("
+            ):
+                j, bal = k + 2, 1
+                while j < n and bal:
+                    if toks[j].text == "(":
+                        bal += 1
+                    elif toks[j].text == ")":
+                        bal -= 1
+                    j += 1
+                if j < n and toks[j].text == "{":
+                    b, j2 = 1, j + 1
+                    while j2 < n and b:
+                        if toks[j2].text == "{":
+                            b += 1
+                        elif toks[j2].text == "}":
+                            b -= 1
+                        j2 += 1
+                    end = toks[j2 - 1].end if b == 0 else (toks[-1].end if toks else len(text))
+                else:
+                    # single-expression body: region runs to its line end
+                    end = line_end_of(toks[j - 1].start if j - 1 < n else toks[-1].start)
+                out.append(
+                    {"kind": "function", "name": t, "start": toks[i].start,
+                     "end": end, "depth": depth}
+                )
+        i += 1
+    return sorted(out, key=lambda d: (d["start"], d["kind"]))

@@ -732,3 +732,64 @@ def q122_julia_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("def_start").cast("long").alias("def_start"),
         F.col("def_end").cast("long").alias("def_end"),
     )
+
+
+# --- q123: lexer-exact definitions for R — assignment-form functions
+#     (`name <- function(…) {…}`, also `=` and `<<-`), which no
+#     keyword table can catch. Comment/string fakes never define; the
+#     lexer splits `<-` into `<`,`-` and the matcher requires the two
+#     tokens ADJACENT, so a spaced `x < - 3` comparison is not an
+#     arrow; single-expression bodies span exactly their line.
+#     Reference: tree-sitter R function_definition under a binding
+#     (rust/code_ast/src/view/lang.rs).
+@register(
+    "q123_r_definitions",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+    CAST(doc_id AS VARCHAR) AS sid,
+    '# fake <- function(x)' || chr(10) ||
+    's <- "fake <- function(y)"' || chr(10) AS head,
+    'helper' || CAST(doc_id AS VARCHAR) || ' <- function(a) {' || chr(10) || '  ' AS h1,
+    'inner' || CAST(doc_id AS VARCHAR) || ' <- function(z) {' || chr(10) ||
+    '    z + 1' || chr(10) || '  }' AS ip,
+    chr(10) || '  inner' || CAST(doc_id AS VARCHAR) || '(a)' || chr(10) || '}' || chr(10) AS h2,
+    'short' || CAST(doc_id AS VARCHAR) || ' = function(z) z * 2' || chr(10) AS p2
+  FROM documents
+)
+SELECT doc_id, 'function' AS def_kind, 'helper' || sid AS def_name,
+       CAST(strlen(head) AS BIGINT) AS def_start,
+       CAST(strlen(head) + strlen(h1) + strlen(ip) + strlen(h2) - 1 AS BIGINT) AS def_end
+FROM src
+UNION ALL
+SELECT doc_id, 'function', 'inner' || sid,
+       CAST(strlen(head) + strlen(h1) AS BIGINT),
+       CAST(strlen(head) + strlen(h1) + strlen(ip) AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'function', 'short' || sid,
+       CAST(strlen(head) + strlen(h1) + strlen(ip) + strlen(h2) AS BIGINT),
+       CAST(strlen(head) + strlen(h1) + strlen(ip) + strlen(h2) + strlen(p2) - 1 AS BIGINT)
+FROM src
+""",
+)
+def q123_r_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit('# fake <- function(x)\ns <- "fake <- function(y)"\n'),
+        F.lit("helper"), sid, F.lit(" <- function(a) {\n  "),
+        F.lit("inner"), sid, F.lit(" <- function(z) {\n    z + 1\n  }"),
+        F.lit("\n  inner"), sid, F.lit("(a)\n}\n"),
+        F.lit("short"), sid, F.lit(" = function(z) z * 2\n"),
+    )
+    defs = definitions_df(d.withColumn("code", code), "code", "r")
+    return defs.select(
+        "doc_id",
+        "def_kind",
+        "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )

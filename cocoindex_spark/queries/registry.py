@@ -105,6 +105,7 @@ _PRIORITY: list[str] = [
     "q120_decontaminated_corpus",
     "q121_rate_anomaly",
     "q122_julia_definitions",
+    "q123_r_definitions",
 ]
 
 

@@ -483,3 +483,32 @@ def test_julia_definitions_lexer_exact():
 def test_julia_string_forms_never_define(source):
     defs = brace_definitions(source, "julia")
     assert [d["name"] for d in defs] == ["real"]
+
+
+R_SRC = """# fake <- function(x) in a comment
+s <- "fake <- function(y) in a string"
+helper <- function(a, b = c(1, 2)) {
+  inner <- function(z) {
+    z + 1
+  }
+  inner(a) + b
+}
+g = function(z) z * 2
+h <<- function() NULL
+x < - 3
+"""
+
+
+def test_r_definitions_assignment_forms():
+    defs = brace_definitions(R_SRC, "r")
+    by = {d["name"]: d for d in defs}
+    # comment/string fakes never define; `x < - 3` (spaced) is a
+    # comparison, not an arrow
+    assert set(by) == {"helper", "inner", "g", "h"}
+    assert by["helper"]["depth"] == 0 and by["inner"]["depth"] == 1
+    assert R_SRC[by["helper"]["start"]:by["helper"]["end"]].endswith(
+        "inner(a) + b\n}"
+    )
+    # single-expression bodies span exactly their line
+    assert R_SRC[by["g"]["start"]:by["g"]["end"]] == "g = function(z) z * 2"
+    assert R_SRC[by["h"]["start"]:by["h"]["end"]] == "h <<- function() NULL"
