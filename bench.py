@@ -141,6 +141,7 @@ HEADLINE = [
     "q121_rate_anomaly",
     "q122_julia_definitions",
     "q123_r_definitions",
+    "q124_sql_definitions",
 ]
 
 

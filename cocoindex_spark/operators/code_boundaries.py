@@ -470,7 +470,11 @@ def keyword_block_boundaries(text: str, language: str) -> list[list[int]] | None
 
 
 def supports_definitions(language: str) -> bool:
-    return language in _DEF_KINDS or language in _KB_DEF_KINDS or language == "r"
+    return (
+        language in _DEF_KINDS
+        or language in _KB_DEF_KINDS
+        or language in ("r", "sql")
+    )
 
 
 def brace_definitions(text: str, language: str) -> list[dict] | None:
@@ -489,6 +493,8 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
         return keyword_block_definitions(text, language)
     if language == "r":
         return r_definitions(text)
+    if language == "sql":
+        return sql_definitions(text)
     kinds = _DEF_KINDS.get(language)
     if kinds is None:
         return None
@@ -858,3 +864,70 @@ def r_definitions(text: str) -> list[dict]:
                 )
         i += 1
     return sorted(out, key=lambda d: (d["start"], d["kind"]))
+
+
+# --- SQL: CREATE-statement definition regions ----------------------------
+# DDL "definitions" are CREATE statements: region = CREATE … through
+# its terminating `;` (or EOF). Case-insensitive keywords; `-- ` and
+# `/* */` comments and dollar-quoted bodies lex as single tokens, so a
+# `create table` inside a string, comment, or $tag$ function body can
+# neither define nor terminate a region early.
+_SQL_OBJECTS = {
+    "table", "view", "index", "function", "procedure", "trigger",
+    "schema", "sequence", "type", "database",
+}
+_SQL_SKIP = {
+    "or", "replace", "temp", "temporary", "materialized", "unique",
+    "global", "local", "if", "not", "exists", "concurrently", "recursive",
+}
+
+
+def sql_definitions(text: str) -> list[dict]:
+    toks = tokenize(text, "sql")
+    n = len(toks)
+    out: list[dict] = []
+    i = 0
+    while i < n:
+        if toks[i].text.lower() != "create":
+            i += 1
+            continue
+        # statement position: first token, or right after a `;`
+        if i > 0 and toks[i - 1].text != ";":
+            i += 1
+            continue
+        j = i + 1
+        while j < n and toks[j].text.lower() in _SQL_SKIP:
+            j += 1
+        if j >= n or toks[j].text.lower() not in _SQL_OBJECTS:
+            i += 1
+            continue
+        kind = toks[j].text.lower()
+        # dotted object name (schema.name)
+        k = j + 1
+        while k < n and toks[k].text.lower() in _SQL_SKIP:
+            k += 1
+        if k >= n or not (toks[k].text[0].isalpha() or toks[k].text[0] == "_"):
+            i += 1
+            continue
+        parts = [toks[k].text]
+        k += 1
+        while (
+            k + 1 < n
+            and toks[k].text == "."
+            and (toks[k + 1].text[0].isalpha() or toks[k + 1].text[0] == "_")
+        ):
+            parts.append(".")
+            parts.append(toks[k + 1].text)
+            k += 2
+        # region ends at the next top-level `;` (dollar-quoted bodies
+        # are single tokens, so an embedded `;` cannot cut early)
+        e = k
+        while e < n and toks[e].text != ";":
+            e += 1
+        end = toks[e].end if e < n else (toks[-1].end if toks else len(text))
+        out.append(
+            {"kind": kind, "name": "".join(parts), "start": toks[i].start,
+             "end": end, "depth": 0}
+        )
+        i = e + 1
+    return out

@@ -272,6 +272,15 @@ def _scan_special_string(text: str, i: int, language: str) -> int | None:
         return None
     if language == "ruby" and ch == "%":
         return _scan_ruby_percent(text, i)
+    if language == "sql" and ch == "$":
+        # dollar-quoted body: $tag$ … $tag$ — a `;` inside never
+        # terminates the statement, because the body is ONE token
+        m = re.match(r"\$(\w*)\$", text[i:])
+        if m:
+            close = m.group(0)
+            j = text.find(close, i + m.end())
+            return n if j < 0 else j + len(close)
+        return None
     if language == "c_sharp" and text.startswith('@"', i):
         j = i + 2  # verbatim: "" is an escaped quote, backslash literal
         while j < n:
@@ -314,6 +323,10 @@ def tokenize(text: str, language: str = "text") -> list[Tok]:
                 j = text.find("\n", i)
                 end = n if j < 0 else j + 1
             i = end
+            continue
+        if language == "sql" and text.startswith("/*", i):
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
             continue
         if language == "julia" and text.startswith("#=", i):
             # #= … =# block comment, NESTED (the tree-sitter grammar

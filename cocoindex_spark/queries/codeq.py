@@ -793,3 +793,68 @@ def q123_r_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("def_start").cast("long").alias("def_start"),
         F.col("def_end").cast("long").alias("def_end"),
     )
+
+
+# --- q124: lexer-exact definitions for SQL DDL — CREATE-statement
+#     regions through their terminating `;`, with `--`/`/* */`
+#     comments and dollar-quoted bodies lexing as single tokens (a
+#     `create table` in a comment or $tag$ body never defines, and a
+#     `;` inside a function body never cuts the region early);
+#     case-insensitive keywords, OR REPLACE / IF NOT EXISTS / UNIQUE
+#     skipped, dotted schema.name kept. Reference: tree-sitter SQL
+#     region table, rust/code_ast/src/view/lang.rs.
+@register(
+    "q124_sql_definitions",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+    CAST(doc_id AS VARCHAR) AS sid,
+    '-- create table fake_line (x int);' || chr(10) AS head,
+    'CREATE TABLE users' || CAST(doc_id AS VARCHAR) ||
+    ' (id BIGINT, note VARCHAR DEFAULT ''create view fake_str'');' || chr(10) AS t1,
+    '/* create index fake_block; */' || chr(10) AS c2,
+    'CREATE OR REPLACE VIEW api.v' || CAST(doc_id AS VARCHAR) ||
+    ' AS SELECT 1;' || chr(10) AS t2,
+    'CREATE FUNCTION f' || CAST(doc_id AS VARCHAR) ||
+    '() RETURNS BIGINT AS $body$ SELECT 1; -- fake' || chr(10) ||
+    '$body$ LANGUAGE sql;' || chr(10) AS t3
+  FROM documents
+)
+SELECT doc_id, 'table' AS def_kind, 'users' || sid AS def_name,
+       CAST(strlen(head) AS BIGINT) AS def_start,
+       CAST(strlen(head) + strlen(t1) - 1 AS BIGINT) AS def_end
+FROM src
+UNION ALL
+SELECT doc_id, 'view', 'api.v' || sid,
+       CAST(strlen(head) + strlen(t1) + strlen(c2) AS BIGINT),
+       CAST(strlen(head) + strlen(t1) + strlen(c2) + strlen(t2) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'function', 'f' || sid,
+       CAST(strlen(head) + strlen(t1) + strlen(c2) + strlen(t2) AS BIGINT),
+       CAST(strlen(head) + strlen(t1) + strlen(c2) + strlen(t2) + strlen(t3) - 1 AS BIGINT)
+FROM src
+""",
+)
+def q124_sql_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("-- create table fake_line (x int);\n"),
+        F.lit("CREATE TABLE users"), sid,
+        F.lit(" (id BIGINT, note VARCHAR DEFAULT 'create view fake_str');\n"),
+        F.lit("/* create index fake_block; */\n"),
+        F.lit("CREATE OR REPLACE VIEW api.v"), sid, F.lit(" AS SELECT 1;\n"),
+        F.lit("CREATE FUNCTION f"), sid,
+        F.lit("() RETURNS BIGINT AS $body$ SELECT 1; -- fake\n$body$ LANGUAGE sql;\n"),
+    )
+    defs = definitions_df(d.withColumn("code", code), "code", "sql")
+    return defs.select(
+        "doc_id",
+        "def_kind",
+        "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )

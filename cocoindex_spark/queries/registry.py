@@ -106,6 +106,7 @@ _PRIORITY: list[str] = [
     "q121_rate_anomaly",
     "q122_julia_definitions",
     "q123_r_definitions",
+    "q124_sql_definitions",
 ]
 
 

@@ -512,3 +512,30 @@ def test_r_definitions_assignment_forms():
     # single-expression bodies span exactly their line
     assert R_SRC[by["g"]["start"]:by["g"]["end"]] == "g = function(z) z * 2"
     assert R_SRC[by["h"]["start"]:by["h"]["end"]] == "h <<- function() NULL"
+
+
+SQL_SRC = """-- create table fake_line (x int);
+CREATE TABLE users (
+  id BIGINT,
+  note VARCHAR DEFAULT 'create view fake_str'
+);
+/* create index fake_block; */
+CREATE OR REPLACE VIEW api.v1 AS SELECT * FROM users;
+CREATE FUNCTION f() RETURNS BIGINT AS $body$
+  SELECT 1; -- create sequence fake_inside
+$body$ LANGUAGE sql;
+create unique index if not exists idx_users on users (id);
+"""
+
+
+def test_sql_create_statement_regions():
+    defs = brace_definitions(SQL_SRC, "sql")
+    by = {d["name"]: d for d in defs}
+    assert set(by) == {"users", "api.v1", "f", "idx_users"}
+    assert by["users"]["kind"] == "table"
+    assert by["api.v1"]["kind"] == "view"
+    assert by["idx_users"]["kind"] == "index"  # case-insensitive + skips
+    # the `;` inside the dollar-quoted body must not cut the region
+    assert SQL_SRC[by["f"]["start"]:by["f"]["end"]].endswith("LANGUAGE sql;")
+    # every region ends at its own terminator
+    assert SQL_SRC[by["users"]["start"]:by["users"]["end"]].endswith(");")
