@@ -142,6 +142,7 @@ HEADLINE = [
     "q122_julia_definitions",
     "q123_r_definitions",
     "q124_sql_definitions",
+    "q125_markdown_sections",
 ]
 
 

@@ -473,7 +473,7 @@ def supports_definitions(language: str) -> bool:
     return (
         language in _DEF_KINDS
         or language in _KB_DEF_KINDS
-        or language in ("r", "sql")
+        or language in ("r", "sql", "markdown")
     )
 
 
@@ -495,6 +495,8 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
         return r_definitions(text)
     if language == "sql":
         return sql_definitions(text)
+    if language == "markdown":
+        return markdown_sections(text)
     kinds = _DEF_KINDS.get(language)
     if kinds is None:
         return None
@@ -930,4 +932,48 @@ def sql_definitions(text: str) -> list[dict]:
              "end": end, "depth": 0}
         )
         i = e + 1
+    return out
+
+
+# --- Markdown: heading-section regions ------------------------------------
+# Markdown's "definitions" are its sections: a heading opens a region
+# that runs to the next heading of the same-or-higher level (or EOF).
+# Fenced code blocks (``` / ~~~, any info string) are opaque — a
+# `# fake heading` inside a fence neither starts a section nor ends
+# one. Kind = h1..h6, name = the heading text, depth = level - 1.
+def markdown_sections(text: str) -> list[dict]:
+    lines: list[tuple[int, str]] = []
+    off = 0
+    for ln in text.split("\n"):
+        lines.append((off, ln))
+        off += len(ln) + 1
+    heads: list[tuple[int, int, str]] = []  # (level, offset, title)
+    fence: str | None = None
+    for off, ln in lines:
+        stripped = ln.lstrip()
+        if fence is not None:
+            if stripped.startswith(fence):
+                fence = None
+            continue
+        if stripped.startswith("```") or stripped.startswith("~~~"):
+            fence = stripped[:3]
+            continue
+        if ln.startswith("#"):
+            level = len(ln) - len(ln.lstrip("#"))
+            if 1 <= level <= 6 and ln[level : level + 1] == " ":
+                heads.append((level, off, ln[level + 1 :].strip()))
+    out: list[dict] = []
+    for i, (level, off, title) in enumerate(heads):
+        end = len(text)
+        for lvl2, off2, _ in heads[i + 1 :]:
+            if lvl2 <= level:
+                end = off2
+                break
+        # trim the trailing newline(s) before the next heading
+        while end > off and end <= len(text) and text[end - 1] == "\n":
+            end -= 1
+        out.append(
+            {"kind": f"h{level}", "name": title, "start": off,
+             "end": end, "depth": level - 1}
+        )
     return out

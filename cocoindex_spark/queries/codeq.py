@@ -858,3 +858,64 @@ def q124_sql_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("def_start").cast("long").alias("def_start"),
         F.col("def_end").cast("long").alias("def_end"),
     )
+
+
+# --- q125: Markdown section regions — a heading opens a region that
+#     runs to the next same-or-higher heading; fenced code blocks are
+#     opaque, so a `# fake heading` inside ``` … ``` neither starts a
+#     section nor ends one early. The document-structure view the
+#     reference's markdown tree-sitter grammar provides
+#     (rust/code_ast/src/view/lang.rs; chunking table docs/ops/
+#     text.mdx) — and the split hierarchy markdown chunking hangs off.
+@register(
+    "q125_markdown_sections",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+    CAST(doc_id AS VARCHAR) AS sid,
+    '# Title' || CAST(doc_id AS VARCHAR) || chr(10) ||
+    'intro' || chr(10) ||
+    '```python' || chr(10) ||
+    '# fake heading in fence' || chr(10) ||
+    '```' || chr(10) AS head,
+    '## Sub' || CAST(doc_id AS VARCHAR) || chr(10) ||
+    'body' || chr(10) AS sub,
+    '# Next' || CAST(doc_id AS VARCHAR) || chr(10) ||
+    'tail' || chr(10) AS nxt
+  FROM documents
+)
+SELECT doc_id, 'h1' AS def_kind, 'Title' || sid AS def_name,
+       CAST(0 AS BIGINT) AS def_start,
+       CAST(strlen(head) + strlen(sub) - 1 AS BIGINT) AS def_end
+FROM src
+UNION ALL
+SELECT doc_id, 'h2', 'Sub' || sid,
+       CAST(strlen(head) AS BIGINT),
+       CAST(strlen(head) + strlen(sub) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'h1', 'Next' || sid,
+       CAST(strlen(head) + strlen(sub) AS BIGINT),
+       CAST(strlen(head) + strlen(sub) + strlen(nxt) - 1 AS BIGINT)
+FROM src
+""",
+)
+def q125_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("# Title"), sid,
+        F.lit("\nintro\n```python\n# fake heading in fence\n```\n"),
+        F.lit("## Sub"), sid, F.lit("\nbody\n"),
+        F.lit("# Next"), sid, F.lit("\ntail\n"),
+    )
+    defs = definitions_df(d.withColumn("code", code), "code", "markdown")
+    return defs.select(
+        "doc_id",
+        "def_kind",
+        "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )

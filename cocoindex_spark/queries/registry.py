@@ -107,6 +107,7 @@ _PRIORITY: list[str] = [
     "q122_julia_definitions",
     "q123_r_definitions",
     "q124_sql_definitions",
+    "q125_markdown_sections",
 ]
 
 

@@ -539,3 +539,29 @@ def test_sql_create_statement_regions():
     assert SQL_SRC[by["f"]["start"]:by["f"]["end"]].endswith("LANGUAGE sql;")
     # every region ends at its own terminator
     assert SQL_SRC[by["users"]["start"]:by["users"]["end"]].endswith(");")
+
+
+MD_SRC = """# Title
+intro
+```python
+# fake heading in fence
+x = 1
+```
+## Sub A
+body a
+## Sub B
+body b
+# Next
+tail
+"""
+
+
+def test_markdown_sections_fence_aware():
+    defs = brace_definitions(MD_SRC, "markdown")
+    by = {d["name"]: d for d in defs}
+    assert set(by) == {"Title", "Sub A", "Sub B", "Next"}
+    # the fenced `# fake heading` neither defines nor ends Title early:
+    # Title runs through both subsections
+    assert MD_SRC[by["Title"]["start"]:by["Title"]["end"]].endswith("body b")
+    assert by["Sub A"]["kind"] == "h2" and by["Sub A"]["depth"] == 1
+    assert MD_SRC[by["Next"]["start"]:by["Next"]["end"]] == "# Next\ntail"
