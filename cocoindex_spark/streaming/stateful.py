@@ -196,3 +196,78 @@ def dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming rate-anomaly scoring (the live form of q121) --------------
+
+ANOMALY_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("day", StringType()),
+        StructField("n", LongType()),
+        StructField("dev2", LongType()),
+        StructField("var4", LongType()),
+        StructField("direction", StringType()),
+    ]
+)
+
+_ANOMALY_STATE = StructType(
+    [
+        StructField("d", LongType()),
+        StructField("s", LongType()),
+        StructField("s2", LongType()),
+    ]
+)
+
+
+def make_anomaly_scorer():
+    """Per-event-type state = the sufficient statistics (D, S, S2) of
+    q121's integer z-test, merged across micro-batches — O(1) state per
+    key regardless of history length. Batches deliver finalized
+    (day, n) buckets (the upstream daily rollup); each batch first
+    merges ALL its buckets into the stats, then tests each incoming
+    bucket against the updated stats ((c·D − S)² > 4·(D·S2 − S²)) and
+    emits the anomalies. One batch carrying the whole history is
+    therefore exactly batch q121; incremental feeds score each bucket
+    against everything seen so far (prequential semantics — a
+    retroactive re-flag of old buckets is a batch job, not a stream)."""
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        rows: list[tuple[str, int]] = []
+        for pdf in pdfs:
+            rows.extend((str(day), int(n)) for day, n in zip(pdf["day"], pdf["n"]))
+        if state.exists:
+            d, s, s2 = state.get
+        else:
+            d = s = s2 = 0
+        for _, n in rows:
+            d, s, s2 = d + 1, s + n, s2 + n * n
+        state.update((d, s, s2))
+        out = []
+        for day, n in rows:
+            dev = n * d - s
+            var4 = 4 * (d * s2 - s * s)
+            if dev * dev > var4:
+                out.append(
+                    (key[0], day, n, dev * dev, var4,
+                     "spike" if dev > 0 else "dip")
+                )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["event_type", "day", "n", "dev2", "var4", "direction"],
+            )
+
+    return fn
+
+
+def anomaly_stream(buckets: DataFrame) -> DataFrame:
+    """Wire the scorer over a streaming (event_type, day, n) bucket
+    frame."""
+    return buckets.groupBy("event_type").applyInPandasWithState(
+        make_anomaly_scorer(),
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOMALY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

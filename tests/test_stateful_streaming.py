@@ -98,3 +98,77 @@ def test_sessionize_stream_cross_batch(spark, tmp_state):
     # still open in state, a's second too
     assert rows == [("a", 0, 10, 2)]
     spark.catalog.dropTempView("sess_out")
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_anomaly_scorer_single_batch_matches_q121(spark):
+    """One batch carrying the whole history ≡ batch q121 exactly."""
+    from cocoindex_spark.queries.registry import table
+    from cocoindex_spark.queries.streamingq import q121_rate_anomaly
+    from cocoindex_spark.streaming.stateful import make_anomaly_scorer
+
+    sf = "/root/testdata/sf0.001"
+    from pyspark.sql import functions as F
+
+    buckets = (
+        table(spark, sf, "events")
+        .groupBy("event_type", F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in buckets:
+        by_type.setdefault(r.event_type, []).append((r.day, r.n))
+
+    fn = make_anomaly_scorer()
+    got = set()
+    for etype, rows in by_type.items():
+        st = _FakeState()
+        pdf = pd.DataFrame({"day": [d for d, _ in rows], "n": [n for _, n in rows]})
+        for out in fn((etype,), [pdf], st):
+            for rec in out.itertuples(index=False):
+                got.add((rec.event_type, rec.day, rec.n, rec.direction))
+
+    want = {
+        (r.event_type, str(r.day), r.n, r.direction)
+        for r in q121_rate_anomaly(spark, sf).collect()
+    }
+    assert got == want and want  # non-vacuous
+
+
+def test_anomaly_scorer_state_accumulates_across_batches():
+    from cocoindex_spark.streaming.stateful import make_anomaly_scorer
+
+    fn = make_anomaly_scorer()
+    st = _FakeState()
+    # batch 1: a flat baseline — nothing anomalous, stats persist
+    flat = pd.DataFrame({"day": [f"d{i}" for i in range(8)], "n": [10] * 8})
+    assert list(fn(("t",), [flat], st)) == []
+    assert st.get == (8, 80, 800)
+    # batch 2: one spike bucket scored against the ACCUMULATED stats
+    out = list(fn(("t",), [pd.DataFrame({"day": ["d8"], "n": [100]})], st))
+    assert st.get == (9, 180, 10800)
+    flags = out[0]
+    assert list(flags["direction"]) == ["spike"] and list(flags["day"]) == ["d8"]
