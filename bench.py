@@ -143,6 +143,7 @@ HEADLINE = [
     "q123_r_definitions",
     "q124_sql_definitions",
     "q125_markdown_sections",
+    "q126_detector_eval",
 ]
 
 

@@ -942,3 +942,102 @@ def q116_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hex_to_int(key, 8) % 100
     split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
     return comp.select("doc_id", "component_id", split.alias("split"))
+
+
+# --- q126: near-dup detector calibration — confusion counts of the
+#     production SimHash detector (q76: hamming ≤ 3 over 60-bit
+#     signatures) against exact 3-gram Jaccard ≥ 0.7 ground truth.
+#     Before a detector runs over 100 TB, you measure what its
+#     threshold buys on a labeled slice; this is that evaluation as a
+#     query: truth = candidate-scoped exact Jaccard (only pairs
+#     sharing a shingle can have J > 0, so the shingle equi-join IS
+#     exhaustive), predicted = the materialized pair relation, outer
+#     join on the pair key → TP/FN/FP and integer milli-precision/
+#     recall (one division per ratio, BIGINT `div`).
+_EVAL_J = 0.7
+
+
+@register(
+    "q126_detector_eval",
+    oracle=f"""
+WITH sh AS ({_SH}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes s1 ON a_id = s1.doc_id JOIN sizes s2 ON b_id = s2.doc_id
+  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {_EVAL_J}
+),
+sim AS ({sql_simhash_wide(_TOKENS_SQL, "doc_id", "tok", _WIDE_BITS)}),
+pred AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+conf AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE t.a_id IS NOT NULL AND p.a_id IS NOT NULL) AS BIGINT) AS tp,
+    CAST(COUNT(*) FILTER (WHERE t.a_id IS NOT NULL AND p.a_id IS NULL) AS BIGINT) AS fn,
+    CAST(COUNT(*) FILTER (WHERE t.a_id IS NULL AND p.a_id IS NOT NULL) AS BIGINT) AS fp
+  FROM truth t FULL OUTER JOIN pred p ON t.a_id = p.a_id AND t.b_id = p.b_id
+)
+SELECT tp, fn, fp,
+  tp + fn AS n_truth, tp + fp AS n_pred,
+  CASE WHEN tp + fp > 0 THEN (tp * 1000) // (tp + fp) ELSE -1 END AS precision_milli,
+  CASE WHEN tp + fn > 0 THEN (tp * 1000) // (tp + fn) ELSE -1 END AS recall_milli
+FROM conf
+""",
+)
+def q126_detector_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # truth: exact Jaccard over the shared shingle table (q31 machinery
+    # at the evaluation threshold — no prefix filter: the eval is the
+    # one place the full candidate set is the point)
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), "g")
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("g").alias("gb"))
+    inter = (
+        sa.join(sb, (F.col("g") == F.col("gb")) & (F.col("a_id") < F.col("b_id")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    truth = (
+        inter.join(s1, "a_id").join(s2, "b_id")
+        .filter(jac >= _EVAL_J)
+        .select("a_id", "b_id")
+    )
+    pred = wide_pair_relation(spark, sf_dir).select(
+        F.col("a_id").alias("p_a"), F.col("b_id").alias("p_b")
+    )
+    both = truth.join(
+        pred,
+        (F.col("a_id") == F.col("p_a")) & (F.col("b_id") == F.col("p_b")),
+        "full_outer",
+    )
+    t_has = F.col("a_id").isNotNull()
+    p_has = F.col("p_a").isNotNull()
+    conf = both.agg(
+        F.sum(F.when(t_has & p_has, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(t_has & ~p_has, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~t_has & p_has, 1).otherwise(0)).cast("long").alias("fp"),
+    )
+    return conf.select(
+        "tp", "fn", "fp",
+        (F.col("tp") + F.col("fn")).alias("n_truth"),
+        (F.col("tp") + F.col("fp")).alias("n_pred"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("(tp * 1000) div (tp + fp)"),
+        ).otherwise(F.lit(-1).cast("long")).alias("precision_milli"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("(tp * 1000) div (tp + fn)"),
+        ).otherwise(F.lit(-1).cast("long")).alias("recall_milli"),
+    )

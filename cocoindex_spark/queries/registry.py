@@ -108,6 +108,7 @@ _PRIORITY: list[str] = [
     "q123_r_definitions",
     "q124_sql_definitions",
     "q125_markdown_sections",
+    "q126_detector_eval",
 ]
 
 
