@@ -144,6 +144,7 @@ HEADLINE = [
     "q124_sql_definitions",
     "q125_markdown_sections",
     "q126_detector_eval",
+    "q127_quantization_recall",
 ]
 
 

@@ -109,6 +109,7 @@ _PRIORITY: list[str] = [
     "q124_sql_definitions",
     "q125_markdown_sections",
     "q126_detector_eval",
+    "q127_quantization_recall",
 ]
 
 

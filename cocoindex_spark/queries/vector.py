@@ -1125,3 +1125,115 @@ def q118_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _IVFK_TOPK)
         .select("qid", "vec_id", "rk")
     )
+
+
+# --- q127: quantization recall evaluation — overlap@k between the
+#     exact fixed-point-cosine top-10 (q20's ranking) and the
+#     int8-code integer-dot top-10 (q109's ranking), per query, for a
+#     10-query panel. The measurement that justifies shipping the
+#     4×-smaller representation at 100 TB: recall@k of the compressed
+#     ranking against the exact one, as integer overlap counts — the
+#     evaluation itself is value-exact cross-engine because both
+#     rankings are (deterministic scalar expression, unique-id
+#     tie-break) and the overlap is a COUNT over an equi-join.
+_QR_K = 10
+_QR_NQ = 10
+
+
+@register(
+    "q127_quantization_recall",
+    oracle=f"""
+WITH en AS (
+  SELECT vec_id, embedding, {sql_dot_fixed("embedding", "embedding")} AS sqn,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / {_SQL_NRM}) AS BIGINT)) AS code
+  FROM embeddings
+),
+qs AS (SELECT * FROM en WHERE vec_id < {_QR_NQ}),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.vec_id AS qid, a.vec_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        CAST({sql_dot_fixed("a.embedding", "q.embedding")} AS DOUBLE)
+          / sqrt(CAST(a.sqn AS DOUBLE) * CAST(q.sqn AS DOUBLE)) DESC,
+        a.vec_id ASC) AS rk
+    FROM en a, qs q WHERE a.vec_id <> q.vec_id
+  ) WHERE rk <= {_QR_K}
+),
+quant AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.vec_id AS qid, a.vec_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, len(a.code)+1),
+                                     i -> a.code[i]*q.code[i])) AS BIGINT) DESC,
+        a.vec_id ASC) AS rk
+    FROM en a, qs q WHERE a.vec_id <> q.vec_id
+  ) WHERE rk <= {_QR_K}
+)
+SELECT e.qid,
+  CAST(COUNT(qu.vec_id) AS BIGINT) AS n_overlap,
+  CAST({_QR_K} AS BIGINT) AS k,
+  (CAST(COUNT(qu.vec_id) AS BIGINT) * 1000) // {_QR_K} AS recall_milli
+FROM exact e LEFT JOIN quant qu ON e.qid = qu.qid AND e.vec_id = qu.vec_id
+GROUP BY e.qid
+""",
+)
+def q127_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.vector_ops import FIXED_SCALE
+
+    e = table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(sqnorm_fixed(F.col("embedding")).cast("double") / F.lit(FIXED_SCALE))
+    code = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(127.0) / nrm).cast("long"),
+    )
+    en = e.select(
+        "vec_id",
+        "embedding",
+        sqnorm_fixed(F.col("embedding")).alias("sqn"),
+        code.alias("code"),
+    ).localCheckpoint(eager=True)
+    qs = en.filter(F.col("vec_id") < _QR_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sqn").alias("q_sqn"),
+        F.col("code").alias("q_code"),
+    )
+    base = en.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("qid"))
+    sim = cosine_from_fixed(
+        dot_fixed(F.col("embedding"), F.col("q_emb")), F.col("sqn"), F.col("q_sqn")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("code"), F.col("q_code"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    we = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    exact = (
+        base.select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= _QR_K)
+        .select("qid", "vec_id")
+    )
+    quant = (
+        base.select("qid", "vec_id", qdot.alias("qdot"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _QR_K)
+        .select(F.col("qid").alias("q_qid"), F.col("vec_id").alias("q_vid"))
+    )
+    return (
+        exact.join(
+            quant,
+            (F.col("qid") == F.col("q_qid")) & (F.col("vec_id") == F.col("q_vid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("q_vid").cast("long").alias("n_overlap"))
+        .select(
+            "qid",
+            "n_overlap",
+            F.lit(_QR_K).cast("long").alias("k"),
+            F.expr(f"(n_overlap * 1000) div {_QR_K}").alias("recall_milli"),
+        )
+    )
