@@ -396,6 +396,26 @@ CHECKS = {
         [r"LeftSemi", r"HashAggregate"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"BatchEvalPython"],
     ),
+    "q121_rate_anomaly": (
+        # one bucket hash agg + one O(#types) stats agg joined back;
+        # the z-test is a JVM integer expression
+        [r"HashAggregate", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q126_detector_eval": (
+        # truth = shingle equi-join, pred = the materialized pair
+        # relation, confusion = one outer join + one agg
+        [r"HashAggregate", r"FullOuter"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q127_quantization_recall": (
+        # both rankings ride ONE broadcast of the 10-query panel; the
+        # overlap is an equi-join + per-query agg (BNLJ = that bounded
+        # panel broadcast, intended)
+        [r"Window", r"HashAggregate"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+    ),
 }
 
 # Node-count ceilings: (node regex, max occurrences in the plan).
