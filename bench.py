@@ -145,6 +145,7 @@ HEADLINE = [
     "q125_markdown_sections",
     "q126_detector_eval",
     "q127_quantization_recall",
+    "q128_html_regions",
 ]
 
 

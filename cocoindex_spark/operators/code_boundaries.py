@@ -474,6 +474,7 @@ def supports_definitions(language: str) -> bool:
         language in _DEF_KINDS
         or language in _KB_DEF_KINDS
         or language in ("r", "sql", "markdown")
+        or language in _HTML_ALIASES
     )
 
 
@@ -497,6 +498,8 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
         return sql_definitions(text)
     if language == "markdown":
         return markdown_sections(text)
+    if language in _HTML_ALIASES:
+        return html_regions(text)
     kinds = _DEF_KINDS.get(language)
     if kinds is None:
         return None
@@ -977,3 +980,108 @@ def markdown_sections(text: str) -> list[dict]:
              "end": end, "depth": level - 1}
         )
     return out
+
+
+# --- HTML: element regions -------------------------------------------------
+# Document structure for the markup family (html — and the component
+# containers vue/svelte/astro, which are html documents with embedded
+# script blocks). Regions are elements at depth ≤ 2 (html → body →
+# content is the canonical nesting, like ruby's module→class→def
+# depth allowance); name = tag, or
+# tag#id when the open tag carries an id attribute. Opaque spans:
+# <!-- comments -->, <script>/<style> raw-text content (a literal
+# "</div>" inside a script can never pop the stack), CDATA, DOCTYPE;
+# quoted attribute values may contain '>'. Void elements never push.
+_HTML_VOID = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
+_HTML_RAWTEXT = {"script", "style"}
+_HTML_ALIASES = {"vue", "svelte", "astro", "html", "htm", "xml"}
+
+import re as _re
+
+_TAG_RE = _re.compile(r"[a-zA-Z][a-zA-Z0-9_.:-]*")
+_ID_RE = _re.compile(r"""\bid\s*=\s*("([^"]*)"|'([^']*)')""")
+
+
+def html_regions(text: str) -> list[dict]:
+    n = len(text)
+    out: list[dict] = []
+    stack: list[tuple[str, str, int]] = []  # (tag, display, start)
+    i = 0
+    while i < n:
+        lt = text.find("<", i)
+        if lt < 0:
+            break
+        if text.startswith("<!--", lt):
+            j = text.find("-->", lt + 4)
+            i = n if j < 0 else j + 3
+            continue
+        if text.startswith("<![CDATA[", lt):
+            j = text.find("]]>", lt + 9)
+            i = n if j < 0 else j + 3
+            continue
+        if text.startswith("<!", lt) or text.startswith("<?", lt):
+            j = text.find(">", lt)
+            i = n if j < 0 else j + 1
+            continue
+        closing = text.startswith("</", lt)
+        m = _TAG_RE.match(text, lt + (2 if closing else 1))
+        if not m:
+            i = lt + 1
+            continue
+        tag = m.group().lower()
+        # find the tag's own '>', honoring quoted attribute values
+        j = m.end()
+        quote: str | None = None
+        while j < n:
+            c = text[j]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in "\"'":
+                quote = c
+            elif c == ">":
+                break
+            j += 1
+        tag_end = j + 1 if j < n else n
+        if closing:
+            # pop to the nearest matching open tag (tolerates strays)
+            for k in range(len(stack) - 1, -1, -1):
+                if stack[k][0] == tag:
+                    while len(stack) > k:
+                        t2, disp, start = stack.pop()
+                        if t2 == tag and len(stack) <= 2:
+                            out.append(
+                                {"kind": t2, "name": disp, "start": start,
+                                 "end": tag_end, "depth": len(stack)}
+                            )
+                    break
+            i = tag_end
+            continue
+        self_closing = text[tag_end - 2 : tag_end - 1] == "/"
+        if tag in _HTML_RAWTEXT and not self_closing:
+            # raw-text content: skip straight to the real close tag
+            close = _re.compile(rf"</{tag}\s*>", _re.I)
+            mm = close.search(text, tag_end)
+            end = mm.end() if mm else n
+            if len(stack) <= 2:
+                attrs = text[lt:tag_end]
+                idm = _ID_RE.search(attrs)
+                disp = f"{tag}#{idm.group(2) or idm.group(3)}" if idm else tag
+                out.append(
+                    {"kind": tag, "name": disp, "start": lt, "end": end,
+                     "depth": len(stack)}
+                )
+            i = end
+            continue
+        if tag in _HTML_VOID or self_closing:
+            i = tag_end
+            continue
+        attrs = text[lt:tag_end]
+        idm = _ID_RE.search(attrs)
+        disp = f"{tag}#{idm.group(2) or idm.group(3)}" if idm else tag
+        stack.append((tag, disp, lt))
+        i = tag_end
+    return sorted(out, key=lambda d: (d["start"], d["kind"]))

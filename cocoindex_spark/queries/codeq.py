@@ -919,3 +919,67 @@ def q125_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("def_start").cast("long").alias("def_start"),
         F.col("def_end").cast("long").alias("def_end"),
     )
+
+
+# --- q128: HTML element regions — document structure for the markup
+#     family (html, and the vue/svelte/astro component containers):
+#     elements at depth ≤ 2, name = tag or tag#id. Opaque spans pinned
+#     by the oracle: a literal </div> inside a <script> body and a
+#     commented-out <div> never pop or push the stack; a '>' inside a
+#     quoted attribute never truncates its tag; void elements never
+#     open. Reference: tree-sitter html grammar regions,
+#     rust/code_ast/src/view/lang.rs.
+@register(
+    "q128_html_regions",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+    CAST(doc_id AS VARCHAR) AS sid,
+    '<body>' || chr(10) AS b0,
+    '<script>var s = "</div><div id=' || chr(39) || 'fake' || chr(39) || '>";</script>' || chr(10) AS sc,
+    '<!-- <div id="fake2"> -->' || chr(10) AS cm,
+    '<div id="m' || CAST(doc_id AS VARCHAR) || '"><p>x</p></div>' || chr(10) AS dv,
+    '</body>' || chr(10) AS b1
+  FROM documents
+)
+SELECT doc_id, 'body' AS def_kind, 'body' AS def_name,
+       CAST(0 AS BIGINT) AS def_start,
+       CAST(strlen(b0) + strlen(sc) + strlen(cm) + strlen(dv) + strlen(b1) - 1 AS BIGINT) AS def_end
+FROM src
+UNION ALL
+SELECT doc_id, 'script', 'script',
+       CAST(strlen(b0) AS BIGINT),
+       CAST(strlen(b0) + strlen(sc) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'div', 'div#m' || sid,
+       CAST(strlen(b0) + strlen(sc) + strlen(cm) AS BIGINT),
+       CAST(strlen(b0) + strlen(sc) + strlen(cm) + strlen(dv) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'p', 'p',
+       CAST(strlen(b0) + strlen(sc) + strlen(cm) + strlen('<div id="m' || sid || '">') AS BIGINT),
+       CAST(strlen(b0) + strlen(sc) + strlen(cm) + strlen('<div id="m' || sid || '"><p>x</p>') AS BIGINT)
+FROM src
+""",
+)
+def q128_html_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("<body>\n"),
+        F.lit('<script>var s = "</div><div id=\'fake\'>";</script>\n'),
+        F.lit('<!-- <div id="fake2"> -->\n'),
+        F.lit('<div id="m'), sid, F.lit('"><p>x</p></div>\n'),
+        F.lit("</body>\n"),
+    )
+    defs = definitions_df(d.withColumn("code", code), "code", "html")
+    return defs.select(
+        "doc_id",
+        "def_kind",
+        "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )

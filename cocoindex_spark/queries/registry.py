@@ -110,6 +110,7 @@ _PRIORITY: list[str] = [
     "q125_markdown_sections",
     "q126_detector_eval",
     "q127_quantization_recall",
+    "q128_html_regions",
 ]
 
 

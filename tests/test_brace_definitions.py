@@ -565,3 +565,33 @@ def test_markdown_sections_fence_aware():
     assert MD_SRC[by["Title"]["start"]:by["Title"]["end"]].endswith("body b")
     assert by["Sub A"]["kind"] == "h2" and by["Sub A"]["depth"] == 1
     assert MD_SRC[by["Next"]["start"]:by["Next"]["end"]] == "# Next\ntail"
+
+
+HTML_SRC = """<html>
+<head>
+<script type="text/javascript">
+  var s = "</div><div id='fake'>";
+</script>
+</head>
+<body>
+<!-- <div id="fake2"> -->
+<div id="main">
+  <section id="a"><p>hi</p></section>
+  <img src="x>y.png">
+</div>
+</body>
+</html>
+"""
+
+
+def test_html_element_regions_opaque_spans():
+    defs = brace_definitions(HTML_SRC, "html")
+    by = {d["name"]: d for d in defs}
+    # the </div> inside the script and the commented <div> never desync
+    assert "div#fake" not in by and "div#fake2" not in by
+    assert set(by) == {"html", "head", "script", "body", "div#main"}
+    assert HTML_SRC[by["div#main"]["start"]:by["div#main"]["end"]].endswith("</div>")
+    # the `>` inside img's quoted attribute doesn't truncate the tag;
+    # void elements never push (body closes cleanly)
+    assert HTML_SRC[by["body"]["start"]:by["body"]["end"]].endswith("</body>")
+    assert by["script"]["kind"] == "script" and by["script"]["depth"] == 2
