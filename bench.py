@@ -146,6 +146,7 @@ HEADLINE = [
     "q126_detector_eval",
     "q127_quantization_recall",
     "q128_html_regions",
+    "q129_config_sections",
 ]
 
 

@@ -473,7 +473,7 @@ def supports_definitions(language: str) -> bool:
     return (
         language in _DEF_KINDS
         or language in _KB_DEF_KINDS
-        or language in ("r", "sql", "markdown")
+        or language in ("r", "sql", "markdown", "toml", "yaml")
         or language in _HTML_ALIASES
     )
 
@@ -500,6 +500,10 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
         return markdown_sections(text)
     if language in _HTML_ALIASES:
         return html_regions(text)
+    if language == "toml":
+        return toml_sections(text)
+    if language == "yaml":
+        return yaml_sections(text)
     kinds = _DEF_KINDS.get(language)
     if kinds is None:
         return None
@@ -1085,3 +1089,89 @@ def html_regions(text: str) -> list[dict]:
         stack.append((tag, disp, lt))
         i = tag_end
     return sorted(out, key=lambda d: (d["start"], d["kind"]))
+
+
+# --- TOML: table-header sections -------------------------------------------
+# Regions are `[table]` / `[[array.of.tables]]` headers through the
+# next header (or EOF). Opaque spans: multiline strings (""" and '''),
+# so a line that LOOKS like a header inside one never starts a region;
+# `#` comments ignored. kind = table|array_table, name = dotted path.
+_TOML_HDR = _re.compile(r"^\s*(\[\[([^\]]+)\]\]|\[([^\]]+)\])\s*(#.*)?$")
+
+
+def toml_sections(text: str) -> list[dict]:
+    lines: list[tuple[int, str]] = []
+    off = 0
+    for ln in text.split("\n"):
+        lines.append((off, ln))
+        off += len(ln) + 1
+    heads: list[tuple[str, str, int]] = []
+    ml: str | None = None  # open multiline-string delimiter
+    for off, ln in lines:
+        if ml is not None:
+            if ml in ln:
+                ml = None  # a header never legally shares this line
+            continue
+        # an unpaired multiline delimiter opens a string; the header
+        # test then runs only on the text BEFORE the opener
+        probe = ln
+        for d in ('"""', "'''"):
+            if probe.count(d) % 2 == 1:
+                ml = d
+                probe = probe.split(d, 1)[0]
+                break
+        m = _TOML_HDR.match(probe)
+        if m and m.group(1).startswith("[["):
+            heads.append(("array_table", m.group(2).strip(), off))
+        elif m:
+            heads.append(("table", m.group(3).strip(), off))
+    out: list[dict] = []
+    for i, (kind, name, off) in enumerate(heads):
+        end = heads[i + 1][2] if i + 1 < len(heads) else len(text)
+        while end > off and text[end - 1] == "\n":
+            end -= 1
+        out.append(
+            {"kind": kind, "name": name, "start": off, "end": end, "depth": 0}
+        )
+    return out
+
+
+# --- YAML: top-level key sections -------------------------------------------
+# Regions are column-0 mapping keys through the next column-0 key or
+# document marker. Opaque spans: block scalars (`|` / `>` and their
+# +/- chomping forms) consume every following MORE-INDENTED line, so
+# an embedded "fake:" line inside one never starts a region.
+_YAML_KEY = _re.compile(r"^([A-Za-z_][\w.-]*)\s*:")
+
+
+def yaml_sections(text: str) -> list[dict]:
+    lines: list[tuple[int, str]] = []
+    off = 0
+    for ln in text.split("\n"):
+        lines.append((off, ln))
+        off += len(ln) + 1
+    heads: list[tuple[str, int]] = []
+    in_block = False
+    for off, ln in lines:
+        if in_block:
+            if ln.strip() and not ln.startswith((" ", "\t")):
+                in_block = False  # fell back to column 0
+            else:
+                continue
+        if ln.startswith("#") or ln.strip() in ("---", "..."):
+            continue
+        m = _YAML_KEY.match(ln)
+        if m:
+            heads.append((m.group(1), off))
+            rest = ln[m.end():].strip()
+            if rest.split("#", 1)[0].strip() in ("|", ">", "|-", "|+", ">-", ">+"):
+                in_block = True
+    out: list[dict] = []
+    for i, (name, off) in enumerate(heads):
+        end = heads[i + 1][1] if i + 1 < len(heads) else len(text)
+        while end > off and text[end - 1] == "\n":
+            end -= 1
+        out.append(
+            {"kind": "key", "name": name, "start": off, "end": end, "depth": 0}
+        )
+    return out

@@ -983,3 +983,78 @@ def q128_html_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("def_start").cast("long").alias("def_start"),
         F.col("def_end").cast("long").alias("def_end"),
     )
+
+
+# --- q129: TOML/YAML config sections — the data-config half of the
+#     reference's 31-language table. TOML `[table]`/`[[array]]`
+#     headers through the next header, with multiline strings opaque
+#     (a `[fake]` inside `\"\"\"…\"\"\"` never starts a region); YAML
+#     column-0 keys through the next key, with block scalars opaque
+#     (a `fake:` line inside `key: |` never starts one). One query
+#     pins both walkers: per doc, the TOML sections of a synthesized
+#     config and the YAML keys of its mirror.
+@register(
+    "q129_config_sections",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+    CAST(doc_id AS VARCHAR) AS sid,
+    'title = "x"' || chr(10) AS t0,
+    '[server' || CAST(doc_id AS VARCHAR) || ']' || chr(10) ||
+    'doc = ' || repeat(chr(34), 3) || chr(10) ||
+    '[fake]' || chr(10) ||
+    repeat(chr(34), 3) || chr(10) AS t1,
+    '[[jobs]]' || chr(10) || 'n = 1' || chr(10) AS t2,
+    'top: 1' || chr(10) AS y0,
+    'script: |' || chr(10) || '  fake: in block' || chr(10) AS y1,
+    'last: 2' || chr(10) AS y2
+  FROM documents
+)
+SELECT doc_id, 'toml' AS fmt, 'table' AS def_kind, 'server' || sid AS def_name,
+  CAST(strlen(t0) AS BIGINT) AS def_start,
+  CAST(strlen(t0) + strlen(t1) - 1 AS BIGINT) AS def_end
+FROM src
+UNION ALL
+SELECT doc_id, 'toml', 'array_table', 'jobs',
+  CAST(strlen(t0) + strlen(t1) AS BIGINT),
+  CAST(strlen(t0) + strlen(t1) + strlen(t2) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'yaml', 'key', 'top',
+  CAST(0 AS BIGINT), CAST(strlen(y0) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'yaml', 'key', 'script',
+  CAST(strlen(y0) AS BIGINT),
+  CAST(strlen(y0) + strlen(y1) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'yaml', 'key', 'last',
+  CAST(strlen(y0) + strlen(y1) AS BIGINT),
+  CAST(strlen(y0) + strlen(y1) + strlen(y2) - 1 AS BIGINT)
+FROM src
+""",
+)
+def q129_config_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    toml_code = F.concat(
+        F.lit('title = "x"\n'),
+        F.lit("[server"), sid,
+        F.lit(']\ndoc = """\n[fake]\n"""\n'),
+        F.lit("[[jobs]]\nn = 1\n"),
+    )
+    yaml_code = F.lit("top: 1\nscript: |\n  fake: in block\nlast: 2\n")
+    tdefs = definitions_df(d.withColumn("code", toml_code), "code", "toml").select(
+        "doc_id", F.lit("toml").alias("fmt"), "def_kind", "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )
+    ydefs = definitions_df(d.withColumn("code", yaml_code), "code", "yaml").select(
+        "doc_id", F.lit("yaml").alias("fmt"), "def_kind", "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )
+    return tdefs.unionByName(ydefs)

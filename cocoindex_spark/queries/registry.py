@@ -111,6 +111,7 @@ _PRIORITY: list[str] = [
     "q126_detector_eval",
     "q127_quantization_recall",
     "q128_html_regions",
+    "q129_config_sections",
 ]
 
 

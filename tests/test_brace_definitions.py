@@ -595,3 +595,29 @@ def test_html_element_regions_opaque_spans():
     # void elements never push (body closes cleanly)
     assert HTML_SRC[by["body"]["start"]:by["body"]["end"]].endswith("</body>")
     assert by["script"]["kind"] == "script" and by["script"]["depth"] == 2
+
+
+def test_toml_table_sections_multiline_string_opaque():
+    toml = (
+        'title = "x"\n[server]\nhost = "a"\ndoc = """\n[fake]\n"""\n'
+        "[[jobs]]\nname = \"j1\"\n[db.primary]\nurl = \"u\"\n"
+    )
+    defs = brace_definitions(toml, "toml")
+    assert [(d["kind"], d["name"]) for d in defs] == [
+        ("table", "server"),
+        ("array_table", "jobs"),
+        ("table", "db.primary"),
+    ]
+    server = defs[0]
+    assert toml[server["start"]:server["end"]].endswith('"""')  # spans the fake
+
+
+def test_yaml_key_sections_block_scalar_opaque():
+    yml = (
+        "top: 1\nscript: |\n  fake: inside block\n  more: lines\n"
+        "jobs:\n  build:\n    steps: 3\n# comment: no\nlast: x\n"
+    )
+    defs = brace_definitions(yml, "yaml")
+    assert [d["name"] for d in defs] == ["top", "script", "jobs", "last"]
+    script = defs[1]
+    assert yml[script["start"]:script["end"]].endswith("more: lines")
