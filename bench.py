@@ -147,6 +147,7 @@ HEADLINE = [
     "q127_quantization_recall",
     "q128_html_regions",
     "q129_config_sections",
+    "q130_css_regions",
 ]
 
 

@@ -473,7 +473,7 @@ def supports_definitions(language: str) -> bool:
     return (
         language in _DEF_KINDS
         or language in _KB_DEF_KINDS
-        or language in ("r", "sql", "markdown", "toml", "yaml")
+        or language in ("r", "sql", "markdown", "toml", "yaml", "css")
         or language in _HTML_ALIASES
     )
 
@@ -504,6 +504,8 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
         return toml_sections(text)
     if language == "yaml":
         return yaml_sections(text)
+    if language == "css":
+        return css_regions(text)
     kinds = _DEF_KINDS.get(language)
     if kinds is None:
         return None
@@ -1175,3 +1177,62 @@ def yaml_sections(text: str) -> list[dict]:
             {"kind": "key", "name": name, "start": off, "end": end, "depth": 0}
         )
     return out
+
+
+# --- CSS: rule regions -------------------------------------------------------
+# Regions are rules `selector { … }` at nesting depth ≤ 1 (top level
+# and one level inside an at-rule block like @media). Opaque spans:
+# /* comments */ and quoted strings — a `}` inside either never closes
+# a block, a selector-looking run inside a comment never opens one.
+# kind = the at-rule name for `@…` preludes, else "rule"; name = the
+# whitespace-normalized prelude.
+def css_regions(text: str) -> list[dict]:
+    n = len(text)
+    out: list[dict] = []
+    stack: list[tuple[str, str, int]] = []  # (kind, name, start)
+    prelude: list[str] = []
+    pre_start = -1
+    i = 0
+    while i < n:
+        c = text[i]
+        if text.startswith("/*", i):
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if c in "\"'":
+            j = i + 1
+            while j < n and text[j] != c:
+                j += 2 if text[j] == "\\" else 1
+            frag = text[i : min(j + 1, n)]
+            if pre_start >= 0:
+                prelude.append(frag)
+            i = j + 1
+            continue
+        if c == "{":
+            name = " ".join("".join(prelude).split())
+            kind = name.split()[0].lstrip("@") if name.startswith("@") else "rule"
+            stack.append((kind, name, pre_start if pre_start >= 0 else i))
+            prelude, pre_start = [], -1
+            i += 1
+            continue
+        if c == "}":
+            if stack:
+                kind, name, start = stack.pop()
+                if name and len(stack) <= 1:
+                    out.append(
+                        {"kind": kind, "name": name, "start": start,
+                         "end": i + 1, "depth": len(stack)}
+                    )
+            prelude, pre_start = [], -1
+            i += 1
+            continue
+        if c == ";":
+            prelude, pre_start = [], -1
+            i += 1
+            continue
+        if not c.isspace() and pre_start < 0:
+            pre_start = i
+        if pre_start >= 0:
+            prelude.append(c)
+        i += 1
+    return sorted(out, key=lambda d: (d["start"], d["kind"]))

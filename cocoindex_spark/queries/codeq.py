@@ -1058,3 +1058,62 @@ def q129_config_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("def_end").cast("long").alias("def_end"),
     )
     return tdefs.unionByName(ydefs)
+
+
+# --- q130: CSS rule regions — `selector { … }` rules at depth ≤ 1
+#     (and one level inside at-rule blocks), comments and quoted
+#     string values opaque: a commented-out rule never opens, a `}`
+#     inside a content string never closes, a blockless @import emits
+#     nothing. Reference: tree-sitter css grammar regions,
+#     rust/code_ast/src/view/lang.rs.
+@register(
+    "q130_css_regions",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+    CAST(doc_id AS VARCHAR) AS sid,
+    '/* .fake { } */' || chr(10) AS c0,
+    '.btn' || CAST(doc_id AS VARCHAR) || ' {' || chr(10) ||
+    '  content: "} .fake2 {";' || chr(10) ||
+    '}' || chr(10) AS r1,
+    '@media (min-width: 10px) {' || chr(10) ||
+    '  .nav' || CAST(doc_id AS VARCHAR) || ' { display: none; }' || chr(10) ||
+    '}' || chr(10) AS r2
+  FROM documents
+)
+SELECT doc_id, 'rule' AS def_kind, '.btn' || sid AS def_name,
+  CAST(strlen(c0) AS BIGINT) AS def_start,
+  CAST(strlen(c0) + strlen(r1) - 1 AS BIGINT) AS def_end
+FROM src
+UNION ALL
+SELECT doc_id, 'media', '@media (min-width: 10px)',
+  CAST(strlen(c0) + strlen(r1) AS BIGINT),
+  CAST(strlen(c0) + strlen(r1) + strlen(r2) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'rule', '.nav' || sid,
+  CAST(strlen(c0) + strlen(r1) + strlen('@media (min-width: 10px) {') + 3 AS BIGINT),
+  CAST(strlen(c0) + strlen(r1) + strlen(r2) - strlen(chr(10) || '}' || chr(10)) AS BIGINT)
+FROM src
+""",
+)
+def q130_css_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("/* .fake { } */\n"),
+        F.lit(".btn"), sid,
+        F.lit(' {\n  content: "} .fake2 {";\n}\n'),
+        F.lit("@media (min-width: 10px) {\n  .nav"), sid,
+        F.lit(" { display: none; }\n}\n"),
+    )
+    defs = definitions_df(d.withColumn("code", code), "code", "css")
+    return defs.select(
+        "doc_id",
+        "def_kind",
+        "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )

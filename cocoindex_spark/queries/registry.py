@@ -112,6 +112,7 @@ _PRIORITY: list[str] = [
     "q127_quantization_recall",
     "q128_html_regions",
     "q129_config_sections",
+    "q130_css_regions",
 ]
 
 

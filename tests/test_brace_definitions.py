@@ -621,3 +621,30 @@ def test_yaml_key_sections_block_scalar_opaque():
     assert [d["name"] for d in defs] == ["top", "script", "jobs", "last"]
     script = defs[1]
     assert yml[script["start"]:script["end"]].endswith("more: lines")
+
+
+CSS_SRC = """/* .fake { } */
+@import url("x.css");
+.btn, .btn:hover {
+  content: "} .fake2 {";
+  color: red;
+}
+@media (max-width: 600px) {
+  .nav { display: none; }
+}
+"""
+
+
+def test_css_rule_regions_opaque_spans():
+    defs = brace_definitions(CSS_SRC, "css")
+    names = [(d["kind"], d["name"]) for d in defs]
+    # the commented rule never opens; the braces inside the string
+    # value never open/close; @import (no block) emits nothing
+    assert names == [
+        ("rule", ".btn, .btn:hover"),
+        ("media", "@media (max-width: 600px)"),
+        ("rule", ".nav"),
+    ]
+    btn = defs[0]
+    assert CSS_SRC[btn["start"]:btn["end"]].endswith("color: red;\n}")
+    assert defs[2]["depth"] == 1
