@@ -150,6 +150,14 @@ _DEF_KINDS: dict[str, dict[str, str]] = {
         "interface": "interface",
         "enum": "enum",
     },
+    # TSX shares TypeScript's kinds; the template-literal and JSX-text
+    # traps ride the same lexer
+    "tsx": {
+        "function": "function",
+        "class": "class",
+        "interface": "interface",
+        "enum": "enum",
+    },
 }
 
 _MAX_DEF_DEPTH = 1  # top-level regions and their direct members
