@@ -165,6 +165,26 @@ def dot_fixed_arrow(a, b):
     return pandas_udf(LongType())(_dot)(a, b)
 
 
+def int_dot_arrow(a, b):
+    """Plain integer dot of two BIGINT-array columns (pandas UDF) —
+    the Arrow twin of the interpreted ``aggregate(zip_with(a*b))``
+    spelling; int64 multiply-sum is exact for the |q| ≤ 127 code
+    vectors it serves (q109/q127), and the giant expression tree's
+    whole-stage-codegen cost disappears."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    def _dot(x, y):
+        X = np.stack(x.to_numpy()).astype(np.int64)
+        Y = np.stack(y.to_numpy()).astype(np.int64)
+        return pd.Series((X * Y).sum(axis=1))
+
+    _dot.__annotations__ = {"x": pd.Series, "y": pd.Series, "return": pd.Series}
+    return pandas_udf(LongType())(_dot)(a, b)
+
+
 def sign_bucket_arrow(a, n_bits: int):
     """Drop-in for ``sign_bucket`` (pandas UDF; one matmul per batch)."""
     import numpy as np

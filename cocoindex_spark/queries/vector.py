@@ -1200,25 +1200,31 @@ def q127_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("code").alias("q_code"),
     )
     base = en.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("qid"))
+    # Arrow twins on the pair stage (bit-equal to the interpreted
+    # spellings): the giant dot-product expression trees otherwise pay
+    # a multi-second whole-stage-codegen compile per fresh plan.
+    from cocoindex_spark.operators.vector_ops import int_dot_arrow
+
     sim = cosine_from_fixed(
-        dot_fixed(F.col("embedding"), F.col("q_emb")), F.col("sqn"), F.col("q_sqn")
+        dot_fixed_arrow(F.col("embedding"), F.col("q_emb")),
+        F.col("sqn"),
+        F.col("q_sqn"),
     )
-    qdot = F.aggregate(
-        F.zip_with(F.col("code"), F.col("q_code"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
+    qdot = int_dot_arrow(F.col("code"), F.col("q_code"))
+    # Materialize BOTH scores into one narrow frame before ranking:
+    # embedding the scoring inside two window plans evaluates it twice.
+    scored = base.select(
+        "qid", "vec_id", sim.alias("sim"), qdot.alias("qdot")
+    ).localCheckpoint(eager=True)
     we = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     wq = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc("vec_id"))
     exact = (
-        base.select("qid", "vec_id", sim.alias("sim"))
-        .withColumn("rk", F.row_number().over(we))
+        scored.withColumn("rk", F.row_number().over(we))
         .filter(F.col("rk") <= _QR_K)
         .select("qid", "vec_id")
     )
     quant = (
-        base.select("qid", "vec_id", qdot.alias("qdot"))
-        .withColumn("rk", F.row_number().over(wq))
+        scored.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= _QR_K)
         .select(F.col("qid").alias("q_qid"), F.col("vec_id").alias("q_vid"))
     )
