@@ -144,6 +144,14 @@ _DEF_KINDS: dict[str, dict[str, str]] = {
     # template literals lex as single string tokens (code_match
     # _scan_template), so `function` inside `…${}…` never defines
     "javascript": {"function": "function", "class": "class"},
+    "solidity": {
+        "contract": "contract",
+        "library": "library",
+        "interface": "interface",
+        "function": "function",
+        "modifier": "modifier",
+        "event": "event",
+    },
     "typescript": {
         "function": "function",
         "class": "class",
@@ -481,7 +489,8 @@ def supports_definitions(language: str) -> bool:
     return (
         language in _DEF_KINDS
         or language in _KB_DEF_KINDS
-        or language in ("r", "sql", "markdown", "toml", "yaml", "css")
+        or language in ("r", "sql", "markdown", "toml", "yaml", "css",
+                        "fortran", "json")
         or language in _HTML_ALIASES
     )
 
@@ -514,6 +523,10 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
         return yaml_sections(text)
     if language == "css":
         return css_regions(text)
+    if language == "fortran":
+        return fortran_definitions(text)
+    if language == "json":
+        return json_sections(text)
     kinds = _DEF_KINDS.get(language)
     if kinds is None:
         return None
@@ -1243,4 +1256,129 @@ def css_regions(text: str) -> list[dict]:
         if pre_start >= 0:
             prelude.append(c)
         i += 1
+    return sorted(out, key=lambda d: (d["start"], d["kind"]))
+
+
+# --- Fortran: program-unit regions (free-form) -------------------------------
+# subroutine/function/module/program … end [kind [name]] blocks,
+# CASE-INSENSITIVE, over a line scanner with `!` comments and
+# single/double-quoted strings opaque. `end subroutine foo` pops ONE
+# frame (the trailing kind/name is the closer's annotation, never an
+# opener); `module procedure` headers are interface annotations, not
+# openers.
+_F_KINDS = {"program", "module", "subroutine", "function"}
+_F_MODIFIERS = {
+    "pure", "elemental", "recursive", "integer", "real", "logical",
+    "character", "double", "precision", "complex", "type",
+}
+
+
+def fortran_definitions(text: str) -> list[dict]:
+    out: list[dict] = []
+    stack: list[tuple[str | None, str | None, int]] = []
+    off = 0
+    for raw in text.split("\n"):
+        ln = raw
+        # strip strings then the ! comment (quotes never nest in F)
+        buf = []
+        q: str | None = None
+        for ch in ln:
+            if q:
+                buf.append(" ")
+                if ch == q:
+                    q = None
+            elif ch in "\"'":
+                q = ch
+                buf.append(" ")
+            elif ch == "!":
+                break
+            else:
+                buf.append(ch)
+        words = "".join(buf).split()
+        low = [w.lower() for w in words]
+        if low and low[0] == "end":
+            if len(low) == 1 or low[1] in _F_KINDS:
+                if stack:
+                    kind, name, start = stack.pop()
+                    end = off + len(raw)
+                    if kind and name and len(stack) <= 1:
+                        out.append(
+                            {"kind": kind, "name": name, "start": start,
+                             "end": end, "depth": len(stack)}
+                        )
+        elif low and low[0] == "module" and len(low) >= 2 and low[1] == "procedure":
+            pass  # interface-body annotation, no block
+        else:
+            # skip result-type/attribute modifiers before the kind
+            i = 0
+            while i < len(low) and low[i] in _F_MODIFIERS:
+                # `type :: x` is a declaration, not an opener
+                if low[i] == "type" and i + 1 < len(low) and low[i + 1].startswith("::"):
+                    i = len(low)
+                    break
+                i += 1
+            if i < len(low) and low[i] in _F_KINDS:
+                name = None
+                if i + 1 < len(low):
+                    name = words[i + 1].split("(")[0] or None
+                start = off + (len(raw) - len(raw.lstrip()))
+                stack.append((low[i], name, start))
+        off += len(raw) + 1
+    return sorted(out, key=lambda d: (d["start"], d["kind"]))
+
+
+# --- JSON: top-level key regions ---------------------------------------------
+# Structure for data files: the top-level object's keys, each region
+# spanning its full value (string-opaque brace/bracket tracking — a
+# `}` or a key-looking text inside a string never moves the scanner).
+def json_sections(text: str) -> list[dict]:
+    n = len(text)
+    out: list[dict] = []
+    depth = 0
+    i = 0
+    pending: tuple[str, int] | None = None  # (key, key_start) awaiting value end
+    while i < n:
+        c = text[i]
+        if c == '"':
+            j = i + 1
+            while j < n and text[j] != '"':
+                j += 2 if text[j] == "\\" else 1
+            s_end = min(j + 1, n)
+            if depth == 1 and pending is None:
+                # a top-level key iff the next non-space char is ':'
+                k = s_end
+                while k < n and text[k].isspace():
+                    k += 1
+                if k < n and text[k] == ":":
+                    pending = (text[i + 1 : s_end - 1], i)
+                    i = k + 1
+                    continue
+            i = s_end
+            continue
+        if c in "{[":
+            depth += 1
+        elif c in "}]":
+            depth -= 1
+            if depth <= 1 and pending is not None and c in "}]":
+                key, start = pending
+                if depth == 1:
+                    out.append(
+                        {"kind": "key", "name": key, "start": start,
+                         "end": i + 1, "depth": 0}
+                    )
+                    pending = None
+        elif c == "," and depth == 1 and pending is not None:
+            key, start = pending
+            out.append(
+                {"kind": "key", "name": key, "start": start, "end": i,
+                 "depth": 0}
+            )
+            pending = None
+        i += 1
+    if pending is not None:
+        key, start = pending
+        end = n
+        while end > start and (text[end - 1].isspace() or text[end - 1] == "}"):
+            end -= 1
+        out.append({"kind": "key", "name": key, "start": start, "end": end, "depth": 0})
     return sorted(out, key=lambda d: (d["start"], d["kind"]))

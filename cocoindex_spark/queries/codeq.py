@@ -1117,3 +1117,76 @@ def q130_css_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("def_start").cast("long").alias("def_start"),
         F.col("def_end").cast("long").alias("def_end"),
     )
+
+
+# --- q131: Fortran program-unit regions + JSON top-level keys — the
+#     last in-reach rows of the 31-language table. Fortran:
+#     case-insensitive module/function/subroutine/program … end
+#     blocks, `!` comments and quoted strings opaque, `end function
+#     name` pops exactly one frame. JSON: top-level keys spanning
+#     their full value with string-opaque brace tracking (a `}`
+#     inside a string value never moves the scanner).
+@register(
+    "q131_fortran_json_regions",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+    CAST(doc_id AS VARCHAR) AS sid,
+    '! subroutine fake' || chr(10) AS f0,
+    'module geo' || CAST(doc_id AS VARCHAR) || chr(10) || 'contains' || chr(10) AS f1,
+    '  function area' || CAST(doc_id AS VARCHAR) || '(r)' || chr(10) ||
+    '    s = "subroutine fake_str"' || chr(10) ||
+    '  end function' || chr(10) AS f2,
+    'end module' || chr(10) AS f3,
+    '{' || chr(10) || '  "name": "x}y",' || chr(10) AS j0,
+    '  "deps' || CAST(doc_id AS VARCHAR) || '": {"fake": "}"}' || chr(10) AS j1
+  FROM documents
+)
+SELECT doc_id, 'fortran' AS fmt, 'module' AS def_kind, 'geo' || sid AS def_name,
+  CAST(strlen(f0) AS BIGINT) AS def_start,
+  CAST(strlen(f0) + strlen(f1) + strlen(f2) + strlen(f3) - 1 AS BIGINT) AS def_end
+FROM src
+UNION ALL
+SELECT doc_id, 'fortran', 'function', 'area' || sid,
+  CAST(strlen(f0) + strlen(f1) + 2 AS BIGINT),
+  CAST(strlen(f0) + strlen(f1) + strlen(f2) - 1 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'json', 'key', 'name',
+  CAST(strlen('{' || chr(10) || '  ') AS BIGINT),
+  CAST(strlen(j0) - 2 AS BIGINT)
+FROM src
+UNION ALL
+SELECT doc_id, 'json', 'key', 'deps' || sid,
+  CAST(strlen(j0) + 2 AS BIGINT),
+  CAST(strlen(j0) + strlen(j1) - 1 AS BIGINT)
+FROM src
+""",
+)
+def q131_fortran_json_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    fcode = F.concat(
+        F.lit("! subroutine fake\n"),
+        F.lit("module geo"), sid, F.lit("\ncontains\n"),
+        F.lit("  function area"), sid,
+        F.lit('(r)\n    s = "subroutine fake_str"\n  end function\n'),
+        F.lit("end module\n"),
+    )
+    jcode = F.concat(
+        F.lit('{\n  "name": "x}y",\n'),
+        F.lit('  "deps'), sid, F.lit('": {"fake": "}"}\n'),
+    )
+    fdefs = definitions_df(d.withColumn("code", fcode), "code", "fortran").select(
+        "doc_id", F.lit("fortran").alias("fmt"), "def_kind", "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )
+    jdefs = definitions_df(d.withColumn("code", jcode), "code", "json").select(
+        "doc_id", F.lit("json").alias("fmt"), "def_kind", "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )
+    return fdefs.unionByName(jdefs)

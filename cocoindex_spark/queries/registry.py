@@ -113,6 +113,7 @@ _PRIORITY: list[str] = [
     "q128_html_regions",
     "q129_config_sections",
     "q130_css_regions",
+    "q131_fortran_json_regions",
 ]
 
 

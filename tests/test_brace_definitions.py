@@ -648,3 +648,60 @@ def test_css_rule_regions_opaque_spans():
     btn = defs[0]
     assert CSS_SRC[btn["start"]:btn["end"]].endswith("color: red;\n}")
     assert defs[2]["depth"] == 1
+
+
+FORTRAN_SRC = """! subroutine fake_comment
+module geo
+contains
+  pure function area(r) result(a)
+    character(len=20) :: s = "subroutine fake_str"
+    a = r * r
+  end function area
+  subroutine grow(x)
+    x = x + 1
+  end subroutine grow
+end module geo
+program main
+end program main
+"""
+
+
+def test_fortran_program_unit_regions():
+    defs = brace_definitions(FORTRAN_SRC, "fortran")
+    by = {d["name"]: d for d in defs}
+    # comment/string fakes never open; `end function area` pops ONE
+    assert set(by) == {"geo", "area", "grow", "main"}
+    assert by["geo"]["kind"] == "module" and by["geo"]["depth"] == 0
+    assert by["area"]["kind"] == "function" and by["area"]["depth"] == 1
+    assert FORTRAN_SRC[by["grow"]["start"]:by["grow"]["end"]].endswith(
+        "end subroutine grow"
+    )
+    assert by["main"]["kind"] == "program"
+
+
+def test_json_top_level_key_regions():
+    j = '{\n  "name": "x}y",\n  "deps": {"a": 1, "fake": "}"},\n  "arr": [1, 2]\n}\n'
+    defs = brace_definitions(j, "json")
+    assert [d["name"] for d in defs] == ["name", "deps", "arr"]
+    by = {d["name"]: d for d in defs}
+    # braces inside strings never move the scanner; nested keys are
+    # not top-level regions
+    assert j[by["deps"]["start"]:by["deps"]["end"]] == '"deps": {"a": 1, "fake": "}"}'
+    assert "fake" not in {d["name"] for d in defs}
+
+
+def test_solidity_definitions_lexer_exact():
+    src = (
+        "// contract Fake1 {}\n"
+        "contract Token {\n"
+        '    string s = "contract Fake2 {";\n'
+        "    function transfer(address to) public { }\n"
+        "    event Sent(address from);\n"
+        "}\n"
+    )
+    defs = brace_definitions(src, "solidity")
+    by = {d["name"]: d for d in defs}
+    assert set(by) == {"Token", "transfer", "Sent"}
+    assert by["Token"]["kind"] == "contract"
+    assert by["Sent"]["kind"] == "event"  # bodyless: ends at its `;`
+    assert src[by["Sent"]["start"]:by["Sent"]["end"]].endswith(");")
