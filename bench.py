@@ -149,6 +149,7 @@ HEADLINE = [
     "q129_config_sections",
     "q130_css_regions",
     "q131_fortran_json_regions",
+    "q132_pascal_definitions",
 ]
 
 

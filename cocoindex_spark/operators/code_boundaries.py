@@ -490,7 +490,7 @@ def supports_definitions(language: str) -> bool:
         language in _DEF_KINDS
         or language in _KB_DEF_KINDS
         or language in ("r", "sql", "markdown", "toml", "yaml", "css",
-                        "fortran", "json")
+                        "fortran", "json", "pascal")
         or language in _HTML_ALIASES
     )
 
@@ -527,6 +527,8 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
         return fortran_definitions(text)
     if language == "json":
         return json_sections(text)
+    if language == "pascal":
+        return pascal_definitions(text)
     kinds = _DEF_KINDS.get(language)
     if kinds is None:
         return None
@@ -1381,4 +1383,84 @@ def json_sections(text: str) -> list[dict]:
         while end > start and (text[end - 1].isspace() or text[end - 1] == "}"):
             end -= 1
         out.append({"kind": "key", "name": key, "start": start, "end": end, "depth": 0})
+    return sorted(out, key=lambda d: (d["start"], d["kind"]))
+
+
+# --- Pascal: routine regions ---------------------------------------------
+# procedure/function/constructor/destructor … begin … end blocks,
+# CASE-INSENSITIVE, over a dedicated scanner ({ }, (* *), // comments
+# and '…' strings — '' escapes — all opaque). Pascal declares nested
+# routines BEFORE the outer begin, so a declaration stack works: each
+# frame counts its begin/case/record/try openers and pops on the
+# balancing `end`; `repeat…until` pairs separately and is not counted;
+# a `forward;` declaration pops without emitting.
+_PAS_WORD = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_PAS_KINDS = {
+    "procedure": "procedure",
+    "function": "function",
+    "constructor": "constructor",
+    "destructor": "destructor",
+}
+_PAS_OPENERS = {"begin", "case", "record", "try", "object"}
+
+
+def pascal_definitions(text: str) -> list[dict]:
+    n = len(text)
+    toks: list[tuple[str, int, int]] = []
+    i = 0
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "{":
+            j = text.find("}", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if text.startswith("(*", i):
+            j = text.find("*)", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if text.startswith("//", i):
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        m = _PAS_WORD.match(text, i)
+        if m:
+            toks.append((m.group().lower(), i, m.end()))
+            i = m.end()
+            continue
+        i += 1
+    out: list[dict] = []
+    stack: list[list] = []  # [kind, name, start, opened]
+    for k, (w, s, e) in enumerate(toks):
+        if w in _PAS_KINDS:
+            name = None
+            if k + 1 < len(toks):
+                # original casing for the display name
+                name = text[toks[k + 1][1] : toks[k + 1][2]]
+            stack.append([_PAS_KINDS[w], name, s, 0])
+        elif w == "forward" and stack and stack[-1][3] == 0:
+            stack.pop()
+        elif w in _PAS_OPENERS:
+            if stack:
+                stack[-1][3] += 1
+        elif w == "end":
+            if stack:
+                stack[-1][3] -= 1
+                if stack[-1][3] <= 0:
+                    kind, name, start, _ = stack.pop()
+                    if name and len(stack) <= 1:
+                        out.append(
+                            {"kind": kind, "name": name, "start": start,
+                             "end": e, "depth": len(stack)}
+                        )
     return sorted(out, key=lambda d: (d["start"], d["kind"]))

@@ -1190,3 +1190,67 @@ def q131_fortran_json_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("def_end").cast("long").alias("def_end"),
     )
     return fdefs.unionByName(jdefs)
+
+
+# --- q132: Pascal routine regions — the 31st language. procedure/
+#     function/constructor/destructor blocks (case-insensitive) with
+#     { }, (* *), // comments and ''-escaped strings opaque; nested
+#     routines declared before the outer begin stack correctly;
+#     case…end inside a body balances; `forward;` declarations emit
+#     nothing. Completes structural coverage of the reference's full
+#     31-language table (docs/ops/text.mdx; rust/code_ast/src/view/
+#     lang.rs).
+@register(
+    "q132_pascal_definitions",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+    CAST(doc_id AS VARCHAR) AS sid,
+    '{ procedure Fake1; }' || chr(10) AS c0,
+    'procedure Outer' || CAST(doc_id AS VARCHAR) || '(x: Integer);' || chr(10) ||
+    '  function Inner' || CAST(doc_id AS VARCHAR) || '(y: Integer): Integer;' || chr(10) ||
+    '  begin' || chr(10) ||
+    '    Inner' || CAST(doc_id AS VARCHAR) || ' := y + 1;' || chr(10) ||
+    '  end;' || chr(10) AS p1,
+    'begin' || chr(10) ||
+    '  s := ''procedure Fake2;'';' || chr(10) ||
+    '  case x of 1: s := ''a''; end;' || chr(10) ||
+    'end;' || chr(10) AS p2
+  FROM documents
+)
+SELECT doc_id, 'procedure' AS def_kind, 'Outer' || sid AS def_name,
+  CAST(strlen(c0) AS BIGINT) AS def_start,
+  CAST(strlen(c0) + strlen(p1) + strlen(p2) - 2 AS BIGINT) AS def_end
+FROM src
+UNION ALL
+SELECT doc_id, 'function', 'Inner' || sid,
+  CAST(strlen(c0) + strlen('procedure Outer' || sid || '(x: Integer);') + 3 AS BIGINT),
+  CAST(strlen(c0) + strlen(p1) - 2 AS BIGINT)
+FROM src
+""",
+)
+def q132_pascal_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("{ procedure Fake1; }\n"),
+        F.lit("procedure Outer"), sid, F.lit("(x: Integer);\n"),
+        F.lit("  function Inner"), sid, F.lit("(y: Integer): Integer;\n"),
+        F.lit("  begin\n"),
+        F.lit("    Inner"), sid, F.lit(" := y + 1;\n"),
+        F.lit("  end;\n"),
+        F.lit("begin\n"),
+        F.lit("  s := 'procedure Fake2;';\n"),
+        F.lit("  case x of 1: s := 'a'; end;\n"),
+        F.lit("end;\n"),
+    )
+    defs = definitions_df(d.withColumn("code", code), "code", "pascal")
+    return defs.select(
+        "doc_id",
+        "def_kind",
+        "def_name",
+        F.col("def_start").cast("long").alias("def_start"),
+        F.col("def_end").cast("long").alias("def_end"),
+    )

@@ -114,6 +114,7 @@ _PRIORITY: list[str] = [
     "q129_config_sections",
     "q130_css_regions",
     "q131_fortran_json_regions",
+    "q132_pascal_definitions",
 ]
 
 

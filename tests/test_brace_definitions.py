@@ -705,3 +705,35 @@ def test_solidity_definitions_lexer_exact():
     assert by["Token"]["kind"] == "contract"
     assert by["Sent"]["kind"] == "event"  # bodyless: ends at its `;`
     assert src[by["Sent"]["start"]:by["Sent"]["end"]].endswith(");")
+
+
+PASCAL_SRC = """{ procedure Fake1; }
+(* procedure Fake2; *)
+procedure Outer(x: Integer);
+  function Inner(y: Integer): Integer;
+  begin
+    Inner := y + 1;
+  end;
+var s: string;
+begin
+  s := 'procedure Fake3;';
+  case x of
+    1: s := 'a';
+  end;
+end;
+procedure Fwd(z: Integer); forward;
+procedure Last;
+begin
+end;
+"""
+
+
+def test_pascal_routine_regions():
+    defs = brace_definitions(PASCAL_SRC, "pascal")
+    by = {d["name"]: d for d in defs}
+    # comment/string fakes never open; forward declarations don't emit;
+    # the case…end inside Outer's body balances
+    assert set(by) == {"Outer", "Inner", "Last"}
+    assert by["Inner"]["kind"] == "function" and by["Inner"]["depth"] == 1
+    assert PASCAL_SRC[by["Outer"]["start"]:by["Outer"]["end"]].endswith("end")
+    assert by["Outer"]["end"] > by["Inner"]["end"]
