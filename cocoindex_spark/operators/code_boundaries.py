@@ -735,12 +735,45 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
     return sorted(out, key=lambda d: (d["start"], d["kind"]))
 
 
+# Languages whose chunk boundaries come from a dedicated region walker
+# (not the shared token stream): the same structural exactness the
+# definitions get — e.g. a markdown heading inside a code fence or an
+# html tag inside a script body is never a split point, which the
+# regex separator hierarchies cannot guarantee.
+_WALKER_BOUNDARY_LANGS = {
+    "r", "sql", "markdown", "toml", "yaml", "css", "fortran", "json",
+    "pascal", "html", "htm", "xml", "vue", "svelte", "astro",
+}
+
+
+def _defs_to_boundaries(text: str, defs: list[dict]) -> list[list[int]] | None:
+    """Region starts → line-start boundary offsets grouped by depth."""
+    line_starts = [0]
+    for i, ch in enumerate(text):
+        if ch == "\n":
+            line_starts.append(i + 1)
+    import bisect
+
+    by_depth: dict[int, set[int]] = {}
+    for d in defs:
+        off = line_starts[bisect.bisect_right(line_starts, d["start"]) - 1]
+        if off > 0:
+            by_depth.setdefault(d["depth"], set()).add(off)
+    if not by_depth:
+        return None
+    max_d = max(by_depth)
+    return [sorted(by_depth.get(k, set())) for k in range(max_d + 1)]
+
+
 def brace_boundaries(text: str, language: str) -> list[list[int]] | None:
     """Line-start boundary offsets grouped by brace depth, or None when
     the language is unsupported or the source yields no boundaries
     (caller falls back to the regex hierarchy)."""
     if language in _KB_DEF_KINDS:
         return keyword_block_boundaries(text, language)
+    if language in _WALKER_BOUNDARY_LANGS:
+        defs = brace_definitions(text, language)
+        return _defs_to_boundaries(text, defs) if defs else None
     if not supports(language):
         return None
     toks = tokenize(text, language)

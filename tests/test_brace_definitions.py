@@ -737,3 +737,29 @@ def test_pascal_routine_regions():
     assert by["Inner"]["kind"] == "function" and by["Inner"]["depth"] == 1
     assert PASCAL_SRC[by["Outer"]["start"]:by["Outer"]["end"]].endswith("end")
     assert by["Outer"]["end"] > by["Inner"]["end"]
+
+
+def test_walker_boundaries_drive_chunking():
+    """split_recursive consumes the region walkers for markup/config
+    languages: section-level splits come only from REAL structure."""
+    from cocoindex_spark.operators.split import split_recursive
+
+    md = (
+        "# A\nintro text here\n```\n# fake heading\ncode code\n```\n"
+        "more body here\n# B\ntail words\n"
+    )
+    # generous chunk_size: only section-level boundaries fire — the
+    # fenced fake heading must NOT start a chunk
+    chunks = split_recursive(md, chunk_size=60, language="markdown")
+    starts = [c.text.split("\n")[0] for c in chunks]
+    assert "# B" in starts
+    assert not any(s.startswith("# fake") for s in starts)
+
+    h = (
+        '<body>\n<script>var s = "</div>";</script>\n'
+        '<div id="a">\n<p>one two three</p>\n</div>\n'
+        '<div id="b">\n<p>four</p>\n</div>\n</body>\n'
+    )
+    hchunks = split_recursive(h, chunk_size=60, language="html")
+    hstarts = [c.text.split("\n")[0] for c in hchunks]
+    assert any(s.startswith('<div id="b"') for s in hstarts)
