@@ -150,6 +150,7 @@ HEADLINE = [
     "q130_css_regions",
     "q131_fortran_json_regions",
     "q132_pascal_definitions",
+    "q133_markdown_chunks",
 ]
 
 

@@ -1254,3 +1254,56 @@ def q132_pascal_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("def_start").cast("long").alias("def_start"),
         F.col("def_end").cast("long").alias("def_end"),
     )
+
+
+# --- q133: fence-exact markdown chunking — the q100/q108 guarantee on
+#     the document side: recursive chunking driven by the markdown
+#     region walker, so the ONLY section boundary is the real heading;
+#     a `# fake heading` inside a code fence can never start a chunk
+#     (the regex `\\n(?=#…)` hierarchy's failure mode). Exact chunk
+#     spans + md5s oracled.
+@register(
+    "q133_markdown_chunks",
+    oracle="""
+WITH parts AS (
+  SELECT doc_id,
+    '# A' || CAST(doc_id AS VARCHAR) || chr(10) ||
+    'intro words here' || chr(10) ||
+    '```' || chr(10) ||
+    '# fake heading' || chr(10) ||
+    'code' || chr(10) ||
+    '```' || chr(10) AS p1,
+    '# B' || CAST(doc_id AS VARCHAR) || chr(10) ||
+    'body tail words' || chr(10) AS p2
+  FROM documents
+)
+SELECT doc_id, 0 AS chunk_idx, md5(p1) AS chunk_md5,
+       0 AS start_char, CAST(strlen(p1) AS INT) AS end_char
+FROM parts
+UNION ALL
+SELECT doc_id, 1, md5(p2),
+       CAST(strlen(p1) AS INT), CAST(strlen(p1) + strlen(p2) AS INT)
+FROM parts
+""",
+)
+def q133_markdown_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.split import explode_chunks
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("# A"), sid,
+        F.lit("\nintro words here\n```\n# fake heading\ncode\n```\n"),
+        F.lit("# B"), sid, F.lit("\nbody tail words\n"),
+    )
+    chunked = explode_chunks(
+        d.withColumn("code", code), "code",
+        mode="recursive", chunk_size=70, language="markdown",
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.encode(F.col("chunk_text"), "UTF-8")).alias("chunk_md5"),
+        "start_char",
+        "end_char",
+    )

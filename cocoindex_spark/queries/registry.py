@@ -115,6 +115,7 @@ _PRIORITY: list[str] = [
     "q130_css_regions",
     "q131_fortran_json_regions",
     "q132_pascal_definitions",
+    "q133_markdown_chunks",
 ]
 
 
