@@ -1,9 +1,13 @@
 """Corpus-curation app: the training-data pipeline end to end —
-quality filtering plus incremental near-dup detection.
+quality filtering, incremental near-dup detection, and leakage-safe
+train/val/test splits.
 
     documents → keep/drop verdict (length, uniqueness, repetition,
     language) → MinHash band table maintained incrementally →
-    band-collision candidate pairs.
+    band-collision candidate pairs → near-dup connected components →
+    split assignment keyed on the COMPONENT (stage 2 mount), so a
+    whole dup-group always lands in one split and a doc re-syncs its
+    split row iff its group membership changed.
 
     python -m cocoindex_spark.cli update examples/dedup_curation_app.py
 """
@@ -62,6 +66,19 @@ def curate(df):
     )
 
 
+@fn(memo=True)
+def assign_split(df):
+    """Stage 2: (doc_id, component_id) → leakage-safe split (hash the
+    GROUP's canonical id, like queries q59/q116)."""
+    key = md5_hex(F.concat(F.lit("split:"), F.col("component_id").cast("string")))
+    b = hex_to_int(key, 8) % 100
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return df.select(
+        "__args_fp", "__component_path", "doc_id", "component_id",
+        split.alias("split"),
+    )
+
+
 def app_main(app):
     spark = app.spark
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
@@ -86,10 +103,35 @@ def app_main(app):
         a.join(b, "bk").filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
         .distinct().count()
     )
+    # stage 2: leakage-safe splits — CC over the candidate pairs, then
+    # a second mount keyed on (doc_id, component_id)
+    from cocoindex_spark.operators.entity_resolution import connected_components
+
+    pairs = (
+        a.join(b, "bk").filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id").distinct()
+    )
+    comps = connected_components(
+        kept.select("doc_id"), pairs, id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), "component_id")
+    split_t = app.target(
+        os.path.join(app.state.root, "targets", "splits"),
+        ["doc_id"],
+        "doc_id LONG, component_id LONG, split STRING",
+    )
+    split_stats = app.sync_table(comps, ["doc_id"], assign_split, split_t)
+    split_counts = {
+        r["split"]: r["n"]
+        for r in split_t.read(spark).groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
     return {
         "docs": int(cur.count()),
         "kept": int(kept.count()),
         "near_dup_candidate_pairs": int(n_pairs),
+        "splits": split_counts,
         "memo_misses": stats.memo_misses,
         "noops": stats.noops,
+        "split_memo_misses": split_stats.memo_misses,
     }
