@@ -27,63 +27,13 @@ def register(name: str, oracle: str | None = None):
 # must come first. This list is refreshed each round from the previous
 # CORRECTNESS_r{N}.json: never-checked first, then stalest-checked.
 _PRIORITY: list[str] = [
-    # last driver-checked in r2 (stalest-first: the r4 gate must refresh
-    # ≥45 of these); several had code touched since r2 (q65 CC
-    # node-scope fix, q33 shared simhash operators). The round's new
-    # queries follow — the first ~5 also land in a 50-row window; the
-    # rest are locally value-verified and rotate in next round.
-    "q65_entity_resolution",
-    "q33_simhash_pairs",
-    "q62_connected_components",
-    "q05_top3_orders_per_customer",
-    "q06_groupby_scoring",
-    "q07_customers_without_orders",
-    "q08_unreferenced_parts",
-    "q09_last_wins_per_key",
-    "q10_ownership_latest_supplier",
-    "q11_stats_rollup",
-    "q12_selective_scan",
-    "q13_json_props",
-    "q14_rollup_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_banded_revenue",
-    "q20_vector_topk",
-    "q21_knn_batch",
-    "q22_similarity_join_blocked",
-    "q23_lsh_bucket_join",
-    "q24_label_centroids",
-    "q25_ivf_topk",
-    "q26_hash_embed_knn",
-    "q27_multivector_maxsim",
-    "q30_exact_dedup",
-    "q31_ngram_jaccard_pairs",
-    "q32_minhash_lsh_pairs",
-    "q34_embedding_neardup",
-    "q35_repetition_ngrams",
-    "q36_pii_scrub",
-    "q37_normalized_dedup",
-    "q38_bpe_token_estimate",
-    "q40_token_stats",
-    "q41_quality_score",
-    "q42_langid_confusion",
-    "q43_doc_fingerprint",
-    "q44_chunk_documents",
-    "q45_deterministic_ids",
-    "q56_stemmed_vocab",
-    "q60_reconcile_actions",
-    "q61_memo_miss_join",
-    "q63_rrf_hybrid",
-    "q64_child_existence_diff",
-    # new this round (no driver verdict yet; all green in the local
-    # value gate)
-    "q97_shared_sql_doc_quality",
-    "q98_brace_definitions",
-    "q99_pair_relation_read",
-    "q100_brace_chunks",
-    "q101_tfidf_top_terms",
+    # r5 rotation: the 32 round-4 queries (q102-q133) have NEVER received
+    # a driver verdict — they lead. Then queries whose code was touched
+    # since their last driver check: q76/q80/q89 (pair-relation rework),
+    # q29/q46-q49/q79 (lexer changes), q66-q68/q82 (graph family), and
+    # q119 (this round's window fix). Remaining window slots go to the
+    # stalest r3-checked queries. Everything else stays registered and
+    # locally value-verified; it rotates back in next round.
     "q102_hll_distinct",
     "q103_countmin_heavy_hitters",
     "q104_bfs_reachability",
@@ -116,6 +66,27 @@ _PRIORITY: list[str] = [
     "q131_fortran_json_regions",
     "q132_pascal_definitions",
     "q133_markdown_chunks",
+    # touched since last driver check
+    "q76_simhash_wide_pairs",
+    "q80_dup_retention",
+    "q89_source_overlap",
+    "q29_ast_chunks",
+    "q46_code_language",
+    "q47_code_pattern",
+    "q48_structural_captures",
+    "q49_definition_views",
+    "q79_ast_definitions",
+    "q66_graph_degree",
+    "q67_motif_cosupplier",
+    "q68_supplier_triangles",
+    "q82_pagerank",
+    # stalest r3-checked fillers
+    "q50_tumbling_daily",
+    "q51_sessionization",
+    "q52_hourly_uniques",
+    "q53_event_transitions",
+    "q54_asof_attribution",
+    "q55_range_click_burst",
 ]
 
 

@@ -112,7 +112,11 @@ def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with SF (150k × SF rows) — no broadcast hint;
+        # AQE broadcasts at runtime iff the build side fits. nation (25)
+        # and region (5) are fixed-cardinality: hinting them is safe at
+        # any scale.
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -165,7 +169,7 @@ def q05_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)  # SF-scaling side: AQE decides
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select(
@@ -397,7 +401,7 @@ def q14_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     joined = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)  # SF-scaling side: AQE decides
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("n_name", F.year("o_orderdate").cast("long").alias("yr"), "o_totalprice")
     )
@@ -481,8 +485,10 @@ def q16_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # excluded (⊂ supplier) and part both scale with SF — no hints;
+        # AQE broadcasts when the runtime size allows
+        li.join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(
             F.countDistinct("l_suppkey").alias("supplier_cnt"),
@@ -558,8 +564,11 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_big_orders")
     )
     return (
-        big.join(F.broadcast(c), big.o_custkey == c.c_custkey)
-        .join(F.broadcast(counts), big.o_custkey == counts.ck)
+        # customer and the per-customer counts both scale with SF — AQE
+        # decides (counts is post-filter tiny at this selectivity, and
+        # AQE will broadcast it from its runtime size)
+        big.join(c, big.o_custkey == c.c_custkey)
+        .join(counts, big.o_custkey == counts.ck)
         .select(
             "c_custkey",
             "c_name",
@@ -592,7 +601,7 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l
 def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)  # part scales with SF: AQE decides
     band = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 20))
@@ -646,7 +655,7 @@ def q93_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
     rev = (
-        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])  # supplier scales with SF
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -691,7 +700,7 @@ GROUP BY CUBE(c_mktsegment, o_orderpriority)
 def q95_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])  # customer scales with SF
     return (
         j.cube("c_mktsegment", "o_orderpriority")
         .agg(

@@ -296,9 +296,10 @@ def q85_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q86: weekly retention cohort — users active N whole weeks after
-#     their first signup. signup anchors broadcast onto the event scan
-#     (the cohort table is ≤ |users|); week index = integer epoch-us
-#     floor division (non-negative ⇒ Spark div == DuckDB //).
+#     their first signup. The cohort table is O(users) — it scales with
+#     the corpus, so it joins as a plain equi-join on user_id (AQE may
+#     still broadcast it at runtime when it fits); week index = integer
+#     epoch-us floor division (non-negative ⇒ Spark div == DuckDB //).
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
 
 
@@ -326,7 +327,10 @@ def q86_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("us").alias("t0"))
     )
     act = (
-        e.join(F.broadcast(su), "user_id")
+        # su is one row per signup user — O(users), scales with the
+        # corpus. No broadcast hint: both sides shuffle on user_id (a
+        # plain equi-join) and AQE broadcasts only if su actually fits.
+        e.join(su, "user_id")
         .filter(F.col("us") >= F.col("t0"))
         .select("user_id", F.expr(f"(us - t0) div {_WEEK_US}").alias("wk"))
         .distinct()

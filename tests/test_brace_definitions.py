@@ -763,3 +763,76 @@ def test_walker_boundaries_drive_chunking():
     hchunks = split_recursive(h, chunk_size=60, language="html")
     hstarts = [c.text.split("\n")[0] for c in hchunks]
     assert any(s.startswith('<div id="b"') for s in hstarts)
+
+
+def test_scala_expression_body_defs_end_at_expression():
+    """A braceless Scala `def f = expr` region ends at the expression,
+    not at EOF (reference: tree-sitter scala ends function_definition
+    at the body expression; line-granular fallback is the reference's
+    own granularity). This closes the r4 'known limit'."""
+    src = (
+        "object A {\n"
+        "  def double(x: Int): Int = x * 2\n"
+        "  def g(x: Int = 3) =\n"
+        "    x * 3\n"
+        "  def chain = xs\n"
+        "    .map(_ + 1)\n"
+        "    .sum\n"
+        "  def cond(x: Int) =\n"
+        "    if (x > 0) x\n"
+        "    else -x\n"
+        "  def matcher(x: Int) = x match {\n"
+        "    case 0 => 1\n"
+        "    case _ => 2\n"
+        "  }\n"
+        "}\n"
+    )
+    by = {d["name"]: d for d in brace_definitions(src, "scala")}
+    assert src[by["double"]["start"]:by["double"]["end"]] == (
+        "def double(x: Int): Int = x * 2"
+    )
+    # `=` inside the default-arg parens must not start the body
+    assert src[by["g"]["start"]:by["g"]["end"]] == "def g(x: Int = 3) =\n    x * 3"
+    # leading-dot chains and else-branches continue the expression
+    assert src[by["chain"]["start"]:by["chain"]["end"]].endswith(".sum")
+    assert src[by["cond"]["start"]:by["cond"]["end"]].endswith("else -x")
+    # a match block after `=` brace-matches to its `}`
+    assert src[by["matcher"]["start"]:by["matcher"]["end"]].endswith("}")
+    # no region may run past its successor's start
+    ordered = sorted(by.values(), key=lambda d: d["start"])
+    for a, b in zip(ordered, ordered[1:]):
+        if a["depth"] == b["depth"]:
+            assert a["end"] <= b["start"], (a["name"], b["name"])
+
+
+def test_scala_bodyless_headers_and_case_class():
+    src = (
+        "trait T\n"
+        "class C(x: Int)\n"
+        "case class D(y: Int) extends T\n"
+        "object End\n"
+    )
+    defs = brace_definitions(src, "scala")
+    spans = {d["name"]: src[d["start"]:d["end"]] for d in defs}
+    assert spans["T"] == "trait T"
+    assert spans["C"] == "class C(x: Int)"
+    assert spans["D"] == "case class D(y: Int) extends T"
+    assert spans["End"] == "object End"
+
+
+def test_kotlin_expression_body_funs():
+    src = (
+        "fun top(): Int = 1 + 2\n"
+        "fun multi(x: Int) =\n"
+        "    x * 2\n"
+        "class Box {\n"
+        "    fun inner() = 7\n"
+        "}\n"
+    )
+    by = {d["name"]: d for d in brace_definitions(src, "kotlin")}
+    assert src[by["top"]["start"]:by["top"]["end"]] == "fun top(): Int = 1 + 2"
+    assert src[by["multi"]["start"]:by["multi"]["end"]] == (
+        "fun multi(x: Int) =\n    x * 2"
+    )
+    assert src[by["inner"]["start"]:by["inner"]["end"]] == "fun inner() = 7"
+    assert by["Box"]["end"] == src.rindex("}") + 1
