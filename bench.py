@@ -151,6 +151,7 @@ HEADLINE = [
     "q131_fortran_json_regions",
     "q132_pascal_definitions",
     "q133_markdown_chunks",
+    "q134_rust_captures",
 ]
 
 

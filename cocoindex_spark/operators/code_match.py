@@ -81,6 +81,14 @@ _CPP_RAW = re.compile(r'(?:u8|[uUL])?R"([^()\\\s]{0,16})\(')
 _PREPROC_LANGS = {"c", "cpp", "c_sharp"}
 _PREPROC_CONT = {"c", "cpp"}  # backslash-newline continuation
 
+# Languages whose metavariables snap generic argument lists
+# (`Vec<Vec<u8>>`, `Map<K, List<V>>`) into one unit, and — for the
+# `::`-path family — whole scoped paths (`std::vec::Vec<u8>`): the
+# token-stream analog of the reference matching one tree-sitter
+# generic_type/scoped_identifier node (rust/code_match/src/matcher.rs).
+_GENERIC_LANGS = {"rust", "java", "kotlin", "scala", "c_sharp", "typescript", "tsx", "cpp", "dart", "swift"}
+_PATH_LANGS = {"rust", "cpp"}
+
 # Keyword-block languages (def…end / function…end) get the same
 # string/comment-exact lexing: Lua long brackets and Ruby
 # heredocs/percent-literals/=begin blocks each lex as ONE token, so a
@@ -391,6 +399,14 @@ def tokenize(text: str, language: str = "text") -> list[Tok]:
             continue
         op = next((o for o in _OPS if text.startswith(o, i)), None)
         if op:
+            if op in ("<<", ">>") and language in _GENERIC_LANGS:
+                # generic-capable languages lex shifts as two angle
+                # tokens: a nested-generic close (`Vec<Vec<u8>>`) must
+                # end one `>` at a time — the same shift-vs-generics
+                # clash every real parser special-cases. Pattern and
+                # source share this lexer, so a literal `>>` in a
+                # pattern still aligns (both sides become `>` `>`).
+                op = op[0]
             toks.append(Tok(op, i, i + len(op)))
             i += len(op)
             continue
@@ -534,6 +550,77 @@ class StructuralPattern:
             j += 1
         return i + 1  # unbalanced: degrade to one token
 
+    def _generic_end(self, toks: list[Tok], i: int) -> int | None:
+        """End index (exclusive) of a type-path unit starting at the
+        identifier at i: path segments (rust ``::``) and a balanced
+        angle-bracket argument list — ``std::vec::Vec<Vec<u8>>`` is ONE
+        unit, the node-snap the reference gets from tree-sitter's
+        scoped_identifier/generic_type nodes (rust/code_match/src/
+        matcher.rs: metavars snap to node boundaries). Ambiguity guard
+        without a grammar: ``<`` opens a generic list only when it
+        TOUCHES the preceding identifier (``Vec<u8>`` yes, ``a < b``
+        no — idiomatic comparisons are spaced). ``>>``/``<<`` count as
+        two closes/opens (the shift-vs-nested-generic lexer clash every
+        real parser special-cases). Returns None when nothing extends."""
+        j = i + 1
+        n = len(toks)
+        ext = False
+        while j < n:
+            t = toks[j]
+            if (
+                self.language in _PATH_LANGS
+                and t.text == "::"
+                and j + 1 < n
+                and _WORD.match(toks[j + 1].text)
+            ):
+                j += 2
+                ext = True
+                continue
+            if t.text == "(" and t.start == toks[j - 1].end and _WORD.match(
+                toks[j - 1].text
+            ):
+                # a call argument list touching the identifier is part
+                # of the same node (call_expression): `build()`,
+                # `HashMap::new()` snap as one unit
+                j = self._unit_end(toks, j)
+                ext = True
+                continue
+            if t.text == "<" and t.start == toks[j - 1].end and _WORD.match(
+                toks[j - 1].text
+            ):
+                depth = 1
+                j += 1
+                while j < n and depth > 0:
+                    tt = toks[j].text
+                    if tt == "<":
+                        depth += 1
+                    elif tt == "<<":
+                        depth += 2
+                    elif tt == ">":
+                        depth -= 1
+                    elif tt == ">>":
+                        depth -= 2
+                    elif tt in (";", "{", "}") or _STRING.match(tt):
+                        return None  # not a generic list after all
+                    j += 1
+                if depth > 0:
+                    return None
+                ext = True
+                continue
+            break
+        return j if ext else None
+
+    def _unit_ends(self, toks: list[Tok], i: int) -> list[int]:
+        """Candidate unit ends at i, longest first (the reference's
+        descending extension order): the generic/path extension when the
+        language has one, then the plain balanced unit."""
+        base = self._unit_end(toks, i)
+        if self.language in _GENERIC_LANGS and _WORD.match(toks[i].text):
+            g = self._generic_end(toks, i)
+            if g is not None and g > base:
+                return [g, base]
+        return [base]
+
     def match(self, source: "str | CodeSource") -> list[StructMatch]:
         if isinstance(source, CodeSource):
             toks, source = source.tokens, source.text
@@ -598,21 +685,21 @@ class StructuralPattern:
             if it.card == "one":
                 if ti >= len(toks) or toks[ti].text in _CLOSERS:
                     return None
-                hi = self._unit_end(toks, ti)
-                if capture_ok(it, ti, hi):
-                    r = rec(pi + 1, hi)
-                    if r is not None:
-                        return r
-                unbind(it, had)
-                return None
-            if it.card == "optional":
-                if ti < len(toks) and toks[ti].text not in _CLOSERS:
-                    hi = self._unit_end(toks, ti)
+                for hi in self._unit_ends(toks, ti):
                     if capture_ok(it, ti, hi):
                         r = rec(pi + 1, hi)
                         if r is not None:
                             return r
                     unbind(it, had)
+                return None
+            if it.card == "optional":
+                if ti < len(toks) and toks[ti].text not in _CLOSERS:
+                    for hi in self._unit_ends(toks, ti):
+                        if capture_ok(it, ti, hi):
+                            r = rec(pi + 1, hi)
+                            if r is not None:
+                                return r
+                        unbind(it, had)
                 if capture_ok(it, ti, ti):
                     r = rec(pi + 1, ti)
                     if r is not None:
@@ -620,11 +707,12 @@ class StructuralPattern:
                 unbind(it, had)
                 return None
             # runs: collect same-level unit boundaries, try longest first
-            # (greedy, like the reference's descending extension order)
+            # (greedy, like the reference's descending extension order);
+            # each step takes the widest unit (generic lists included)
             bounds = [ti]
             j = ti
             while j < len(toks) and toks[j].text not in _CLOSERS:
-                j = self._unit_end(toks, j)
+                j = self._unit_ends(toks, j)[0]
                 bounds.append(j)
             lo_units = 1 if it.card == "one_or_more" else 0
             for hi in reversed(bounds[lo_units:]):

@@ -1307,3 +1307,76 @@ def q133_markdown_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_char",
         "end_char",
     )
+
+
+# --- q134: Rust AST-capture parity — `\NAME` / `\(A*\)` metavariables
+#     over the LEXER-EXACT Rust token stream, where a metavar snaps a
+#     whole generic type (`Vec<Vec<u8>>`, `Result<u64, E>`) or scoped
+#     path into ONE unit, the node-snap the reference gets from
+#     tree-sitter (rust/code_match/src/matcher.rs; feature corpus
+#     code_match/tests/features.rs). Every synthetic source carries
+#     DECOY `fn` definitions inside a line comment, a plain string, a
+#     raw string `r#"…"#`, or a block comment — a regex matcher (or a
+#     matcher on a non-stripping lexer) captures those too and
+#     hash-diverges; the nested-generic arg and return types diverge on
+#     any matcher that can't close `>>` one angle at a time. The oracle
+#     reconstructs the expected captures independently in pure SQL.
+@register(
+    "q134_rust_captures",
+    oracle="""
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN 'f' || CAST(doc_id AS VARCHAR)
+       ELSE 'g' || CAST(doc_id AS VARCHAR) END AS fn_name,
+  CASE WHEN doc_id % 4 = 0
+       THEN 'x: Vec<Vec<u8>>, n' || CAST(doc_id AS VARCHAR) || ': usize'
+       ELSE '' END AS args,
+  CASE WHEN doc_id % 4 = 0
+       THEN 'Result<u64, E' || CAST(doc_id AS VARCHAR) || '>'
+       ELSE 'u64' END AS ret
+FROM documents
+WHERE doc_id % 4 IN (0, 1)
+""",
+)
+def q134_rust_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import match_code_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    snippet = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("// fn decoy_line(a: u8) -> u8 { 0 }\nfn f"), sid,
+                F.lit("(x: Vec<Vec<u8>>, n"), sid,
+                F.lit(": usize) -> Result<u64, E"), sid,
+                F.lit("> { 0 }"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit('const S: &str = "fn decoy_str(y: u8) -> u8 { 1 }";\nfn g'),
+                sid, F.lit("() -> u64 { "), sid, F.lit(" }"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit('const R: &str = r#"fn decoy_raw() -> u8 { 2 }"#;\nstruct T'),
+                sid, F.lit(";"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/* fn decoy_block() -> u8 { 3 } */\nlet v"), sid, F.lit(" = 1;")
+            )
+        )
+    )
+    code = d.withColumn("code", snippet)
+    matched = match_code_df(code, "code", r"fn \NAME(\(ARGS*\)) -> \RET {", "rust")
+    return matched.select(
+        "doc_id",
+        F.col("captures")["NAME"].alias("fn_name"),
+        F.col("captures")["ARGS"].alias("args"),
+        F.col("captures")["RET"].alias("ret"),
+    )

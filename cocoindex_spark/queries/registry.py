@@ -34,6 +34,7 @@ _PRIORITY: list[str] = [
     # q119 (this round's window fix). Remaining window slots go to the
     # stalest r3-checked queries. Everything else stays registered and
     # locally value-verified; it rotates back in next round.
+    "q134_rust_captures",  # NEW in r5
     "q102_hll_distinct",
     "q103_countmin_heavy_hitters",
     "q104_bfs_reachability",

@@ -218,3 +218,82 @@ def test_js_expression_function_not_a_definition():
     src = "const f = function inner() { return 1; };\nfunction outer() {}\n"
     names = [d["name"] for d in brace_definitions(src, "javascript")]
     assert names == ["outer"]  # `= function` is mid-expression
+
+
+# --- AST-capture parity for generic-typed languages: `\NAME` and
+#     `\(A*\)` metavariables snap whole generic types / scoped paths
+#     into one unit on the lexer-exact token stream (reference:
+#     rust/code_match/src/matcher.rs node-snap semantics; feature
+#     corpus code_match/tests/features.rs) -----------------------------
+
+import pytest as _pytest
+
+from cocoindex_spark.operators.code_match import StructuralPattern
+
+
+@_pytest.mark.parametrize(
+    "language,pattern,source,expected",
+    [
+        (
+            "rust",
+            r"fn \NAME(\(ARGS*\)) -> \RET",
+            "fn real(x: Vec<Vec<u8>>, n: usize) -> Result<u64, String> { x }",
+            {"NAME": "real", "ARGS": "x: Vec<Vec<u8>>, n: usize",
+             "RET": "Result<u64, String>"},
+        ),
+        (
+            "rust",
+            r"let \N: \T = \V;",
+            "let m: std::collections::HashMap<String, Vec<u8>> = build();",
+            {"N": "m", "T": "std::collections::HashMap<String, Vec<u8>>",
+             "V": "build()"},
+        ),
+        (
+            "java",
+            r"Map<\K, \V> \NAME = new HashMap<>();",
+            "Map<String, List<Integer>> idx = new HashMap<>();",
+            {"K": "String", "V": "List<Integer>", "NAME": "idx"},
+        ),
+        (
+            "kotlin",
+            r"fun \F(): \T",
+            "fun mk(): Pair<Int, List<String>> = TODO()",
+            {"F": "mk", "T": "Pair<Int, List<String>>"},
+        ),
+    ],
+)
+def test_generic_type_node_snap(language, pattern, source, expected):
+    p = StructuralPattern(pattern, language)
+    matches = p.match(source)
+    assert len(matches) == 1
+    assert matches[0].captures == expected
+
+
+def test_rust_decoys_in_strings_comments_never_match():
+    src = (
+        '// fn decoy_line(a: u8) -> u8 { 0 }\n'
+        'const S: &str = "fn decoy_str(y: u8) -> u8 { 1 }";\n'
+        'const R: &str = r#"fn decoy_raw() -> u8 { 2 }"#;\n'
+        "/* fn decoy_block() -> u8 { 3 } */\n"
+        "fn real() -> u64 { 7 }\n"
+    )
+    p = StructuralPattern(r"fn \NAME(\(A*\)) -> \RET", "rust")
+    assert [m.captures["NAME"] for m in p.match(src)] == ["real"]
+
+
+def test_rust_capture_equality_spans_generics():
+    p = StructuralPattern(r"fn \F(a: \T, b: \T) -> \T", "rust")
+    ok = p.match("fn add(a: Wrapper<i64>, b: Wrapper<i64>) -> Wrapper<i64> {}")
+    assert len(ok) == 1 and ok[0].captures["T"] == "Wrapper<i64>"
+    # repeated name with a DIFFERENT generic arg must not bind
+    assert p.match("fn bad(a: Wrapper<i64>, b: Wrapper<i32>) -> Wrapper<i64> {}") == []
+
+
+def test_shift_operators_still_match_after_angle_split():
+    # `>>`/`<<` lex as two `>` / `<` tokens in generic languages, on
+    # BOTH the pattern and source side — shifts still align literally
+    assert StructuralPattern(r"\A >> \B", "rust").match("let y = x >> 2;")
+    assert StructuralPattern(r"cout << \X", "cpp").match("cout << v;")
+    # spaced comparison never groups as a generic
+    m = StructuralPattern(r"if (\A < \B)", "java").match("if (a < b) {}")
+    assert m and m[0].captures == {"A": "a", "B": "b"}

@@ -118,6 +118,14 @@ CHECKS = {
         [r"ArrowEvalPython", r"Generate"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    "q134_rust_captures": (
+        # Rust structural captures: Arrow-batched matcher + explode,
+        # shuffle-free per-row plan (the pattern's literal tokens are
+        # all < min_len, so no contains-prefilter exists to assert —
+        # q48 covers that plan shape)
+        [r"ArrowEvalPython", r"Generate"],
+        [r"Exchange", r"CartesianProduct"],
+    ),
     "q13_json_props": (
         # JVM-side JSON extraction + partial agg, no Python UDF
         [r"HashAggregate"],
