@@ -152,6 +152,8 @@ HEADLINE = [
     "q132_pascal_definitions",
     "q133_markdown_chunks",
     "q134_rust_captures",
+    "q135_hll_sketch_read",
+    "q136_cm_sketch_read",
 ]
 
 

@@ -35,6 +35,8 @@ _PRIORITY: list[str] = [
     # stalest r3-checked queries. Everything else stays registered and
     # locally value-verified; it rotates back in next round.
     "q134_rust_captures",  # NEW in r5
+    "q135_hll_sketch_read",  # NEW in r5
+    "q136_cm_sketch_read",  # NEW in r5
     "q102_hll_distinct",
     "q103_countmin_heavy_hitters",
     "q104_bfs_reachability",

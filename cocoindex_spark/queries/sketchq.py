@@ -340,3 +340,179 @@ def q107_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, ["source", "p"]).select(
         "source", "p", "exact_q", "est_q"
     )
+
+
+# --- q135/q136: SKETCHES AS SYNC-MAINTAINED INDEX TABLES — the
+#     incremental twins of q102/q103 (same engine pattern as the LSH
+#     band table, FTS postings, IVF cells, and the q99 signature
+#     table). The target stores PER-DOCUMENT sketch contributions —
+#     an edit recomputes exactly one doc's rows, a delete subtracts
+#     its contribution exactly (a single global register/cell table
+#     could not: HLL has no inverse, CM would need negative replay) —
+#     and the query-time global sketch is a bounded rollup over the
+#     maintained table: MAX per (source, register) for HLL, SUM per
+#     (row, cell) for Count-Min. Both twins are VALUE-IDENTICAL to
+#     their inline forms, so they share the inline oracle verbatim.
+#     Maintenance semantics (edit → blast radius 1, delete-exact) are
+#     pinned in tests/test_sketch_sync.py.
+from cocoindex_spark.engine.function import fn as _coco_fn  # noqa: E402
+
+# q102's token derivation verbatim (split with NO empty-filter): the
+# rollup must be bit-identical to the inline sketch
+_DOC_TOKS = "array_distinct(split(trim(text), ' '))"
+_H48 = "CAST(conv(substring(md5(encode(t, 'UTF-8')), 1, 12), 16, 10) AS BIGINT)"
+_HLL_REG = (
+    f"struct(CAST({_H48} % 256 AS BIGINT) AS j,"
+    f" CAST(CASE WHEN {_H48} div 256 > 0"
+    f" THEN 41 - length(bin({_H48} div 256)) ELSE 41 END AS BIGINT) AS rho)"
+)
+# per-doc (token, count) pairs over the UNFILTERED token list — the
+# per-doc counts SUM to the corpus counts, so the rolled CM cells are
+# cell-identical to cm_cells_from_counts over the global count table
+_DOC_PAIRS = (
+    "transform(array_distinct(split(trim(text), ' ')), t -> struct("
+    "t AS t, CAST(size(filter(split(trim(text), ' '), x -> x = t)) AS BIGINT)"
+    " AS n))"
+)
+_CMH = (
+    "CAST(conv(substring(md5(encode(concat('cm{i}#', p.t), 'UTF-8')), 1, 12),"
+    " 16, 10) AS BIGINT) % 1024"
+)
+
+
+@_coco_fn(memo=True)
+def _hll_contrib(df: DataFrame) -> DataFrame:
+    # per-doc register contributions: one (j, rho) per distinct token,
+    # bit-identical to operators/sketch hll_registers' hash/rank math
+    return df.select(
+        "__args_fp",
+        "__component_path",
+        "doc_id",
+        "source",
+        F.expr(f"transform({_DOC_TOKS}, t -> {_HLL_REG})").alias("regs"),
+    )
+
+
+@_coco_fn(memo=True)
+def _cm_contrib(df: DataFrame) -> DataFrame:
+    cells = ", ".join(
+        f"struct({i} AS row, {_CMH.format(i=i)} AS cell, p.n AS n)"
+        for i in range(4)
+    )
+    return df.select(
+        "__args_fp",
+        "__component_path",
+        "doc_id",
+        F.expr(f"flatten(transform({_DOC_PAIRS}, p -> array({cells})))").alias(
+            "cells"
+        ),
+    )
+
+
+def _synced_sketch(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
+    """Sync the per-doc contribution table into a temp engine target
+    and return the GLOBAL sketch rolled up from it (localCheckpointed:
+    the returned frame outlives the temp state dir)."""
+    import shutil
+    import tempfile
+
+    from cocoindex_spark.engine.app import App
+
+    root = tempfile.mkdtemp(prefix=f"{which}_sketch_idx_")
+    try:
+        app = App(f"{which}_idx", state_dir=root, spark=spark)
+        d = table(spark, sf_dir, "documents")
+        if which == "hll":
+            t = app.target(
+                f"{root}/hllidx",
+                ["doc_id"],
+                "doc_id LONG, source STRING,"
+                " regs ARRAY<STRUCT<j BIGINT, rho BIGINT>>",
+            )
+            app.sync_table(
+                d.select("doc_id", "source", "text"), ["doc_id"], _hll_contrib, t
+            )
+            rolled = (
+                t.read(spark)
+                .select("source", F.explode("regs").alias("r"))
+                .groupBy("source", F.col("r.j").alias("j"))
+                .agg(F.max("r.rho").alias("M"))
+            )
+        else:
+            t = app.target(
+                f"{root}/cmidx",
+                ["doc_id"],
+                "doc_id LONG,"
+                " cells ARRAY<STRUCT<row INT, cell BIGINT, n BIGINT>>",
+            )
+            app.sync_table(d.select("doc_id", "text"), ["doc_id"], _cm_contrib, t)
+            rolled = (
+                t.read(spark)
+                .select(F.explode("cells").alias("c"))
+                .groupBy(F.col("c.row").alias("row"), F.col("c.cell").alias("cell"))
+                .agg(F.sum("c.n").alias("n"))
+            )
+        return rolled.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q135_hll_sketch_read",
+    oracle=f"""
+WITH hll AS ({sql_hll_estimate(_TOKENS_SQL, "source", "tok")}),
+exact AS (
+  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM {_TOKENS_SQL} GROUP BY source
+)
+SELECT e.source, e.exact_distinct, h.hll_estimate
+FROM exact e JOIN hll h ON e.source = h.source
+""",
+)
+def q135_hll_sketch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    regs = _synced_sketch(spark, sf_dir, "hll")
+    est = hll_estimate(regs, ["source"])
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    return exact.join(est, "source").select(
+        "source", "exact_distinct", "hll_estimate"
+    )
+
+
+@register(
+    "q136_cm_sketch_read",
+    oracle=f"""
+WITH toks AS (SELECT tok FROM {_TOKENS_SQL}),
+sketch AS ({sql_cm_cells("toks", "tok")}),
+top AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM toks GROUP BY tok
+  ORDER BY exact_n DESC, tok LIMIT 20
+),
+cells AS ({sql_cm_probe_cells("top", "tok")}),
+est AS (
+  SELECT c.tok, CAST(MIN(s.n) AS BIGINT) AS cm_estimate
+  FROM cells c JOIN sketch s ON c.row = s.row AND c.cell = s.cell
+  GROUP BY c.tok
+)
+SELECT t.tok, t.exact_n, e.cm_estimate
+FROM top t JOIN est e ON t.tok = e.tok
+""",
+)
+def q136_cm_sketch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sketch = _synced_sketch(spark, sf_dir, "cm")
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+        .limit(20)
+    )
+    est = cm_lookup(sketch, top.select("tok"), "tok")
+    return top.join(est, "tok").select("tok", "exact_n", "cm_estimate")
