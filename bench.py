@@ -154,6 +154,7 @@ HEADLINE = [
     "q134_rust_captures",
     "q135_hll_sketch_read",
     "q136_cm_sketch_read",
+    "q137_quickstart_topk",
 ]
 
 

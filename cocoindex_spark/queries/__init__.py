@@ -23,5 +23,6 @@ from cocoindex_spark.queries import pipelineq  # noqa: F401,E402
 from cocoindex_spark.queries import graphq  # noqa: F401,E402
 from cocoindex_spark.queries import ftsq  # noqa: F401,E402
 from cocoindex_spark.queries import sketchq  # noqa: F401,E402
+from cocoindex_spark.queries import quickstart  # noqa: F401,E402
 
 __all__ = ["all_queries", "all_oracles"]

@@ -5,6 +5,11 @@ walk_dir → split → embed → vector table with a similarity index):
     documents → 32-word overlapping chunks → feature-hash embedding
     → LSH-bucketed vector table maintained incrementally.
 
+The pipeline itself lives in `cocoindex_spark.queries.quickstart` —
+the SAME transform and sync this app runs is registered as the
+value-oracled query `q137_quickstart_topk`, so the example can never
+drift from the verified flow.
+
 Run it with the CLI (re-running is incremental — unchanged documents
 replay memoized chunks and the sync is all no-ops):
 
@@ -19,54 +24,14 @@ import os
 
 from pyspark.sql import functions as F
 
-from cocoindex_spark.engine.function import fn
-from cocoindex_spark.operators.embed import hash_embed_expr
-from cocoindex_spark.operators.vector_ops import cosine_fixed, sign_bucket
+from cocoindex_spark.operators.vector_ops import cosine_fixed
+from cocoindex_spark.queries.quickstart import (
+    LSH_BITS,
+    sync_quickstart_table,
+)
 
 APP_NAME = "text_embedding_example"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-
-CHUNK = 32
-STRIDE = 24
-EMB_DIM = 16
-LSH_BITS = 4
-
-
-@fn(memo=True)
-def chunk_and_embed(df):
-    """doc → chunks → embeddings, one output row per chunk (the memo
-    key is the whole document: an edited doc re-embeds its chunks, an
-    untouched one replays them)."""
-    w = F.split(F.trim(F.col("text")), " ")
-    n = F.size(w)
-    extra = F.greatest(n - F.lit(CHUNK), F.lit(0))
-    n_chunks = (
-        F.floor(extra.cast("double") / F.lit(STRIDE)).cast("long")
-        + F.when(extra % STRIDE > 0, 1).otherwise(0)
-        + 1
-    )
-    chunks = df.select(
-        "__args_fp",
-        "__component_path",
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.concat_ws(" ", F.slice(w, i * STRIDE + 1, CHUNK)),
-            )
-        ).alias("chunk_idx", "chunk_text"),
-    ).filter(F.length("chunk_text") > 0)
-    toks = F.split(F.col("chunk_text"), " ")
-    emb = hash_embed_expr(toks, EMB_DIM)
-    return chunks.select(
-        "__args_fp",
-        "__component_path",
-        "doc_id",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        "chunk_text",
-        emb.alias("embedding"),
-        sign_bucket(emb, LSH_BITS).cast("int").alias("bucket"),
-    )
 
 
 def app_main(app):
@@ -74,18 +39,11 @@ def app_main(app):
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
         "doc_id", "text"
     )
-    state_root = app.state.root
-    target = app.target(
-        os.path.join(state_root, "targets", "chunks"),
-        ["doc_id", "chunk_idx"],
-        "doc_id LONG, chunk_idx LONG, chunk_text STRING, "
-        "embedding ARRAY<FLOAT>, bucket INT",
-    )
-    target.declare_index("lsh", "embedding", bits=LSH_BITS)
-    stats = app.sync_table(docs, ["doc_id"], chunk_and_embed, target)
+    target, stats = sync_quickstart_table(app, docs)
 
     # Query the maintained table: bucket-pruned cosine top-3 for the
-    # first document's first chunk as the probe.
+    # first document's first chunk as the probe (the same question
+    # q137_quickstart_topk value-oracles at sf0.01).
     idx = target.read(spark)
     probe = idx.orderBy("doc_id", "chunk_idx").limit(1).select(
         F.col("embedding").alias("q"), F.col("bucket").alias("qb")
