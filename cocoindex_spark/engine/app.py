@@ -341,6 +341,19 @@ class App:
         # dedup partitions by __args_fp — the same key the memo join
         # shuffles on — so the exchange is reused, not added.
         keyed = keyed.dropDuplicates(["__args_fp"])
+        # Row counts ride as observations INSIDE the cached plans: the
+        # metrics fire during the caches' first (full) materialization —
+        # the reconcile-phase jobs that run anyway — so the stats phase
+        # reads driver-side values instead of launching two more
+        # cache-scan jobs per sync (keyed.count / miss_src.count). The
+        # first materializing actions (duplicate-declaration check,
+        # plan.counts) are full scans — group-bys over the whole frame —
+        # never limit-style partial reads, so the observed counts are
+        # exact.
+        from pyspark.sql import Observation
+
+        obs_keyed = Observation()
+        keyed = keyed.observe(obs_keyed, F.count(F.lit(1)).alias("n"))
         keyed = keyed.cache()
 
         # ---- memo lookup join (§3.2: anti-join against _state/memo) ----
@@ -359,6 +372,8 @@ class App:
             )
             miss_src = keyed
 
+        obs_miss = Observation()
+        miss_src = miss_src.observe(obs_miss, F.count(F.lit(1)).alias("n"))
         miss_src = miss_src.cache()
         # Run the transform ONLY over misses (always run it so we learn
         # the output schema even when everything hit).
@@ -495,11 +510,25 @@ class App:
         # without tracking just replays the memoized result into a
         # reconcile that still sees the mismatch — convergent either
         # way (same relaxation as cross-table non-atomicity, §2.5).
+        def _observed_n(obs, df) -> int:
+            # plan.counts() above fully materialized the keyed/miss
+            # caches, so the observations are set — a driver-side dict
+            # read, not a job. Fallback: when the optimizer erased the
+            # observed subtree entirely (empty-relation propagation
+            # through a limit(0)/empty source drops the CollectMetrics
+            # node), the metrics row is absent and `get` raises — count
+            # the cached frame instead (trivial: it is empty or tiny in
+            # exactly those cases).
+            try:
+                return int(obs.get["n"])
+            except Exception:
+                return df.count()
+
         memo_thread = None
         memo_err: list[BaseException] = []
         if memo:
-            stats.memo_misses = miss_src.count()
-            stats.memo_hits = keyed.count() - stats.memo_misses
+            stats.memo_misses = _observed_n(obs_miss, miss_src)
+            stats.memo_hits = _observed_n(obs_keyed, keyed) - stats.memo_misses
             if use_cheap:
                 # Cheap-fp replays never reached the loaded set: they are
                 # memo hits that skipped content I/O entirely. n_cheap
@@ -543,9 +572,10 @@ class App:
                 # own contract says write order vs memo/tracking does
                 # not matter (a missing side just falls back to
                 # load+recompute next run), so serializing it after the
-                # sink phases only added latency. keyed's cache is
-                # materialized by the miss_src.count() above, so the
-                # thread never races the content scan.
+                # sink phases only added latency. keyed's cache was
+                # materialized by the reconcile-phase jobs (plan.counts
+                # runs before this point), so the thread never races
+                # the content scan.
                 new_sfp_bg = None
                 if use_cheap and stats.extra["loaded"]:
                     new_sfp_bg = keyed.select(
@@ -567,7 +597,7 @@ class App:
                 memo_thread.start()
             _phase("stats_counts")
         else:
-            stats.memo_misses = keyed.count()
+            stats.memo_misses = _observed_n(obs_keyed, keyed)
             _phase("stats_counts")
 
         # ---- Phase 2 precommit: stage marker (pending_token) ----
