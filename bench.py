@@ -155,6 +155,7 @@ HEADLINE = [
     "q135_hll_sketch_read",
     "q136_cm_sketch_read",
     "q137_quickstart_topk",
+    "q138_containment_match",
 ]
 
 

@@ -445,6 +445,17 @@ class _Lit:
     text: str
 
 
+@dataclass
+class _Contain:
+    """``\\{{ INNER \\}}`` — matches ONE unit here whose token span
+    CONTAINS a match of INNER at any position inside it (the reference's
+    descendant-containment, lexer.rs `S{{ INNER S}}` / DESIGN §12).
+    Bindings thread across the group boundary and nested groups work —
+    matcher.rs `match_contains`."""
+
+    items: list
+
+
 _META_LONG = re.compile(
     r"\\\(\s*(?:(?P<name>[A-Za-z0-9_]+)|(?P<anon>[_*+?]))?"
     r"(?:\s*:\s*/(?P<re1>(?:[^/\\]|\\.)*)/)?"
@@ -472,20 +483,28 @@ class StructuralPattern:
         self.language = language
         self.min_len = min_len
         self.items = self._lex_pattern(pattern)
-        self.literals = [
-            it.text
-            for it in self.items
-            if isinstance(it, _Lit) and len(it.text) >= min_len
-        ]
 
-    def _lex_pattern(self, pattern: str) -> list[_Lit | _Meta]:
-        items: list[_Lit | _Meta] = []
+        def _lits(items) -> list:
+            out = []
+            for it in items:
+                if isinstance(it, _Lit) and len(it.text) >= min_len:
+                    out.append(it.text)
+                elif isinstance(it, _Contain):
+                    out.extend(_lits(it.items))
+            return out
+
+        self.literals = _lits(self.items)
+
+    def _lex_pattern(self, pattern: str) -> list:
+        # `stack[-1]` is the item list currently being filled; a `\{{`
+        # pushes a fresh inner list, `\}}` pops it into a _Contain.
+        stack: list[list] = [[]]
         i, n = 0, len(pattern)
         plain_start = i
 
         def flush(upto: int) -> None:
             seg = pattern[plain_start:upto]
-            items.extend(_Lit(t.text) for t in tokenize(seg, self.language))
+            stack[-1].extend(_Lit(t.text) for t in tokenize(seg, self.language))
 
         while i < n:
             if pattern[i] != "\\":
@@ -493,8 +512,25 @@ class StructuralPattern:
                 continue
             if pattern.startswith("\\\\", i):  # literal sigil
                 flush(i)
-                items.append(_Lit("\\"))
+                stack[-1].append(_Lit("\\"))
                 i += 2
+                plain_start = i
+                continue
+            if pattern.startswith("\\{{", i):
+                flush(i)
+                stack.append([])
+                i += 3
+                plain_start = i
+                continue
+            if pattern.startswith("\\}}", i):
+                flush(i)
+                if len(stack) < 2:
+                    raise ValueError(
+                        f"unbalanced containment close \\}}}} at offset {i}"
+                    )
+                inner = stack.pop()
+                stack[-1].append(_Contain(inner))
+                i += 3
                 plain_start = i
                 continue
             m = _META_LONG.match(pattern, i) or _META_SHORT.match(pattern, i)
@@ -519,11 +555,15 @@ class StructuralPattern:
                     ) from e
             else:
                 compiled_rx = None
-            items.append(_Meta(name=name, card=card, regex=compiled_rx))
+            stack[-1].append(_Meta(name=name, card=card, regex=compiled_rx))
             i = m.end()
             plain_start = i
         flush(n)
-        return items
+        if len(stack) != 1:
+            raise ValueError(
+                "unbalanced containment: \\{{ without a matching \\}}"
+            )
+        return stack[0]
 
     # -- prefilter ---------------------------------------------------------
     def might_match(self, source: str) -> bool:
@@ -671,37 +711,77 @@ class StructuralPattern:
             if meta.name is not None and not had:
                 bind.pop(meta.name, None)
 
-        def rec(pi: int, ti: int) -> int | None:
-            """Match items[pi:] at token ti; return end token index."""
-            if pi == len(self.items):
+        def rec(items: list, pi: int, ti: int, limit: int) -> int | None:
+            """Match items[pi:] at token ti within toks[:limit]; return
+            the end token index."""
+            if pi == len(items):
                 return ti
-            it = self.items[pi]
+            it = items[pi]
             if isinstance(it, _Lit):
-                if ti < len(toks) and toks[ti].text == it.text:
-                    return rec(pi + 1, ti + 1)
+                if ti < limit and toks[ti].text == it.text:
+                    return rec(items, pi + 1, ti + 1, limit)
+                return None
+            if isinstance(it, _Contain):
+                # one unit here whose span CONTAINS a match of the inner
+                # pattern anywhere inside it (any depth: the search
+                # scans every start position within the unit, so nested
+                # delimiters are transparent). For a delimiter group the
+                # searched region is the group's interior; the outer
+                # match resumes after the group. Bindings thread both
+                # ways; each candidate inner match backtracks cleanly.
+                if ti >= limit or toks[ti].text in _CLOSERS:
+                    return None
+                if toks[ti].text in _OPENERS:
+                    # delimiter group: search its interior, resume after
+                    hi = min(self._unit_ends(toks, ti)[0], limit)
+                    region_lo, region_hi = ti + 1, max(hi - 1, ti + 1)
+                else:
+                    # braceless suite (python/ruby …): no closing token
+                    # exists, so the "one node" region is the maximal
+                    # same-level sibling run — the token-stream analog
+                    # of the suite node (documented approximation: it
+                    # extends to the next closer/EOF, not the dedent)
+                    j = ti
+                    while j < limit and toks[j].text not in _CLOSERS:
+                        j = min(self._unit_ends(toks, j)[0], limit)
+                    hi = j
+                    region_lo, region_hi = ti, hi
+                for s in range(region_lo, region_hi):
+                    before = set(bind)
+                    inner_end = rec(it.items, 0, s, region_hi)
+                    if inner_end is not None:
+                        r = rec(items, pi + 1, hi, limit)
+                        if r is not None:
+                            return r
+                    for name in set(bind) - before:
+                        bind.pop(name, None)
                 return None
             # metavariable
             had = it.name in bind if it.name else False
             if it.card == "one":
-                if ti >= len(toks) or toks[ti].text in _CLOSERS:
+                if ti >= limit or toks[ti].text in _CLOSERS:
                     return None
                 for hi in self._unit_ends(toks, ti):
+                    if hi > limit:
+                        continue
                     if capture_ok(it, ti, hi):
-                        r = rec(pi + 1, hi)
+                        r = rec(items, pi + 1, hi, limit)
                         if r is not None:
                             return r
                     unbind(it, had)
                 return None
             if it.card == "optional":
-                if ti < len(toks) and toks[ti].text not in _CLOSERS:
+                if ti < limit and toks[ti].text not in _CLOSERS:
                     for hi in self._unit_ends(toks, ti):
+                        if hi > limit:
+                            continue
                         if capture_ok(it, ti, hi):
-                            r = rec(pi + 1, hi)
+                            r = rec(items, pi + 1, hi, limit)
                             if r is not None:
                                 return r
                         unbind(it, had)
                 if capture_ok(it, ti, ti):
-                    r = rec(pi + 1, ti)
+                    r = rec(items, pi + 1, ti, limit)
                     if r is not None:
                         return r
                 unbind(it, had)
@@ -711,19 +791,19 @@ class StructuralPattern:
             # each step takes the widest unit (generic lists included)
             bounds = [ti]
             j = ti
-            while j < len(toks) and toks[j].text not in _CLOSERS:
-                j = self._unit_ends(toks, j)[0]
+            while j < limit and toks[j].text not in _CLOSERS:
+                j = min(self._unit_ends(toks, j)[0], limit)
                 bounds.append(j)
             lo_units = 1 if it.card == "one_or_more" else 0
             for hi in reversed(bounds[lo_units:]):
                 if capture_ok(it, ti, hi):
-                    r = rec(pi + 1, hi)
+                    r = rec(items, pi + 1, hi, limit)
                     if r is not None:
                         return r
                 unbind(it, had)
             return None
 
-        end_ti = rec(0, start)
+        end_ti = rec(self.items, 0, start, len(toks))
         if end_ti is None or end_ti == start:
             return None
         s, e = toks[start].start, toks[end_ti - 1].end

@@ -1380,3 +1380,60 @@ def q134_rust_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("captures")["ARGS"].alias("args"),
         F.col("captures")["RET"].alias("ret"),
     )
+
+
+# --- q138: containment matching `\{{ ... \}}` — the reference's
+#     descendant-containment predicate (rust/code_match/src/lexer.rs
+#     `S{{ INNER S}}`, matcher.rs match_contains; feature corpus
+#     code_match/tests/features.rs "containment" block): match a
+#     function whose BODY contains `return <expr>;` at ANY depth, with
+#     the returned expression captured and the whole function reported.
+#     Half the matching docs nest the return inside an `if` — a
+#     shallow matcher misses those; docs with no return (and decoy
+#     returns inside strings) must not match.
+@register(
+    "q138_containment_match",
+    oracle="""
+SELECT doc_id,
+  'f' || CAST(doc_id AS VARCHAR) AS fn_name,
+  CASE WHEN doc_id % 4 = 0 THEN 'x + ' || CAST(doc_id AS VARCHAR)
+       ELSE 'y * 2' END AS ret_expr
+FROM documents
+WHERE doc_id % 4 IN (0, 1)
+""",
+)
+def q138_containment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import match_code_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    snippet = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            # top-level return
+            F.concat(F.lit("fn f"), sid, F.lit("(x: u64) -> u64 { let t = 1; return x + "), sid, F.lit("; }")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            # return nested inside an if — the containment must descend
+            F.concat(F.lit("fn f"), sid, F.lit("(y: u64) -> u64 { if y > 0 { return y * 2; } 0 }")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            # no return at all → must not match
+            F.concat(F.lit("fn f"), sid, F.lit("(z: u64) -> u64 { z + 1 }")),
+        )
+        .otherwise(
+            # decoy `return` inside a string literal → must not match
+            F.concat(F.lit('fn f'), sid, F.lit('(w: u64) -> u64 { let s = "return w;"; w }')),
+        )
+    )
+    code = d.withColumn("code", snippet)
+    matched = match_code_df(
+        code, "code", r"fn \NAME(\(A+\)) -> u64 \{{ return \(X+\); \}}", "rust"
+    )
+    return matched.select(
+        "doc_id",
+        F.col("captures")["NAME"].alias("fn_name"),
+        F.col("captures")["X"].alias("ret_expr"),
+    )

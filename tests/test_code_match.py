@@ -297,3 +297,64 @@ def test_shift_operators_still_match_after_angle_split():
     # spaced comparison never groups as a generic
     m = StructuralPattern(r"if (\A < \B)", "java").match("if (a < b) {}")
     assert m and m[0].captures == {"A": "a", "B": "b"}
+
+
+# --- containment `\{{ ... \}}` (reference: lexer.rs `S{{ INNER S}}`,
+#     matcher.rs match_contains; feature corpus
+#     code_match/tests/features.rs "containment" block) ----------------
+
+
+def test_contains_basic_and_any_depth():
+    p = StructuralPattern(r"fn \NAME() \{{ return \(X+\); \}}", "rust")
+    # the return is nested inside an `if` — the search descends
+    src = "fn foo() { let x = 1; if c { return a + b; } }\nfn bar() { let y = 2; }"
+    ms = p.match(src)
+    assert len(ms) == 1
+    assert ms[0].captures == {"NAME": "foo", "X": "a + b"}
+    # the whole function span is reported, not just the return
+    assert ms[0].text.startswith("fn foo()")
+
+
+def test_contains_negative_when_absent():
+    p = StructuralPattern(r"fn \NAME() \{{ return \(X+\); \}}", "rust")
+    assert p.match("fn foo() { let x = 1; }") == []
+
+
+def test_contains_binding_threads_across_the_group():
+    # a name bound BEFORE the group constrains a use INSIDE it
+    p = StructuralPattern(r"fn \F(\P: i64) \{{ return \P; \}}", "rust")
+    yes = p.match("fn id(a: i64) { return a; }")
+    assert yes and yes[0].captures == {"F": "id", "P": "a"}
+    assert p.match("fn id(b: i64) { return a; }") == []
+
+
+def test_contains_nested():
+    p = StructuralPattern(
+        r"fn \F() \{{ if \C \{{ return \(X+\); \}} \}}", "rust"
+    )
+    m = p.match("fn foo() { if cond { return a + b; } }")
+    assert m and m[0].captures == {"F": "foo", "C": "cond", "X": "a + b"}
+
+
+def test_contains_python_suite_region():
+    # braceless suite: the containment region is the same-level run
+    p = StructuralPattern(r"def \F(\(P*\)): \{{ return \(X+\) \}}", "python")
+    m = p.match("def foo(a, b):\n    x = 1\n    if c:\n        return a + b\n")
+    assert m and m[0].captures == {"F": "foo", "P": "a, b", "X": "a + b"}
+    assert p.match("def foo(a):\n    x = 1\n") == []
+
+
+def test_contains_unbalanced_markers_error():
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        StructuralPattern(r"fn \F() \{{ return \X", "rust")
+    with _pt.raises(ValueError):
+        StructuralPattern(r"return \X \}}", "rust")
+
+
+def test_contains_literals_feed_the_prefilter():
+    p = StructuralPattern(r"fn \NAME() \{{ unwrap \}}", "rust")
+    assert "unwrap" in p.literals
+    assert p.might_match("fn a() { x.unwrap() }")
+    assert not p.might_match("fn a() { x }")
