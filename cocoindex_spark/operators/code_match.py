@@ -464,6 +464,35 @@ _META_LONG = re.compile(
     r"\s*\\\)"
 )
 _META_SHORT = re.compile(r"\\(?:(?P<name>[A-Za-z0-9_]+)|(?P<anon>[_*+?])|/(?P<re>(?:[^/\\]|\\.)*)/)")
+# anonymous regex, long form: `\(/re/\)` / `\(/re/*\)` (lexer.rs: "anonymous
+# is `S(/re/ S)` or the short form `S/re/`")
+_META_ANON_RE = re.compile(
+    r"\\\(\s*/(?P<re>(?:[^/\\]|\\.)*)/\s*(?P<card>[*+?])?\s*\\\)"
+)
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=8)
+def _meta_regexes(sigil: str):
+    """The metavariable regexes for a configurable sigil (the
+    reference's `with_meta_char`, lexer.rs: "sigil `S` is configurable,
+    default `\\`"). Delimiters are symmetric: `S( … S)`."""
+    s = re.escape(sigil)
+    long_form = re.compile(
+        s + r"\(\s*(?:(?P<name>[A-Za-z0-9_]+)|(?P<anon>[_*+?]))?"
+        r"(?:\s*:\s*/(?P<re1>(?:[^/\\]|\\.)*)/)?"
+        r"\s*(?P<card>[*+?])?"
+        r"(?:\s*:\s*/(?P<re2>(?:[^/\\]|\\.)*)/)?"
+        r"\s*" + s + r"\)"
+    )
+    short_form = re.compile(
+        s + r"(?:(?P<name>[A-Za-z0-9_]+)|(?P<anon>[_*+?])|/(?P<re>(?:[^/\\]|\\.)*)/)"
+    )
+    anon_re = re.compile(
+        s + r"\(\s*/(?P<re>(?:[^/\\]|\\.)*)/\s*(?P<card>[*+?])?\s*" + s + r"\)"
+    )
+    return long_form, short_form, anon_re
 _CARD = {"*": "many", "+": "one_or_more", "?": "optional", "_": "one", None: "one"}
 
 
@@ -479,9 +508,18 @@ class StructuralPattern:
     """Compile once, match many sources (the reference's CodePattern
     contract — compilation is not free, reuse it)."""
 
-    def __init__(self, pattern: str, language: str = "text", min_len: int = 3):
+    def __init__(
+        self,
+        pattern: str,
+        language: str = "text",
+        min_len: int = 3,
+        sigil: str = "\\",
+    ):
+        if len(sigil) != 1:
+            raise ValueError("sigil must be a single character")
         self.language = language
         self.min_len = min_len
+        self.sigil = sigil
         self.items = self._lex_pattern(pattern)
 
         def _lits(items) -> list:
@@ -498,6 +536,8 @@ class StructuralPattern:
     def _lex_pattern(self, pattern: str) -> list:
         # `stack[-1]` is the item list currently being filled; a `\{{`
         # pushes a fresh inner list, `\}}` pops it into a _Contain.
+        sig = self.sigil
+        meta_long, meta_short, meta_anon_re = _meta_regexes(sig)
         stack: list[list] = [[]]
         i, n = 0, len(pattern)
         plain_start = i
@@ -507,33 +547,37 @@ class StructuralPattern:
             stack[-1].extend(_Lit(t.text) for t in tokenize(seg, self.language))
 
         while i < n:
-            if pattern[i] != "\\":
+            if pattern[i] != sig:
                 i += 1
                 continue
-            if pattern.startswith("\\\\", i):  # literal sigil
+            if pattern.startswith(sig + sig, i):  # doubled sigil = literal
                 flush(i)
-                stack[-1].append(_Lit("\\"))
+                stack[-1].append(_Lit(sig))
                 i += 2
                 plain_start = i
                 continue
-            if pattern.startswith("\\{{", i):
+            if pattern.startswith(sig + "{{", i):
                 flush(i)
                 stack.append([])
                 i += 3
                 plain_start = i
                 continue
-            if pattern.startswith("\\}}", i):
+            if pattern.startswith(sig + "}}", i):
                 flush(i)
                 if len(stack) < 2:
                     raise ValueError(
-                        f"unbalanced containment close \\}}}} at offset {i}"
+                        f"unbalanced containment close {sig}}}}} at offset {i}"
                     )
                 inner = stack.pop()
                 stack[-1].append(_Contain(inner))
                 i += 3
                 plain_start = i
                 continue
-            m = _META_LONG.match(pattern, i) or _META_SHORT.match(pattern, i)
+            m = (
+                meta_anon_re.match(pattern, i)
+                or meta_long.match(pattern, i)
+                or meta_short.match(pattern, i)
+            )
             if not m:
                 raise ValueError(f"bad metavariable at offset {i}: {pattern[i:i+12]!r}")
             flush(i)

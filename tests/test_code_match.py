@@ -358,3 +358,39 @@ def test_contains_literals_feed_the_prefilter():
     assert "unwrap" in p.literals
     assert p.might_match("fn a() { x.unwrap() }")
     assert not p.might_match("fn a() { x }")
+
+
+# --- anonymous long-form regex + configurable sigil (features.rs
+#     regex_on_a_run / configurable_dollar_sigil / escaped_sigil) ------
+
+
+def test_anonymous_long_form_regex_run():
+    src = "const x = [1, 2, 3];"
+    # separator folded into the regex matches the whole list
+    ms = StructuralPattern(r"[\(N:/[0-9]+|,/*\)]", "typescript").match(src)
+    assert ms and ms[0].captures["N"] == "1, 2, 3"
+    # without the separator the comma ends the run → `]` can't close
+    assert StructuralPattern(r"[\(/[0-9]+/*\)]", "typescript").match(src) == []
+    # `*` admits the empty list, `+` does not
+    empty = "const y = [];"
+    assert StructuralPattern(r"[\(/[0-9]+/*\)]", "typescript").match(empty)
+    assert StructuralPattern(r"[\(/[0-9]+/+\)]", "typescript").match(empty) == []
+
+
+def test_configurable_dollar_sigil():
+    ms = StructuralPattern(r"foo($(ARGS*$))", "typescript", sigil="$").match(
+        "foo(a, b);"
+    )
+    assert ms and ms[0].captures["ARGS"] == "a, b"
+    ms = StructuralPattern(r"foo($A, $B)", "typescript", sigil="$").match(
+        "foo(a, b);"
+    )
+    assert ms and ms[0].captures == {"A": "a", "B": "b"}
+
+
+def test_escaped_sigil_is_literal():
+    # doubled sigil = one literal sigil, sigil-agnostic
+    assert StructuralPattern(r"\X = 1", "typescript").match("a = 1;")
+    assert StructuralPattern(r"\\X = 1", "typescript").match("a = 1;") == []
+    # with `$` as sigil, `$$` is a literal `$` — jQuery-style call
+    assert StructuralPattern(r"$$(a)", "typescript", sigil="$").match("$(a);")
