@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cocoindex_spark.engine.function import fn
-from cocoindex_spark.operators.embed import hash_embed_expr, sql_hash_embed
+from cocoindex_spark.operators.embed import sql_hash_embed
 from cocoindex_spark.operators.vector_ops import (
     dot_fixed,
     sign_bucket,
@@ -63,8 +63,29 @@ def chunk_and_embed(df: DataFrame) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk_text"),
     ).filter(F.length("chunk_text") > 0)
-    toks = F.split(F.col("chunk_text"), " ")
-    emb = hash_embed_expr(toks, EMB_DIM)
+    # Bit-identical to hash_embed_expr, but each token's md5 runs ONCE
+    # (the array-expression form re-hashes per output dimension — 2·dim
+    # md5 evaluations per token; this is the same fix q26's docstring
+    # describes, kept in array land because chunks are short rows).
+    pairs = F.expr(
+        "transform("
+        "  transform(split(chunk_text, ' '),"
+        "            t -> conv(substring(md5(encode(t, 'UTF-8')), 1, 9), 16, 10)),"
+        "  h -> struct(CAST(CAST(h AS BIGINT) div 16 % " + str(EMB_DIM) + " AS INT) AS b,"
+        "              CASE WHEN CAST(h AS BIGINT) % 2 = 0 THEN CAST(1.0 AS DOUBLE)"
+        "                   ELSE CAST(-1.0 AS DOUBLE) END AS s))"
+    )
+    def _sum_dim(i: int):
+        # factory keeps the merge lambda two-arg (PySpark counts lambda
+        # parameters; a default arg would make it look ternary)
+        return lambda acc, p: acc + F.when(p["b"] == i, p["s"]).otherwise(F.lit(0.0))
+
+    emb = F.array(
+        *[
+            F.aggregate(pairs, F.lit(0.0), _sum_dim(i)).cast("float")
+            for i in range(EMB_DIM)
+        ]
+    )
     return chunks.select(
         "__args_fp",
         "__component_path",

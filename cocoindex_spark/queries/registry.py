@@ -39,6 +39,7 @@ _PRIORITY: list[str] = [
     "q136_cm_sketch_read",  # NEW in r5
     "q137_quickstart_topk",  # NEW in r5
     "q138_containment_match",  # NEW in r5
+    "q139_gopher_rules",  # NEW in r5
     "q102_hll_distinct",
     "q103_countmin_heavy_hitters",
     "q104_bfs_reachability",

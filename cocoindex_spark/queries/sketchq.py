@@ -360,52 +360,62 @@ from cocoindex_spark.engine.function import fn as _coco_fn  # noqa: E402
 # q102's token derivation verbatim (split with NO empty-filter): the
 # rollup must be bit-identical to the inline sketch
 _DOC_TOKS = "array_distinct(split(trim(text), ' '))"
-_H48 = "CAST(conv(substring(md5(encode(t, 'UTF-8')), 1, 12), 16, 10) AS BIGINT)"
-_HLL_REG = (
-    f"struct(CAST({_H48} % 256 AS BIGINT) AS j,"
-    f" CAST(CASE WHEN {_H48} div 256 > 0"
-    f" THEN 41 - length(bin({_H48} div 256)) ELSE 41 END AS BIGINT) AS rho)"
-)
-# per-doc (token, count) pairs over the UNFILTERED token list — the
-# per-doc counts SUM to the corpus counts, so the rolled CM cells are
-# cell-identical to cm_cells_from_counts over the global count table
-_DOC_PAIRS = (
-    "transform(array_distinct(split(trim(text), ' ')), t -> struct("
-    "t AS t, CAST(size(filter(split(trim(text), ' '), x -> x = t)) AS BIGINT)"
-    " AS n))"
-)
-_CMH = (
-    "CAST(conv(substring(md5(encode(concat('cm{i}#', p.t), 'UTF-8')), 1, 12),"
-    " 16, 10) AS BIGINT) % 1024"
-)
+_H48_OF_T = "CAST(conv(substring(md5(encode(t, 'UTF-8')), 1, 12), 16, 10) AS BIGINT)"
 
 
 @_coco_fn(memo=True)
 def _hll_contrib(df: DataFrame) -> DataFrame:
     # per-doc register contributions: one (j, rho) per distinct token,
-    # bit-identical to operators/sketch hll_registers' hash/rank math
+    # bit-identical to operators/sketch hll_registers' hash/rank math.
+    # The nested transform hashes each token ONCE (inlining the hash
+    # into j and rho would run md5 three times per token).
+    reg = (
+        "struct(CAST(h % 256 AS BIGINT) AS j,"
+        " CAST(CASE WHEN h div 256 > 0"
+        " THEN 41 - length(bin(h div 256)) ELSE 41 END AS BIGINT) AS rho)"
+    )
     return df.select(
         "__args_fp",
         "__component_path",
         "doc_id",
         "source",
-        F.expr(f"transform({_DOC_TOKS}, t -> {_HLL_REG})").alias("regs"),
+        F.expr(
+            f"transform(transform({_DOC_TOKS}, t -> {_H48_OF_T}), h -> {reg})"
+        ).alias("regs"),
     )
 
 
 @_coco_fn(memo=True)
 def _cm_contrib(df: DataFrame) -> DataFrame:
-    cells = ", ".join(
-        f"struct({i} AS row, {_CMH.format(i=i)} AS cell, p.n AS n)"
-        for i in range(4)
-    )
-    return df.select(
+    # per-doc (token, count) pairs over the UNFILTERED token list — the
+    # per-doc counts SUM to the corpus counts, so the rolled CM cells
+    # are cell-identical to cm_cells_from_counts over the global count
+    # table. Counts come from an explode + (doc, tok) groupBy — linear,
+    # partial-aggregated, keyed by the doc — NOT a per-distinct-token
+    # array filter, which is quadratic in document length.
+    toks = df.select(
         "__args_fp",
         "__component_path",
         "doc_id",
-        F.expr(f"flatten(transform({_DOC_PAIRS}, p -> array({cells})))").alias(
-            "cells"
-        ),
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("t"),
+    )
+    counts = toks.groupBy(
+        "__args_fp", "__component_path", "doc_id", "t"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cmh = (
+        "CAST(conv(substring(md5(encode(concat('cm{i}#', t), 'UTF-8')), 1, 12),"
+        " 16, 10) AS BIGINT) % 1024"
+    )
+    cells = ", ".join(
+        f"struct({i} AS row, {cmh.format(i=i)} AS cell, n AS n)" for i in range(4)
+    )
+    return counts.select(
+        "__args_fp",
+        "__component_path",
+        "doc_id",
+        F.expr(f"array({cells})").alias("__cells4"),
+    ).groupBy("__args_fp", "__component_path", "doc_id").agg(
+        F.flatten(F.collect_list("__cells4")).alias("cells")
     )
 
 

@@ -544,3 +544,111 @@ def q101_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("source", "tok", "score")
     )
+
+
+# --- q139: Gopher-style quality rules (Rae et al. 2021, "Scaling
+#     Language Models: ... Gopher", arXiv:2112.11446 Table A1) — the
+#     word-level subset applicable to a whitespace corpus, each rule a
+#     separate integer-exact flag plus the conjunction `keep`:
+#       R1 word count within [50, 100_000]
+#       R2 mean word length within [3, 10]   (3n ≤ total_chars ≤ 10n)
+#       R3 ≥ 80% of words contain an alphabetic character (5a ≥ 4n)
+#       R4 ≥ 2 DISTINCT stop words present (the/and/of/to/a/in/is)
+#       R5 symbolic tokens ('#' or '...') under 10% of words (10s < n)
+#       R6 repetition: the char mass of the heaviest word (count·len,
+#          a MAX aggregate — deterministic without an argmax
+#          tiebreak) is ≤ 20% of total chars (5·m ≤ total)
+#     Every comparison is integer-only, so the flags are bit-exact
+#     cross-engine. Scale shape: R1-R5 are per-row array expressions
+#     (no shuffle); R6 is one explode + (doc,tok) partial-aggregated
+#     groupBy + per-doc MAX — the only shuffle, keyed by doc_id.
+_GOPHER_STOPS = STOPWORDS["en"]
+_G_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in _GOPHER_STOPS) + "]"
+
+
+@register(
+    "q139_gopher_rules",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+m AS (
+  SELECT doc_id, w, len(w) AS n,
+    CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS total_chars,
+    len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+    len(list_distinct(list_filter(w, t -> list_contains({_G_STOPS_SQL}, t)))) AS n_stop_kinds,
+    len(list_filter(w, t -> contains(t, '#') OR contains(t, '...'))) AS n_sym
+  FROM toks
+),
+heavy AS (
+  SELECT doc_id, MAX(cnt * CAST(length(tok) AS BIGINT)) AS max_word_chars
+  FROM (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, UNNEST(w) AS tok FROM toks)
+    GROUP BY doc_id, tok
+  )
+  GROUP BY doc_id
+)
+SELECT m.doc_id,
+  (m.n >= 50 AND m.n <= 100000) AS r1_word_count,
+  (3 * m.n <= m.total_chars AND m.total_chars <= 10 * m.n) AS r2_mean_len,
+  (5 * m.n_alpha >= 4 * m.n) AS r3_alpha,
+  (m.n_stop_kinds >= 2) AS r4_stops,
+  (10 * m.n_sym < m.n) AS r5_symbols,
+  (5 * h.max_word_chars <= m.total_chars) AS r6_repetition,
+  ((m.n >= 50 AND m.n <= 100000)
+   AND (3 * m.n <= m.total_chars AND m.total_chars <= 10 * m.n)
+   AND (5 * m.n_alpha >= 4 * m.n)
+   AND (m.n_stop_kinds >= 2)
+   AND (10 * m.n_sym < m.n)
+   AND (5 * h.max_word_chars <= m.total_chars)) AS keep
+FROM m JOIN heavy h ON m.doc_id = h.doc_id
+""",
+)
+def q139_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    total_chars = F.aggregate(
+        F.transform(w, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    m = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n"),
+        total_chars.alias("total_chars"),
+        F.size(F.filter(w, lambda t: t.rlike("[A-Za-z]"))).cast("long").alias("n_alpha"),
+        F.size(
+            F.array_distinct(F.filter(w, lambda t: F.array_contains(stops, t)))
+        ).cast("long").alias("n_stop_kinds"),
+        F.size(
+            F.filter(w, lambda t: t.contains("#") | t.contains("..."))
+        ).cast("long").alias("n_sym"),
+    )
+    heavy = (
+        d.select("doc_id", F.explode(w).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("cnt") * F.length("tok").cast("long")).alias("max_word_chars"))
+    )
+    j = m.join(heavy, "doc_id")
+    r1 = (F.col("n") >= 50) & (F.col("n") <= 100000)
+    r2 = (3 * F.col("n") <= F.col("total_chars")) & (
+        F.col("total_chars") <= 10 * F.col("n")
+    )
+    r3 = 5 * F.col("n_alpha") >= 4 * F.col("n")
+    r4 = F.col("n_stop_kinds") >= 2
+    r5 = 10 * F.col("n_sym") < F.col("n")
+    r6 = 5 * F.col("max_word_chars") <= F.col("total_chars")
+    return j.select(
+        "doc_id",
+        r1.alias("r1_word_count"),
+        r2.alias("r2_mean_len"),
+        r3.alias("r3_alpha"),
+        r4.alias("r4_stops"),
+        r5.alias("r5_symbols"),
+        r6.alias("r6_repetition"),
+        (r1 & r2 & r3 & r4 & r5 & r6).alias("keep"),
+    )

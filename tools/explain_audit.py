@@ -426,6 +426,13 @@ CHECKS = {
         [r"HashAggregate", r"FullOuter"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    "q139_gopher_rules": (
+        # R1-R5 are per-row array expressions; R6's heaviest-word mass
+        # is the only shuffle (explode → (doc,tok) partial agg → per-doc
+        # MAX) joined back on doc_id — no Python, no cross product
+        [r"HashAggregate", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
     "q127_quantization_recall": (
         # both rankings ride ONE broadcast of the 10-query panel; the
         # overlap is an equi-join + per-query agg (BNLJ = that bounded
