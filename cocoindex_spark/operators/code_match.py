@@ -40,7 +40,12 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 
-_WORD = re.compile(r"[A-Za-z_]\w*|\d[\w.]*")
+# Unicode-aware identifier head ([^\W\d] = any word char that isn't a
+# digit: ASCII letters, underscore, CJK, accented letters …) so `变量`
+# lexes as ONE identifier — the reference's UTF-8-aware tokenizer
+# (code_match features.rs cjk_identifier). Number tokens keep their
+# ASCII-digit head.
+_WORD = re.compile(r"[^\W\d]\w*|\d[\w.]*")
 _STRING = re.compile(r"\"(?:[^\"\\\n]|\\.)*\"|'(?:[^'\\\n]|\\.)*'")
 # longest-match first for multi-char operators
 _OPS = [

@@ -394,3 +394,39 @@ def test_escaped_sigil_is_literal():
     assert StructuralPattern(r"\\X = 1", "typescript").match("a = 1;") == []
     # with `$` as sigil, `$$` is a literal `$` — jQuery-style call
     assert StructuralPattern(r"$$(a)", "typescript", sigil="$").match("$(a);")
+
+
+# --- non-ASCII / UTF-8 (features.rs cjk_identifier /
+#     emoji_in_string_and_as_arg / non_ascii_sigil / never-panics) -----
+
+
+def test_cjk_identifier_is_one_token():
+    ms = StructuralPattern(r"变量 = \V", "python").match("变量 = 1")
+    assert ms and ms[0].captures == {"V": "1"}
+    ms = StructuralPattern(r"def \N(\(A*\)):", "python").match(
+        "def 计数器(x): return x"
+    )
+    assert ms and ms[0].captures == {"N": "计数器", "A": "x"}
+
+
+def test_cjk_in_string_literal_atomic():
+    ms = StructuralPattern(r"print(\S)", "python").match('print("你好")')
+    assert ms and ms[0].captures == {"S": '"你好"'}
+
+
+def test_emoji_in_string_and_as_arg():
+    ms = StructuralPattern(r"f(\(ARGS*\))", "typescript").match('f("😀", 你好)')
+    assert ms and ms[0].captures == {"ARGS": '"😀", 你好'}
+
+
+def test_non_ascii_sigil():
+    ms = StructuralPattern("§A = §B", "typescript", sigil="§").match("a = b;")
+    assert ms and ms[0].captures == {"A": "a", "B": "b"}
+
+
+def test_non_ascii_never_crashes():
+    for pat in ["😀", "a😀b", "λ + 你好 * \\X", "变量.😀()"]:
+        try:
+            StructuralPattern(pat, "typescript").match("x;")
+        except ValueError:
+            pass  # compile may reject; matching must never crash
