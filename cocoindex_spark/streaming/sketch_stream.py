@@ -1,0 +1,34 @@
+"""Streaming sketch maintenance — the §2.11 twin of q102/q135.
+
+HLL registers are MAX-mergeable, which is exactly the shape Spark's
+built-in streaming aggregation state wants: ``groupBy(group, j).max(rho)``
+over a document stream keeps one bounded row per (group, register) in
+the state store, updated per micro-batch with map-side partial merges —
+no custom stateful operator needed (contrast the sessionizer/deduper,
+whose semantics genuinely need ``applyInPandasWithState``). At 100 TB
+of stream history the state is still ``m`` rows per group.
+
+The register math is ``operators/sketch.hll_registers`` verbatim (pure
+DataFrame expressions, so the same code plans on a batch OR streaming
+frame); parity with the batch sketch over the same rows is pinned in
+``tests/test_stateful_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cocoindex_spark.operators.sketch import hll_registers
+
+
+def hll_register_stream(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Streaming register table (group, j, M) from a document stream
+    with ``text``: tokenize then MAX-aggregate register ranks. Run with
+    ``outputMode("update")`` (or ``"complete"`` for a full snapshot) —
+    MAX is monotone, so update-mode rows are always safe to upsert into
+    a serving table keyed by (group, j)."""
+    toks = docs.select(
+        group_col, F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    return hll_registers(toks, [group_col], "tok")

@@ -8,6 +8,7 @@ import os
 import time
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 
 def test_sessionizer_logic_unit():
@@ -172,3 +173,58 @@ def test_anomaly_scorer_state_accumulates_across_batches():
     assert st.get == (9, 180, 10800)
     flags = out[0]
     assert list(flags["direction"]) == ["spike"] and list(flags["day"]) == ["d8"]
+
+
+def test_hll_register_stream_matches_batch(spark, tmp_state):
+    """Streaming HLL maintenance is a BUILT-IN streaming aggregation
+    (MAX is mergeable), state = m rows per group. Two one-file
+    micro-batches; the final register snapshot must equal the batch
+    sketch over the union of both batches — the partition-merge ≡
+    whole-data property, exercised across micro-batch state merges."""
+    from cocoindex_spark.operators.sketch import hll_registers
+    from cocoindex_spark.streaming.sketch_stream import hll_register_stream
+
+    src = os.path.join(tmp_state, "docs_in")
+    os.makedirs(src)
+    chk = os.path.join(tmp_state, "chk_hll")
+
+    rows1 = [("web", "alpha beta gamma alpha"), ("lit", "delta epsilon")]
+    rows2 = [("web", "zeta beta NEW words here"), ("lit", "eta theta iota")]
+    schema = "source STRING, text STRING"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    regs = hll_register_stream(stream)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    got = {
+        (r["source"], r["j"], r["M"])
+        for r in spark.sql("SELECT * FROM hll_regs").collect()
+    }
+    both = spark.createDataFrame(rows1 + rows2, schema)
+    toks = both.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    want = {
+        (r["source"], r["j"], r["M"])
+        for r in hll_registers(toks, ["source"], "tok").collect()
+    }
+    assert got == want
+    spark.catalog.dropTempView("hll_regs")
