@@ -32,3 +32,18 @@ def hll_register_stream(docs: DataFrame, group_col: str = "source") -> DataFrame
         group_col, F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
     )
     return hll_registers(toks, [group_col], "tok")
+
+
+def cm_cell_stream(docs: DataFrame) -> DataFrame:
+    """Streaming Count-Min cell table (row, cell, n): SUM-mergeable, so
+    it is likewise a built-in streaming aggregation with bounded state
+    (d·w rows total). Cell math is ``operators/sketch.cm_cells``
+    verbatim. SUM in update mode emits the RUNNING total per cell —
+    upsert (replace, don't add) into a serving table keyed by
+    (row, cell)."""
+    from cocoindex_spark.operators.sketch import cm_cells
+
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    return cm_cells(toks, "tok")

@@ -228,3 +228,52 @@ def test_hll_register_stream_matches_batch(spark, tmp_state):
     }
     assert got == want
     spark.catalog.dropTempView("hll_regs")
+
+
+def test_cm_cell_stream_matches_batch(spark, tmp_state):
+    """Count-Min cells SUM-merge across micro-batches as a built-in
+    streaming aggregation; the final snapshot equals the batch sketch
+    over the union."""
+    from cocoindex_spark.operators.sketch import cm_cells
+    from cocoindex_spark.streaming.sketch_stream import cm_cell_stream
+
+    src = os.path.join(tmp_state, "docs_cm")
+    os.makedirs(src)
+    chk = os.path.join(tmp_state, "chk_cm")
+    rows1 = [("web", "alpha beta alpha"), ("lit", "gamma")]
+    rows2 = [("web", "beta delta delta"), ("lit", "alpha")]
+    schema = "source STRING, text STRING"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        cm_cell_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cm_cells_out")
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    got = {
+        (r["row"], r["cell"], r["n"])
+        for r in spark.sql("SELECT * FROM cm_cells_out").collect()
+    }
+    both = spark.createDataFrame(rows1 + rows2, schema)
+    toks = both.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    want = {(r["row"], r["cell"], r["n"]) for r in cm_cells(toks, "tok").collect()}
+    assert got == want
+    spark.catalog.dropTempView("cm_cells_out")
