@@ -125,3 +125,34 @@ def test_text_embedding_example_incremental(tmp_state):
     assert warm["stats"]["memo_misses"] == 0
     assert warm["stats"]["chunks_tracked"] == cold["stats"]["chunks_tracked"]
     run(["drop", app_path, "--state-dir", tmp_state])
+
+
+def test_code_embedding_example_incremental(tmp_state):
+    """The code-embedding example (detect language → structure-exact
+    chunks → embed → vector table) runs through the CLI and is a no-op
+    on the second update."""
+    import contextlib
+    import io
+    import json
+    import os
+
+    from cocoindex_spark import cli
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    app_path = os.path.join(repo, "examples", "code_embedding_app.py")
+
+    def run(args):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main(args)
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    cold = run(["update", app_path, "--state-dir", tmp_state])
+    assert cold["stats"]["memo_misses"] > 0
+    assert cold["stats"]["chunks_tracked"] > 0
+    assert cold["stats"]["languages"] == "javascript,markdown,python,rust"
+    warm = run(["update", app_path, "--state-dir", tmp_state])
+    assert warm["stats"]["memo_misses"] == 0
+    assert warm["stats"]["chunks_tracked"] == cold["stats"]["chunks_tracked"]
+    run(["drop", app_path, "--state-dir", tmp_state])
