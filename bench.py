@@ -158,6 +158,7 @@ HEADLINE = [
     # query-side rollup/top-k they add is sub-second.
     "q138_containment_match",
     "q139_gopher_rules",
+    "q140_unigram_surprisal",
 ]
 
 

@@ -652,3 +652,78 @@ def q139_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6.alias("r6_repetition"),
         (r1 & r2 & r3 & r4 & r5 & r6).alias("keep"),
     )
+
+
+# --- q140: unigram-surprisal quality signal — the perplexity-filter
+#     stage of CCNet/Gopher-style curation (Wenzek et al. 2019,
+#     arXiv:1911.00359 score docs by LM perplexity; docs far from the
+#     corpus distribution are dropped or bucketed), restated
+#     TRANSCENDENTAL-FREE so the scores are value-oracled: surprisal of
+#     a token ≈ ilog2(N) − ilog2(cnt) in whole bits, where ilog2(x) =
+#     bit_length(x) − 1 is exact integer math in both engines. Per doc:
+#     total and mean (milli-bits, integer division) surprisal; output =
+#     the 5 most surprising docs per source (keyed window, never a
+#     global one). Scale shape: one (tok) count agg, one tok equi-join
+#     back, one per-doc agg, one per-source top-k window.
+@register(
+    "q140_unigram_surprisal",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, UNNEST(string_split(trim(text), ' ')) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+scored AS (
+  SELECT t.doc_id, t.source,
+    CAST(length(bin(n)) - length(bin(c)) AS BIGINT) AS bits
+  FROM toks t JOIN cnt ON t.tok = cnt.tok, tot
+),
+per_doc AS (
+  SELECT doc_id, source,
+    CAST(COUNT(*) AS BIGINT) AS n_tok,
+    CAST(SUM(bits) AS BIGINT) AS total_bits,
+    CAST(SUM(bits) * 1000 AS BIGINT) // COUNT(*) AS milli_bits_per_tok
+  FROM scored GROUP BY doc_id, source
+)
+SELECT doc_id, source, n_tok, total_bits, milli_bits_per_tok
+FROM per_doc
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY milli_bits_per_tok DESC, doc_id ASC
+) <= 5
+""",
+)
+def q140_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("n"))
+    # ilog2(x) + 1 = length(bin(x)) — bin() emits no leading zeros in
+    # either engine, so the whole-bit surprisal is the same integer
+    # expression on both sides.
+    bits = (F.length(F.bin(F.col("n"))) - F.length(F.bin(F.col("c")))).cast("long")
+    scored = (
+        toks.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar side, intentional
+        .select("doc_id", "source", bits.alias("bits"))
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("sum(bits) * 1000 div count(1)").cast("long").alias("milli_bits_per_tok"),
+    )
+    w = W.partitionBy("source").orderBy(
+        F.desc("milli_bits_per_tok"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", "n_tok", "total_bits", "milli_bits_per_tok")
+    )

@@ -433,6 +433,13 @@ CHECKS = {
         [r"HashAggregate", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
         [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
     ),
+    "q140_unigram_surprisal": (
+        # one token-count agg + tok equi-join back + per-doc agg + a
+        # per-SOURCE top-k window (keyed, never global); the 1-row
+        # total is the intended broadcast scalar
+        [r"HashAggregate", r"Window", r"hashpartitioning\(source"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
     "q127_quantization_recall": (
         # both rankings ride ONE broadcast of the 10-query panel; the
         # overlap is an equi-join + per-query agg (BNLJ = that bounded
