@@ -159,6 +159,7 @@ HEADLINE = [
     "q138_containment_match",
     "q139_gopher_rules",
     "q140_unigram_surprisal",
+    "q141_copurchase_recs",
 ]
 
 

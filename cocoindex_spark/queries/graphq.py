@@ -7,7 +7,7 @@ the `GraphTarget` tables unchanged (sinks/graph.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cocoindex_spark.queries.registry import register, table
@@ -303,3 +303,88 @@ def q104_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt)
         frontier = nxt.select("id")
     return visited
+
+
+# --- q141: co-purchase recommendations — the reference's
+#     product_recommendation example (examples/product_recommendation)
+#     as a Spark-first query: items bought together in one order form a
+#     co-occurrence pair; rank each item's partners by integer lift
+#     (1000·N·c_ab div (c_a·c_b), milli-lift — pure integer, so the
+#     scores value-match cross-engine) and keep the top 3 per item.
+#     Scale shape: the pair generation is a SELF EQUI-JOIN on the order
+#     key (orders are bounded-width, so the per-order fanout is
+#     bounded — never a cross product), pair counts partial-aggregate
+#     before their shuffle, and the final cut is a per-item KEYED
+#     window, never a global one. Only parts with ≥ 2 co-purchases
+#     rank, keeping the lift denominator meaningful.
+@register(
+    "q141_copurchase_recs",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+item_cnt AS (
+  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+scored AS (
+  SELECT p.pa, p.pb, p.c_ab,
+    (1000 * n.n * p.c_ab) // (ca.c * cb.c) AS lift_milli
+  FROM pairs p
+  JOIN item_cnt ca ON p.pa = ca.pk
+  JOIN item_cnt cb ON p.pb = cb.pk, n_orders n
+  WHERE p.c_ab >= 2
+)
+SELECT pa AS part, pb AS rec, c_ab AS n_together, lift_milli, rk
+FROM (
+  SELECT pa, pb, c_ab, lift_milli,
+    row_number() OVER (PARTITION BY pa ORDER BY lift_milli DESC, pb ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+""",
+)
+def q141_copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    item_cnt = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    scored = (
+        pairs.join(item_cnt.select(F.col("pk").alias("pa"), F.col("c").alias("ca")), "pa")
+        .join(item_cnt.select(F.col("pk").alias("pb"), F.col("c").alias("cb")), "pb")
+        .crossJoin(F.broadcast(n_orders))  # 1-row scalar, intentional
+        .select(
+            "pa", "pb", "c_ab",
+            F.expr("(1000 * n * c_ab) div (ca * cb)").alias("lift_milli"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("lift_milli"), F.asc("pb"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("pa").alias("part"),
+            F.col("pb").alias("rec"),
+            F.col("c_ab").alias("n_together"),
+            "lift_milli",
+            "rk",
+        )
+    )

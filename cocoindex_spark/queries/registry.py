@@ -41,6 +41,7 @@ _PRIORITY: list[str] = [
     "q138_containment_match",  # NEW in r5
     "q139_gopher_rules",  # NEW in r5
     "q140_unigram_surprisal",  # NEW in r5
+    "q141_copurchase_recs",  # NEW in r5
     "q102_hll_distinct",
     "q103_countmin_heavy_hitters",
     "q104_bfs_reachability",

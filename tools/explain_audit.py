@@ -440,6 +440,17 @@ CHECKS = {
         [r"HashAggregate", r"Window", r"hashpartitioning\(source"],
         [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
     ),
+    "q141_copurchase_recs": (
+        # pair generation = self EQUI-join on the order key (bounded
+        # per-order fanout), partial-aggregated pair counts, per-item
+        # keyed window; the 1-row order-count is the intended broadcast
+        [
+            r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            r"HashAggregate",
+            r"hashpartitioning\(pa",
+        ],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
     "q127_quantization_recall": (
         # both rankings ride ONE broadcast of the 10-query panel; the
         # overlap is an equi-join + per-query agg (BNLJ = that bounded
