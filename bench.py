@@ -160,6 +160,7 @@ HEADLINE = [
     "q139_gopher_rules",
     "q140_unigram_surprisal",
     "q141_copurchase_recs",
+    "q142_session_search",
 ]
 
 

@@ -530,3 +530,132 @@ def q121_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(dev > 0, "spike").otherwise("dip").alias("direction"),
         )
     )
+
+
+# --- q142: entire-session search — the reference's
+#     `entire_session_search` example (sessionize a conversation/event
+#     stream, embed WHOLE sessions, search for similar ones) as one
+#     query: q51's gap sessionization → per-session token multiset
+#     (event_type # value-bucket from the JSON props) → feature-hash
+#     embedding (a SUM of ±1 contributions, so it is ORDER-INDEPENDENT
+#     — no cross-engine list-ordering hazard) → fixed-point cosine
+#     top-5 sessions most similar to the probe session (user 0's first
+#     session). Scale shape: sessionization is a per-user keyed window,
+#     the embedding one conditional-sum aggregate per session, the
+#     probe a 1-row broadcast, and the cut TakeOrderedAndProject.
+_SS_DIM = 16
+
+
+@register(
+    "q142_session_search",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, props, epoch_us(ts) AS us,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+           OR LAG(epoch_us(ts)) OVER w IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type, props,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM seq
+), toks AS (
+  SELECT user_id, session_id,
+    event_type || '#' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 8 AS VARCHAR) AS tok
+  FROM sess
+), emb AS (
+  SELECT user_id, session_id,
+    [{", ".join(
+        "CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % "
+        f"{_SS_DIM} = {i} THEN (CASE WHEN CAST(concat('0x', substr(md5(tok), 9, 1)) AS BIGINT) % 2 = 0"
+        " THEN 1.0 ELSE -1.0 END) ELSE 0.0 END) AS FLOAT)"
+        for i in range(_SS_DIM)
+    )}] AS e
+  FROM toks GROUP BY user_id, session_id
+), en AS (
+  SELECT user_id, session_id, e,
+    list_sum(list_transform(range(1, len(e)+1),
+      i -> CAST(floor(CAST(e[i] AS DOUBLE)*CAST(e[i] AS DOUBLE)*1099511627776.0) AS BIGINT))) AS sqn
+  FROM emb
+),
+probe AS (SELECT e AS qe, sqn AS qsqn FROM en WHERE user_id = 0 AND session_id = 1)
+SELECT a.user_id, a.session_id,
+  CAST(list_sum(list_transform(range(1, len(a.e)+1),
+    i -> CAST(floor(CAST(a.e[i] AS DOUBLE)*CAST(p.qe[i] AS DOUBLE)*1099511627776.0) AS BIGINT))) AS DOUBLE)
+    / sqrt(CAST(a.sqn AS DOUBLE) * CAST(p.qsqn AS DOUBLE)) AS sim
+FROM en a, probe p
+WHERE a.sqn > 0 AND p.qsqn > 0 AND NOT (a.user_id = 0 AND a.session_id = 1)
+ORDER BY sim DESC, a.user_id ASC, a.session_id ASC
+LIMIT 5
+""",
+)
+def q142_session_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.vector_ops import dot_fixed, sqnorm_fixed
+
+    e = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_session = F.when(
+        (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US)
+        | F.lag("us").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    sess = e.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    toks = sess.select(
+        "user_id",
+        "session_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit("#"),
+            (F.get_json_object("props", "$.k").cast("long") % 8).cast("string"),
+        ).alias("tok"),
+    )
+    # explode-free conditional sums (q26's scalable spelling): md5 runs
+    # once per event row, spread across the session shuffle
+    h = F.conv(F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 8), 16, 10).cast("long")
+    s = F.when(
+        F.conv(F.substring(F.md5(F.encode("tok", "UTF-8")), 9, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    emb = (
+        toks.select("user_id", "session_id", (h % _SS_DIM).alias("b"), s.alias("s"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("b") == i, F.col("s")).otherwise(F.lit(0.0)))
+                .cast("float")
+                .alias(f"c{i}")
+                for i in range(_SS_DIM)
+            ]
+        )
+        .select(
+            "user_id",
+            "session_id",
+            F.array(*[F.col(f"c{i}") for i in range(_SS_DIM)]).alias("e"),
+        )
+        .withColumn("sqn", sqnorm_fixed(F.col("e")))
+    )
+    probe = emb.filter(
+        (F.col("user_id") == 0) & (F.col("session_id") == 1) & (F.col("sqn") > 0)
+    ).select(F.col("e").alias("qe"), F.col("sqn").alias("qsqn"))
+    return (
+        emb.filter(
+            (F.col("sqn") > 0)
+            & ~((F.col("user_id") == 0) & (F.col("session_id") == 1))
+        )
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "user_id",
+            "session_id",
+            (
+                dot_fixed(F.col("e"), F.col("qe")).cast("double")
+                / F.sqrt(F.col("sqn").cast("double") * F.col("qsqn").cast("double"))
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("user_id"), F.asc("session_id"))
+        .limit(5)
+    )

@@ -451,6 +451,18 @@ CHECKS = {
         ],
         [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
     ),
+    "q142_session_search": (
+        # sessionization = per-USER keyed window; per-session embedding
+        # one conditional-sum agg; probe a 1-row broadcast; cut =
+        # TakeOrdered — no global window, no Python
+        [
+            r"Window",
+            r"hashpartitioning\(user_id",
+            r"HashAggregate",
+            r"TakeOrderedAndProject",
+        ],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
     "q127_quantization_recall": (
         # both rankings ride ONE broadcast of the 10-query panel; the
         # overlap is an equi-join + per-query agg (BNLJ = that bounded
