@@ -112,3 +112,40 @@ def test_integer_division_parity_nonnegative(spark):
     # Both TRUNCATE toward zero (DuckDB's integer `//` is NOT Python
     # floor division): -3 div 2 = -3 // 2 = -1 in both engines.
     assert got[(-3, 2)] == -1
+
+
+def test_quickstart_embed_spelling_bit_equal_to_operator(spark):
+    """The quickstart pipeline's md5-once embedding spelling must be
+    bit-identical to operators/embed.hash_embed_expr (the reference
+    formula): same bucket (first 8 hex digits), same sign (9th digit
+    parity), float sums of ±1 are exact in any order."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_spark.operators.embed import hash_embed_expr
+    from cocoindex_spark.queries.quickstart import EMB_DIM
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma alpha",), ("the quick brown fox",), ("",), ("один 两个 emoji😀",)],
+        "chunk_text STRING",
+    )
+    ref = df.select(
+        hash_embed_expr(F.split(F.col("chunk_text"), " "), EMB_DIM).alias("e")
+    ).collect()
+    pairs = F.expr(
+        "transform("
+        "  transform(split(chunk_text, ' '),"
+        "            t -> conv(substring(md5(encode(t, 'UTF-8')), 1, 9), 16, 10)),"
+        "  h -> struct(CAST(CAST(h AS BIGINT) div 16 % " + str(EMB_DIM) + " AS INT) AS b,"
+        "              CASE WHEN CAST(h AS BIGINT) % 2 = 0 THEN CAST(1.0 AS DOUBLE)"
+        "                   ELSE CAST(-1.0 AS DOUBLE) END AS s))"
+    )
+
+    def _sum_dim(i):
+        return lambda acc, p: acc + F.when(p["b"] == i, p["s"]).otherwise(F.lit(0.0))
+
+    fast = df.select(
+        F.array(
+            *[F.aggregate(pairs, F.lit(0.0), _sum_dim(i)).cast("float") for i in range(EMB_DIM)]
+        ).alias("e")
+    ).collect()
+    assert [r["e"] for r in ref] == [r["e"] for r in fast]

@@ -177,3 +177,27 @@ def test_hll_register_merge_is_max(hashes):
     a, b = regs(hashes[:mid]), regs(hashes[mid:])
     merged = {j: max(a.get(j, 0), b.get(j, 0)) for j in set(a) | set(b)}
     assert merged == regs(hashes)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.recursive(
+        st.sampled_from(["u8", "u64", "String", "T", "E"]),
+        lambda inner: st.builds(
+            lambda n, args: f"{n}<{', '.join(args)}>",
+            st.sampled_from(["Vec", "Result", "HashMap", "Box"]),
+            st.lists(inner, min_size=1, max_size=3),
+        ),
+        max_leaves=6,
+    )
+)
+def test_generic_type_node_snap_roundtrip(ty):
+    """Property: for ANY nested generic type T, a single metavariable
+    in `let x: \\T = v;` binds exactly T — the angle-balance walk must
+    close every nesting depth (shift-token splitting included)."""
+    from cocoindex_spark.operators.code_match import StructuralPattern
+
+    src = f"let x: {ty} = v;"
+    ms = StructuralPattern(r"let x: \T = v;", "rust").match(src)
+    assert len(ms) == 1, (ty, ms)
+    assert ms[0].captures["T"] == ty
