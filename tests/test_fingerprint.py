@@ -247,3 +247,96 @@ def test_canonical_distinguishes_primitive_types():
     assert fp_value([1, 2]) == fp_value((1, 2))  # sequence types unify by design
     assert fp_value({"a": 1}) != fp_value([("a", 1)])
     assert fp_value(None) != fp_value("n")
+
+
+def _write_and_import(tmp_path, body: str, modname: str):
+    import importlib.util
+    import sys
+
+    p = tmp_path / f"{modname}.py"
+    p.write_text(body)
+    spec = importlib.util.spec_from_file_location(modname, p)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_CALLGRAPH_V1 = """
+from cocoindex_spark.engine.function import fn
+
+def helper(x):
+    return x + 1
+
+@fn(memo=True)
+def caller(df):
+    return helper(df)
+"""
+
+
+def test_auto_dep_fp_tracks_helper_edits(tmp_path):
+    """Editing a same-module helper's BODY changes the caller's
+    logic_fp without re-decorating the caller (reference
+    function.mdx:48: editing a dependency invalidates every caller);
+    editing only the helper's docstring does not."""
+    m1 = _write_and_import(tmp_path, _CALLGRAPH_V1, "cg_mod_a")
+    fp1 = m1.caller.logic_fp
+
+    m2 = _write_and_import(
+        tmp_path / "b" if (tmp_path / "b").mkdir() or True else tmp_path,
+        _CALLGRAPH_V1.replace("return x + 1", "return x + 2"),
+        "cg_mod_b",
+    )
+    assert m2.caller.logic_fp != fp1  # helper body edit propagates
+
+    (tmp_path / "c").mkdir()
+    m3 = _write_and_import(
+        tmp_path / "c",
+        _CALLGRAPH_V1.replace(
+            "def helper(x):", 'def helper(x):\n    "docs only"'
+        ),
+        "cg_mod_c",
+    )
+    assert m3.caller.logic_fp == fp1  # docstring-only edit is invisible
+
+
+_CALLGRAPH_NESTED = """
+from cocoindex_spark.engine.function import fn
+
+def inner(x):
+    return x * 3
+
+def outer(x):
+    return inner(x) + 1
+
+@fn(memo=True)
+def caller(df):
+    return outer(df)
+"""
+
+
+def test_auto_dep_fp_is_transitive(tmp_path):
+    (tmp_path / "n1").mkdir()
+    (tmp_path / "n2").mkdir()
+    m1 = _write_and_import(tmp_path / "n1", _CALLGRAPH_NESTED, "cg_nested_a")
+    m2 = _write_and_import(
+        tmp_path / "n2",
+        _CALLGRAPH_NESTED.replace("return x * 3", "return x * 4"),
+        "cg_nested_b",
+    )
+    # editing inner (two hops away) still changes caller's fp
+    assert m1.caller.logic_fp != m2.caller.logic_fp
+
+
+def test_auto_dep_skips_library_functions(tmp_path):
+    src = """
+from cocoindex_spark.engine.function import fn
+from pyspark.sql import functions as F
+
+@fn(memo=True)
+def caller(df):
+    return df.select(F.length("x"))
+"""
+    (tmp_path / "l1").mkdir()
+    m = _write_and_import(tmp_path / "l1", src, "cg_lib_a")
+    assert isinstance(m.caller.logic_fp, str) and len(m.caller.logic_fp) > 0
