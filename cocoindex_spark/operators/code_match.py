@@ -22,11 +22,27 @@ the reference enforces for ``\\(X*\\)``). Supported metavar syntax
     ``\\(NAME?\\)``     zero or one
     ``\\_  \\*  \\+  \\?``  anonymous forms
     ``\\(NAME:/re/\\)`` regex-constrained (anchored ``^(?:re)$``)
+    ``\\(/re/*\\)``     anonymous regex, long form (quantified)
     ``\\/re/``          anonymous regex-constrained single
-    ``\\\\``            literal sigil
+    ``\\{{ … \\}}``     containment: inner pattern must match anywhere
+                        inside one unit here (descendant search)
+    ``\\\\``            literal sigil (doubled sigil, sigil-agnostic)
 
-Repeated metavar names enforce capture equality (matcher.rs bindings
-threaded forward). Containment (``\\{{ ... \\}}``) is not supported.
+The sigil is configurable per pattern (``sigil="$"``), matching the
+reference's ``with_meta_char``. Repeated metavar names enforce capture
+equality (matcher.rs bindings threaded forward).
+
+Known token-vs-AST deltas (inherent to the no-tree-sitter analog,
+checked against the reference's features.rs this round): (1) a single
+metavar binds one token/balanced-unit, so ``=> \\B`` over ``=> x + 1``
+binds ``x`` where the reference binds the whole expression node — use
+``\\(B+\\)`` for multi-token expressions; (2) ``\\(X*\\)`` runs step
+over same-depth TOKENS, so a run may absorb several ``;``-separated
+statements where the reference's node-level run steps whole sibling
+nodes — a trailing ``\\*`` inside a C++ class body can absorb later
+members the reference would reject. Generic-typed languages get a
+node-snap upgrade (see ``_generic_end``): whole generic types,
+``::`` paths, and touching call groups bind as one unit.
 
 Spark surface: ``match_code_df`` wraps matching in an Arrow-batched
 pandas UDF (per-row, embarrassingly parallel, no shuffle) behind the
