@@ -161,6 +161,7 @@ HEADLINE = [
     "q140_unigram_surprisal",
     "q141_copurchase_recs",
     "q142_session_search",
+    "q143_balanced_epoch_sample",
 ]
 
 

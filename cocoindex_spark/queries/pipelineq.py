@@ -636,3 +636,66 @@ def q120_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped"),
         )
     )
+
+
+# --- q143: balanced epoch sampling — the mixture-execution step of a
+#     curation run (the counterpart to q81's mixture weights / q119's
+#     DSIR scores): over-represented sources are DOWN-SAMPLED
+#     deterministically so every source contributes roughly the
+#     smallest source's token mass to the epoch. rate_milli(source) =
+#     1000·min_tokens div source_tokens (integer, ≤1000); a doc
+#     survives iff hash(doc_id) mod 1000 < rate_milli — the same
+#     stable-hash sampling as q58, so the plan is reproducible across
+#     runs and engines (no RNG). Scale shape: one per-source token agg
+#     (bounded, broadcasts), one scalar min, and ONE corpus pass with a
+#     per-row hash test — the corpus is never shuffled.
+@register(
+    "q143_balanced_epoch_sample",
+    oracle=f"""
+WITH st AS (
+  SELECT source, CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+mn AS (SELECT MIN(toks) AS mt FROM st),
+plan AS (
+  SELECT source, toks, (1000 * mn.mt) // toks AS rate_milli FROM st, mn
+)
+SELECT d.source,
+  CAST(p.rate_milli AS BIGINT) AS rate_milli,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) FILTER (
+    WHERE {sql_hex_to_int("md5('samp:' || CAST(d.doc_id AS VARCHAR))", 8)} % 1000
+          < p.rate_milli
+  ) AS BIGINT) AS n_kept,
+  CAST(SUM(len(string_split(trim(d.text), ' '))) FILTER (
+    WHERE {sql_hex_to_int("md5('samp:' || CAST(d.doc_id AS VARCHAR))", 8)} % 1000
+          < p.rate_milli
+  ) AS BIGINT) AS kept_tokens
+FROM documents d JOIN plan p ON d.source = p.source
+GROUP BY d.source, p.rate_milli
+""",
+)
+def q143_balanced_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.text_ops import hex_to_int, md5_hex
+
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    st = d.groupBy("source").agg(F.sum(ntok).alias("toks"))
+    mn = st.agg(F.min("toks").alias("mt"))
+    plan = st.crossJoin(F.broadcast(mn)).select(
+        "source", F.expr("(1000 * mt) div toks").cast("long").alias("rate_milli")
+    )
+    h = hex_to_int(md5_hex(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 8)
+    keep = (h % 1000) < F.col("rate_milli")
+    # plan is O(#sources) — the broadcast side is bounded by design
+    return (
+        d.join(F.broadcast(plan), "source")
+        .groupBy("source", "rate_milli")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, ntok).otherwise(F.lit(0).cast("long")))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )

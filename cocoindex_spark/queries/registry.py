@@ -43,6 +43,7 @@ _PRIORITY: list[str] = [
     "q140_unigram_surprisal",  # NEW in r5
     "q141_copurchase_recs",  # NEW in r5
     "q142_session_search",  # NEW in r5
+    "q143_balanced_epoch_sample",  # NEW in r5
     "q102_hll_distinct",
     "q103_countmin_heavy_hitters",
     "q104_bfs_reachability",

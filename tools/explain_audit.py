@@ -463,6 +463,14 @@ CHECKS = {
         ],
         [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
     ),
+    "q143_balanced_epoch_sample": (
+        # plan side is O(#sources) and BROADCASTS by design; the corpus
+        # takes one pass with a per-row hash test — no corpus shuffle
+        # beyond the final per-source agg, no Python
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct", r"SortMergeJoin",
+         r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
     "q127_quantization_recall": (
         # both rankings ride ONE broadcast of the 10-query panel; the
         # overlap is an equi-join + per-query agg (BNLJ = that bounded
