@@ -759,8 +759,12 @@ class StructuralPattern:
                     for k in range(lo, hi):
                         if not meta.regex.match(toks[k].text):
                             return False
-                else:
-                    span = source[toks[lo].start : toks[hi - 1].end] if hi > lo else ""
+                elif hi > lo:
+                    # the regex constrains the value only when PRESENT:
+                    # an absent optional binds empty without a regex
+                    # test (features.rs regex_optional_constrains_when
+                    # _present — `f()` matches `f(\(A:/[0-9]+/?\))`)
+                    span = source[toks[lo].start : toks[hi - 1].end]
                     if not meta.regex.match(span):
                         return False
             if meta.name is not None:

@@ -430,3 +430,17 @@ def test_non_ascii_never_crashes():
             StructuralPattern(pat, "typescript").match("x;")
         except ValueError:
             pass  # compile may reject; matching must never crash
+
+
+def test_regex_optional_constrains_only_when_present():
+    # features.rs regex_optional_constrains_when_present: an absent
+    # optional binds empty WITHOUT a regex test; a present one must
+    # still pass it
+    p = StructuralPattern(r"f(\(A:/[0-9]+/?\))", "typescript")
+    assert p.match("f();") and p.match("f();")[0].captures["A"] == ""
+    assert p.match("f(7);")[0].captures["A"] == "7"
+    # non-matching present value: the optional skips, the literal takes over
+    p2 = StructuralPattern(r"f(\(A:/[0-9]+/?\) x)", "typescript")
+    assert p2.match("f(x);") and p2.match("f(x);")[0].captures["A"] == ""
+    # mandatory single still enforces the regex
+    assert StructuralPattern(r"f(\(A:/[0-9]+/\))", "typescript").match("f(x);") == []
