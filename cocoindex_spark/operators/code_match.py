@@ -62,6 +62,8 @@ import pandas as pd
 # (code_match features.rs cjk_identifier). Number tokens keep their
 # ASCII-digit head.
 _WORD = re.compile(r"[^\W\d]\w*|\d[\w.]*")
+# C/C++ number with C++14 apostrophe digit separators (1'000'000)
+_CPP_NUM = re.compile(r"\d(?:[\w.]|'(?=\d))*")
 _STRING = re.compile(r"\"(?:[^\"\\\n]|\\.)*\"|'(?:[^'\\\n]|\\.)*'")
 # longest-match first for multi-char operators
 _OPS = [
@@ -413,6 +415,15 @@ def tokenize(text: str, language: str = "text") -> list[Tok]:
             toks.append(Tok(m.group(), i, m.end()))
             i = m.end()
             continue
+        if language in ("c", "cpp") and ch.isdigit():
+            # C++14 digit separators: 1'000'000 is ONE number token —
+            # the apostrophe joins only when a digit follows, so a real
+            # char literal after a number ( 1'x' ) still lexes apart
+            m = _CPP_NUM.match(text, i)
+            if m:
+                toks.append(Tok(m.group(), i, m.end()))
+                i = m.end()
+                continue
         m = _WORD.match(text, i)
         if m:
             toks.append(Tok(m.group(), i, m.end()))

@@ -444,3 +444,17 @@ def test_regex_optional_constrains_only_when_present():
     assert p2.match("f(x);") and p2.match("f(x);")[0].captures["A"] == ""
     # mandatory single still enforces the regex
     assert StructuralPattern(r"f(\(A:/[0-9]+/\))", "typescript").match("f(x);") == []
+
+
+def test_cpp_apostrophe_digit_separator_is_one_number():
+    # features.rs cpp_apostrophe_separator_literal /
+    # cpp_separated_number_metavar_ok
+    from cocoindex_spark.operators.code_match import tokenize
+
+    toks = [t.text for t in tokenize("int v = 1'000'000;", "cpp")]
+    assert "1'000'000" in toks
+    m = StructuralPattern(r"int v = \N;", "cpp").match("int v = 1'000'000;")
+    assert m and m[0].captures["N"] == "1'000'000"
+    # a real char literal after a number still lexes apart
+    toks2 = [t.text for t in tokenize("char c = 'x'; int n = 1;", "cpp")]
+    assert "'x'" in toks2 and "1" in toks2
