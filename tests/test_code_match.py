@@ -458,3 +458,16 @@ def test_cpp_apostrophe_digit_separator_is_one_number():
     # a real char literal after a number still lexes apart
     toks2 = [t.text for t in tokenize("char c = 'x'; int n = 1;", "cpp")]
     assert "'x'" in toks2 and "1" in toks2
+
+
+def test_remaining_reference_feature_block():
+    """Consolidated pins for the last features.rs behaviors: multiple
+    match sites, no false match, distinct metavars unconstrained,
+    string atomicity under unbalanced contents."""
+    ms = StructuralPattern(r"f(\N)", "typescript").match("f(1); g(2); f(3);")
+    assert [m.captures["N"] for m in ms] == ["1", "3"]
+    assert StructuralPattern(r"foo(\A)", "typescript").match("bar(1);") == []
+    d = StructuralPattern(r"\A = \B", "typescript").match("a = b;")[0].captures
+    assert d == {"A": "a", "B": "b"}
+    a = StructuralPattern(r"f(\S, \N)", "typescript").match('f("x)y", 3);')[0].captures
+    assert a == {"S": '"x)y"', "N": "3"}
