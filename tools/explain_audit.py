@@ -421,9 +421,12 @@ CHECKS = {
          r"BatchEvalPython", r"ArrowEvalPython"],
     ),
     "q126_detector_eval": (
-        # truth = shingle equi-join, pred = the materialized pair
-        # relation, confusion = one outer join + one agg
-        [r"HashAggregate", r"FullOuter"],
+        # truth = PREFIX-FILTERED shingle candidates (the row_number
+        # ranking window is the prefix filter's fingerprint in the
+        # plan — r5 judge finding #1 forbade the raw self-join), pred
+        # = the materialized pair relation, confusion = one outer
+        # join + one agg
+        [r"HashAggregate", r"FullOuter", r"Window"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
     "q139_gopher_rules": (
@@ -516,6 +519,31 @@ _SF_SCALING_HINT_RE = re.compile(
 )
 
 
+# Raw shingle self-join guard (r5 judge finding #1): joining the
+# shingle table to itself keyed ONLY on the shingle value (with the
+# pair inequality in the same condition) is quadratic on hot shingles
+# at 100 TB. Every shingle self-join must go through the PPJoin prefix
+# filter (queries/dedup.py prefix_filtered_jaccard_pairs) or a
+# band/bucket key. The unscoped shape — equi on g plus a doc-id `<` in
+# one join condition — must not exist anywhere in the query pack.
+_RAW_SHINGLE_SELFJOIN_RE = re.compile(
+    r"""F\.col\("g"?\w*"\)\s*==\s*F\.col\("g\w*"\)\)\s*&\s*\(F\.col\("\w*a_id"\)\s*<"""
+)
+
+
+def _grep_raw_shingle_selfjoins() -> list[str]:
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "cocoindex_spark" / "queries"
+    hits = []
+    for f in sorted(root.glob("*.py")):
+        text = f.read_text()
+        for m in _RAW_SHINGLE_SELFJOIN_RE.finditer(text):
+            line = text.count("\n", 0, m.start()) + 1
+            hits.append(f"{f.name}:{line}: {m.group(0)}")
+    return hits
+
+
 def _grep_sf_scaling_hints() -> list[str]:
     import pathlib
 
@@ -594,8 +622,16 @@ def main() -> None:
             print(f"  {h}")
     else:
         print("PASS sf-scaling-broadcast-grep (no F.broadcast on an SF-scaling alias)")
+    shingle_hits = _grep_raw_shingle_selfjoins()
+    if shingle_hits:
+        failures += 1
+        print("FAIL raw-shingle-selfjoin-grep:")
+        for h in shingle_hits:
+            print(f"  {h}")
+    else:
+        print("PASS raw-shingle-selfjoin-grep (no unscoped shingle self-join)")
     print(
-        f"\n{len(CHECKS) + len(COUNT_CHECKS) + len(NO_BROADCAST_HINT) + 1 - failures}"
+        f"\n{len(CHECKS) + len(COUNT_CHECKS) + len(NO_BROADCAST_HINT) + 2 - failures}"
         f" pass, {failures} fail"
     )
     sys.exit(1 if failures else 0)
