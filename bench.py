@@ -161,6 +161,9 @@ HEADLINE = [
     "q140_unigram_surprisal",
     "q141_copurchase_recs",
     "q142_session_search",
+    # q144 (indexed session search) is NOT benched: like q99/q135-q137
+    # it runs a full engine sync per call; its probe side is the point
+    # and is sub-second once the table exists.
     "q143_balanced_epoch_sample",
 ]
 

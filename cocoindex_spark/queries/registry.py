@@ -27,76 +27,63 @@ def register(name: str, oracle: str | None = None):
 # must come first. This list is refreshed each round from the previous
 # CORRECTNESS_r{N}.json: never-checked first, then stalest-checked.
 _PRIORITY: list[str] = [
-    # r5 rotation: the 32 round-4 queries (q102-q133) have NEVER received
-    # a driver verdict — they lead. Then queries whose code was touched
-    # since their last driver check: q76/q80/q89 (pair-relation rework),
-    # q29/q46-q49/q79 (lexer changes), q66-q68/q82 (graph family), and
-    # q119 (this round's window fix). Remaining window slots go to the
-    # stalest r3-checked queries. Everything else stays registered and
-    # locally value-verified; it rotates back in next round.
-    "q134_rust_captures",  # NEW in r5
-    "q135_hll_sketch_read",  # NEW in r5
-    "q136_cm_sketch_read",  # NEW in r5
-    "q137_quickstart_topk",  # NEW in r5
-    "q138_containment_match",  # NEW in r5
-    "q139_gopher_rules",  # NEW in r5
-    "q140_unigram_surprisal",  # NEW in r5
-    "q141_copurchase_recs",  # NEW in r5
-    "q142_session_search",  # NEW in r5
-    "q143_balanced_epoch_sample",  # NEW in r5
-    "q102_hll_distinct",
-    "q103_countmin_heavy_hitters",
-    "q104_bfs_reachability",
-    "q105_bloom_prefilter_join",
-    "q106_hll_overlap_matrix",
-    "q107_hist_quantiles",
-    "q108_template_literal_chunks",
-    "q109_int8_quantized_topk",
-    "q110_c_preproc_definitions",
-    "q111_ruby_definitions",
-    "q112_lua_definitions",
-    "q113_kmeans_clusters",
-    "q114_semdedup",
-    "q115_dup_spans",
-    "q116_leakage_safe_split",
-    "q117_mmr_rerank",
-    "q118_ivf_kmeans_topk",
-    "q119_importance_weights",
-    "q120_decontaminated_corpus",
-    "q121_rate_anomaly",
-    "q122_julia_definitions",
-    "q123_r_definitions",
-    "q124_sql_definitions",
-    "q125_markdown_sections",
-    "q126_detector_eval",
-    "q127_quantization_recall",
-    "q128_html_regions",
-    "q129_config_sections",
-    "q130_css_regions",
-    "q131_fortran_json_regions",
-    "q132_pascal_definitions",
-    "q133_markdown_chunks",
-    # touched since last driver check
-    "q76_simhash_wide_pairs",
-    "q80_dup_retention",
-    "q89_source_overlap",
-    "q29_ast_chunks",
-    "q46_code_language",
-    "q47_code_pattern",
-    "q48_structural_captures",
-    "q49_definition_views",
-    "q79_ast_definitions",
-    "q66_graph_degree",
-    "q67_motif_cosupplier",
-    "q68_supplier_triangles",
-    "q82_pagerank",
-    # stalest r3-checked fillers
+    # r6 rotation. CORRECTNESS_r05 was 50/50 green, so the window
+    # rotates to: (a) queries NEW this round, (b) queries whose code
+    # was touched since their last driver verdict (q126/q31 took the
+    # shared prefix-filter refactor; q142's oracle moved to a shared
+    # constant), then (c) the stalest set — everything whose last
+    # driver check was round 3: q01-q04, q28, q39, q50-q55, q57-q59,
+    # q66-q68, q70-q75, q77-q79, q81-q88, q90-q96. Everything else
+    # stays registered and locally value-verified; it rotates back in
+    # next round.
+    "q144_session_search_indexed",  # NEW in r6
+    "q145_context_memo_invalidation",  # NEW in r6
+    "q126_detector_eval",  # touched: prefix-filtered truth join
+    "q31_ngram_jaccard_pairs",  # touched: shared helper extraction
+    "q142_session_search",  # touched: oracle constant refactor
+    # stalest: last driver-checked in round 3
+    "q01_pricing_summary",
+    "q02_topk_orders",
+    "q03_revenue_by_nation",
+    "q04_priority_semijoin",
+    "q28_pq_topk",
+    "q39_filter_pipeline",
     "q50_tumbling_daily",
     "q51_sessionization",
     "q52_hourly_uniques",
     "q53_event_transitions",
     "q54_asof_attribution",
     "q55_range_click_burst",
+    "q57_source_quantiles",
+    "q58_deterministic_sample",
+    "q59_split_assignment",
+    "q66_graph_degree",
+    "q67_motif_cosupplier",
+    "q68_supplier_triangles",
+    "q70_multimodal_decode",
+    "q71_multimodal_stats",
+    "q72_multimodal_frames",
+    "q73_transcribe",
+    "q74_frame_near_dup",
+    "q75_fts_bm25",
+    "q77_token_packing",
+    "q78_contamination",
+    "q79_ast_definitions",
+    "q81_mixture_weights",
+    "q82_pagerank",
+    "q83_multiprobe_topk",
+    "q84_event_dedup_windowed",
+    "q85_funnel",
+    "q86_retention_weekly",
+    "q87_outlier_trim",
+    "q88_length_bucketed_batches",
+    "q90_phrase_search",
+    "q91_sliding_revenue",
+    "q92_decayed_user_value",
+    "q93_region_share",
+    "q94_weekday_type_pivot",
+    "q95_cube_revenue",
+    "q96_shared_sql_topspenders",
 ]
 
 

@@ -474,6 +474,26 @@ CHECKS = {
         [r"CartesianProduct", r"SortMergeJoin",
          r"BatchEvalPython", r"ArrowEvalPython"],
     ),
+    "q144_session_search_indexed": (
+        # the q137 treatment for session search (r5 judge finding #2):
+        # candidates come from a bucket equi-join against the SYNCED
+        # session table — the bounded (bits+1)-row multiprobe list is
+        # the broadcast side, the probe row's read is a pushed pk
+        # filter (never a full-table scan), the cut is TakeOrdered.
+        # No window, no shuffle join, no Python on the probe path.
+        [
+            r"BroadcastHashJoin",
+            r"TakeOrderedAndProject",
+            r"PushedFilters: \[.*EqualTo",
+        ],
+        [
+            r"CartesianProduct",
+            r"SortMergeJoin",
+            r"Window",
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+        ],
+    ),
     "q127_quantization_recall": (
         # both rankings ride ONE broadcast of the 10-query panel; the
         # overlap is an equi-join + per-query agg (BNLJ = that bounded
@@ -572,6 +592,16 @@ def main() -> None:
     from cocoindex_spark.queries.dedup import _compute_wide_pairs
 
     queries["q76_simhash_wide_pairs"] = _compute_wide_pairs
+
+    # q144 registers the checkpointed probe result (its temp state dir
+    # is cleaned up before return); audit the live probe plan against a
+    # tool-lifetime state dir instead.
+    import tempfile
+
+    from cocoindex_spark.queries.streamingq import _q144_probe
+
+    _q144_root = tempfile.mkdtemp(prefix="audit_sessidx_")
+    queries["q144_session_search_indexed"] = lambda s, d: _q144_probe(s, d, _q144_root)
 
     failures = 0
     for name, (must, must_not) in CHECKS.items():
