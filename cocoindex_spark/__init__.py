@@ -13,7 +13,8 @@ Public API:
 """
 
 from cocoindex_spark.engine.app import App, SyncStats
-from cocoindex_spark.engine.function import fn
+from cocoindex_spark.engine.context import ContextKey, ContextProvider, use_context
+from cocoindex_spark.engine.function import TrackedFn, fn
 from cocoindex_spark.engine.reconcile import reconcile
 from cocoindex_spark.fingerprint import (
     NotMemoKeyable,
@@ -29,6 +30,10 @@ __all__ = [
     "App",
     "SyncStats",
     "fn",
+    "TrackedFn",
+    "ContextKey",
+    "ContextProvider",
+    "use_context",
     "reconcile",
     "fp_col",
     "fp_logic",

@@ -37,6 +37,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cocoindex_spark.engine.context import (
+    ContextKey,
+    ContextProvider,
+    _pop_active,
+    _push_active,
+)
 from cocoindex_spark.engine.reconcile import reconcile, tracking_updates
 from cocoindex_spark.fingerprint import fp_col, fp_logic, fp_value
 from cocoindex_spark.sinks.table import TableTarget
@@ -85,6 +91,52 @@ class App:
             spark = get_spark(f"cocoindex-{name}")
         self.spark = spark
         self.state = StateStore(os.path.join(state_dir, name))
+        self.context = ContextProvider()
+
+    # -- context DI (reference context_keys.py; docs context.mdx) ---------
+    def provide(self, key: ContextKey, value):
+        """Bind a context value for this app's lifetime. With
+        ``detect_change=True`` on the key, the value's fingerprint
+        joins the live set and memos recorded under a DIFFERENT value
+        of this key stop hitting (context.mdx "Change detection")."""
+        return self.context.provide(key, value)
+
+    def provide_with(self, key: ContextKey, cm):
+        """provide() via a context manager, closed at app.drop()."""
+        return self.context.provide_with(key, cm)
+
+    def use_context(self, key: ContextKey | str, t: type | None = None):
+        return self.context.get(key, t)
+
+    def _transform_context_fps(self, transform, source: DataFrame) -> set[str]:
+        """The context fingerprints a transform's execution reads.
+
+        Transforms are plan builders: their ``use_context()`` calls
+        depend only on code, never on row values, so ONE
+        plan-construction probe over an empty slice observes exactly
+        the reads the real invocation makes (including reads inside
+        helpers — transitive, like the reference's call-site tracking).
+        Skipped entirely when no change-detected key is provided
+        (zero probe cost for context-free apps). A probe that raises
+        falls back to folding EVERY live fingerprint — conservative
+        over-invalidation, never staleness."""
+        if not self.context.has_change_detected():
+            return set()
+        probe = (
+            source.limit(0)
+            .withColumn("__args_fp", F.lit(""))
+            .withColumn("__component_path", F.lit(""))
+        )
+        _push_active(self.context)
+        try:
+            with self.context.record() as rec:
+                try:
+                    transform(probe)
+                except Exception:
+                    return set(self.context.live_fps())
+            return set(rec.fps)
+        finally:
+            _pop_active()
 
     # -- helpers ----------------------------------------------------------
     @staticmethod
@@ -193,6 +245,18 @@ class App:
             scope_paths = source.select(
                 self._path_col(component_prefix, key_cols).alias("component_path")
             ).distinct()
+        # Fold change-detected context reads into the memo identity:
+        # memo rows written under a context snapshot carry its combined
+        # fingerprint in logic_fp, so re-providing a different value
+        # makes every lookup miss (and the rows GC as dead keys) while
+        # an unchanged context keeps hitting — the reference's
+        # "context fps match" hit condition (execution.rs memo reuse;
+        # logic_registry.rs:35) expressed as one key instead of a
+        # per-row fp-set check, valid because one sync shares one
+        # context snapshot across all rows.
+        ctx_fps = self._transform_context_fps(transform, source)
+        if ctx_fps:
+            logic_fp = fp_value(["ctx", logic_fp, sorted(ctx_fps)])
         src_cols = [c for c in source.columns]
         # NOT cached: each consumer needs a different column subset —
         # key-only joins (probe, hit/miss split) must keep parquet
@@ -376,8 +440,16 @@ class App:
         miss_src = miss_src.observe(obs_miss, F.count(F.lit(1)).alias("n"))
         miss_src = miss_src.cache()
         # Run the transform ONLY over misses (always run it so we learn
-        # the output schema even when everything hit).
-        miss_out = transform(miss_src.select(*src_cols, "__args_fp", "__component_path"))
+        # the output schema even when everything hit). The app is the
+        # active context provider for the duration: use_context() works
+        # inside the transform and its helpers.
+        _push_active(self.context)
+        try:
+            miss_out = transform(
+                miss_src.select(*src_cols, "__args_fp", "__component_path")
+            )
+        finally:
+            _pop_active()
         out_cols = [
             c for c in miss_out.columns if c not in ("__args_fp", "__component_path")
         ]
@@ -881,19 +953,35 @@ class App:
         The memo key is (logic_fp, canonical-args fp) — args run the
         full memo-key canonicalization (dataclasses, pydantic,
         ``__coco_memo_key__`` overrides, registered key fns,
-        NotMemoKeyable poison). A dependency edit changes logic_fp and
-        so transitively invalidates callers, the reference's rule. The
-        lookup is a BUCKET-SCOPED single-key read of the memo table
-        (one bucket's parquet, never a table scan); results round-trip
-        as JSON. Rows written here carry decl_json NULL, which makes
-        them invisible to sync_table's replay path (it filters
-        ``decl_json IS NOT NULL``) — the two memo populations share the
-        table but never cross.
+        NotMemoKeyable poison), after the function's per-parameter
+        ``memo_key=`` overrides when declared (docs
+        memoization_keys.mdx "Override at the call site": callable →
+        transformed value, None → excluded). A dependency edit changes
+        logic_fp and so transitively invalidates callers, the
+        reference's rule. The lookup is a BUCKET-SCOPED single-key read
+        of the memo table (one bucket's parquet, never a table scan);
+        results round-trip as JSON. Rows written here carry decl_json
+        NULL, which makes them invisible to sync_table's replay path
+        (it filters ``decl_json IS NOT NULL``) — the two memo
+        populations share the table but never cross.
+
+        Context change detection (context.mdx): the call runs with this
+        app as the active provider and records every change-detected
+        ``use_context`` read; the observed fingerprints are stored in
+        an envelope next to the result (the reference's per-entry
+        ``context_memo_states``, execution.rs:124-137). A hit is valid
+        only while every stored fingerprint is still live — a
+        re-provided value drops its old fp from the live set, so the
+        entry re-executes exactly when the context it consumed changed.
         """
         import json as _json
 
         logic_fp = getattr(f, "logic_fp", None) or fp_logic(f)
-        args_fp = fp_value([list(args), kwargs])
+        bound = getattr(f, "bound_memo_args", None)
+        if bound is not None and getattr(f, "memo_key", None):
+            args_fp = fp_value(bound(args, kwargs))
+        else:
+            args_fp = fp_value([list(args), kwargs])
         key = self.spark.createDataFrame(
             [(logic_fp, args_fp)], "logic_fp STRING, args_fp STRING"
         )
@@ -908,11 +996,24 @@ class App:
             .collect()  # single-row state read
         )
         if hit:
-            return _json.loads(hit[0]["result_json"])
-        out = f(*args, **kwargs)
+            stored = _json.loads(hit[0]["result_json"])
+            if not (isinstance(stored, dict) and "__coco_ctx__" in stored):
+                return stored  # context-free entry (the common shape)
+            if self.context.all_live(stored["__coco_ctx__"]):
+                return stored["v"]
+            # a consumed context value changed: fall through to re-run
+        _push_active(self.context)
+        try:
+            with self.context.record() as rec:
+                out = f(*args, **kwargs)
+        finally:
+            _pop_active()
         if getattr(f, "memo", True):
+            payload = (
+                {"__coco_ctx__": sorted(rec.fps), "v": out} if rec.fps else out
+            )
             row = self.spark.createDataFrame(
-                [(logic_fp, args_fp, _json.dumps(out), None, 0)],
+                [(logic_fp, args_fp, _json.dumps(payload), None, 0)],
                 self.state.memo.schema,
             )
             self.state.memo.merge_upsert(row)
@@ -928,6 +1029,11 @@ class App:
         100 TB the sweep shuffles only the memo table's key columns.
         """
         logic_fp = getattr(transform, "logic_fp", None) or fp_logic(transform)
+        ctx_fps = self._transform_context_fps(transform, source)
+        if ctx_fps:
+            # the same context fold sync_table applies — the sweep must
+            # address the rows the CURRENT context snapshot would read
+            logic_fp = fp_value(["ctx", logic_fp, sorted(ctx_fps)])
         live = source.select(
             fp_col(F.lit(logic_fp), *[F.col(c) for c in source.columns]).alias("args_fp")
         ).distinct()
@@ -1086,4 +1192,5 @@ class App:
     def drop(self) -> None:
         """App drop: remove all engine state (tombstone GC analog,
         app_store.rs:316)."""
+        self.context.close()
         self.state.drop()

@@ -2,10 +2,32 @@
 (reference: python/cocoindex/_internal/function.py:2199 `fn`,
 logic fp at function.py:613-668; docs function.mdx:125-247).
 
-A decorated transform carries:
-- ``logic_fp`` — canonical-AST hash + version + transitive dep
-  fingerprints. Editing a dependency's body invalidates every caller
-  (function.mdx:48), because dep fingerprints are folded in.
+A decorated transform is a :class:`TrackedFn` carrying:
+
+- ``logic_fp`` — canonical-AST hash + version + dep fingerprints,
+  computed LAZILY on first use (after the whole module has executed),
+  so helpers defined BELOW the decorated function — forward references
+  — resolve through ``__globals__`` and fold in. The reference gets the
+  same effect by tracking dependencies dynamically at call time
+  (``add_fn_logic_dep``); lazy decoration-module-complete resolution is
+  the plan-builder analog. Attribute-access call targets
+  (``module.helper``) resolve one level through module globals;
+  instance-borne targets (``self.method``) cannot be resolved
+  statically — pass those via ``deps=``.
+- ``logic_tracking`` — ``"full"`` (default: own AST + transitive
+  tracked/same-package callees), ``"self"`` (own AST only), or ``None``
+  (untracked: the fp is a stable name-based constant, so code edits
+  are invisible to change detection — function.mdx `logic_tracking`).
+- ``deps`` — external VALUES the logic depends on (a prompt string, a
+  model id — snapshotted at decoration time and canonicalized through
+  the memo-key pipeline, function.mdx `deps`); callables are folded as
+  logic deps (their own logic fp) for explicit call-graph edges.
+- ``memo_key`` — per-PARAMETER fingerprint overrides for the
+  single-call memo path (``App.memoize``): map a parameter name to a
+  callable (fingerprint its return instead of the argument) or None
+  (exclude the parameter entirely) — docs memoization_keys.mdx
+  "Override at the call site". Validated at decoration time: unknown
+  names raise ValueError, non-callable non-None values raise TypeError.
 - ``memo`` — whether App.sync_table consults the memo table.
 
 Batching is inherent: transforms are DataFrame→DataFrame, so Spark
@@ -16,11 +38,13 @@ already executes them in Arrow batches (the reference's
 from __future__ import annotations
 
 import ast
+import functools
 import inspect
 import textwrap
 from collections.abc import Callable
+from typing import Any
 
-from cocoindex_spark.fingerprint import fp_logic
+from cocoindex_spark.fingerprint import fp_logic, fp_value
 
 # Library namespaces whose functions are NOT logic dependencies: their
 # behavior is pinned by the environment, not the user's code (the
@@ -32,28 +56,39 @@ _SKIP_TOPLEVEL = {
 }
 
 
-def _referenced_names(f: Callable) -> set[str]:
+def _referenced_names(f: Callable) -> tuple[set[str], set[tuple[str, str]]]:
+    """Names the function body loads: plain identifiers plus one-level
+    dotted references (``mod.helper``) for attribute-resolved deps."""
     try:
         tree = ast.parse(textwrap.dedent(inspect.getsource(f)))
     except (OSError, TypeError, SyntaxError):
-        return set()
-    return {
-        n.id
-        for n in ast.walk(tree)
-        if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Load)
-    }
+        return set(), set()
+    plain: set[str] = set()
+    dotted: set[tuple[str, str]] = set()
+    for n in ast.walk(tree):
+        if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Load):
+            plain.add(n.id)
+        elif (
+            isinstance(n, ast.Attribute)
+            and isinstance(n.ctx, ast.Load)
+            and isinstance(n.value, ast.Name)
+        ):
+            dotted.add((n.value.id, n.attr))
+    return plain, dotted
 
 
 def _auto_dep_fps(f: Callable, _seen: set | None = None) -> tuple[str, ...]:
     """Transitive call-graph fingerprints, discovered from the
-    function's own AST: every loaded name that resolves (via closure or
-    module globals) to a tracked ``@fn`` OR to a plain function in the
-    same top-level package folds its logic fp into the caller's —
-    editing a helper's body invalidates every (transitive) caller,
-    exactly the reference's dependency semantics (function.mdx:48;
-    function.py:613-668). Cycle-guarded; deterministic (names sorted).
-    Library functions (pyspark/numpy/stdlib …) are environment, not
-    logic, and are skipped."""
+    function's own AST: every loaded name — plain or one-level dotted
+    (``module.helper``) — that resolves (via closure or module globals)
+    to a tracked ``@fn`` OR to a plain function in the same top-level
+    package folds its logic fp into the caller's — editing a helper's
+    body invalidates every (transitive) caller (function.mdx:48;
+    reference function.py:613-668 tracks the same edges dynamically).
+    Cycle-guarded; deterministic (names sorted). Library functions
+    (pyspark/numpy/stdlib …) are environment, not logic, and are
+    skipped. ``self.method`` targets cannot resolve statically — list
+    them in ``deps=``."""
     seen = _seen if _seen is not None else set()
     key = (getattr(f, "__module__", None), getattr(f, "__qualname__", None))
     if key in seen:
@@ -70,10 +105,24 @@ def _auto_dep_fps(f: Callable, _seen: set | None = None) -> tuple[str, ...]:
             except ValueError:  # empty cell
                 pass
     top = (getattr(f, "__module__", "") or "").split(".")[0]
+    plain, dotted = _referenced_names(f)
+    candidates: list[tuple[str, object]] = []
+    for name in sorted(plain - {getattr(f, "__name__", "")}):
+        candidates.append((name, cl.get(name, g.get(name))))
+    import types
+
+    for base, attr in sorted(dotted):
+        holder = cl.get(base, g.get(base))
+        if isinstance(holder, types.ModuleType):
+            candidates.append((f"{base}.{attr}", getattr(holder, attr, None)))
     fps: list[str] = []
-    for name in sorted(_referenced_names(f) - {getattr(f, "__name__", "")}):
-        obj = cl.get(name, g.get(name))
+    for name, obj in candidates:
         if obj is None or obj is f:
+            continue
+        if isinstance(obj, TrackedFn):
+            if obj.fn is f:
+                continue
+            fps.append(f"{name}:{obj.logic_fp}")
             continue
         lf = getattr(obj, "logic_fp", None)
         if isinstance(lf, str):
@@ -88,19 +137,149 @@ def _auto_dep_fps(f: Callable, _seen: set | None = None) -> tuple[str, ...]:
     return tuple(fps)
 
 
+def _dep_fp(d: Any) -> str:
+    """One dep's fingerprint: callables fold as logic (call-graph
+    edge); anything else is a VALUE snapshot through the memo-key
+    canonicalization (function.mdx `deps` — prompt strings, model ids,
+    tuples/dicts of them)."""
+    lf = getattr(d, "logic_fp", None)
+    if isinstance(lf, str):
+        return lf
+    if callable(d) and (inspect.isfunction(d) or inspect.ismethod(d)):
+        return fp_logic(d)
+    return "val:" + fp_value(d)
+
+
+class TrackedFn:
+    """Callable wrapper produced by ``@fn`` — see module docstring."""
+
+    def __init__(
+        self,
+        f: Callable,
+        *,
+        memo: bool,
+        version: int | None,
+        deps: Any,
+        memo_key: dict[str, Callable | None] | None,
+        logic_tracking: str | None,
+    ):
+        functools.update_wrapper(self, f)
+        self.fn = f
+        self.memo = memo
+        self.memo_key = memo_key
+        self._version = version
+        self._logic_tracking = logic_tracking
+        # deps VALUES snapshot at decoration time (function.mdx: "not
+        # re-evaluated per call"); auto call-graph deps stay lazy.
+        if isinstance(deps, tuple):
+            self._dep_fps = tuple(_dep_fp(d) for d in deps)
+        elif deps is None:
+            self._dep_fps = ()
+        else:
+            self._dep_fps = (_dep_fp(deps),)
+        self._logic_fp: str | None = None
+        self._computing = False
+        if memo_key is not None:
+            try:
+                params = inspect.signature(f).parameters
+            except (ValueError, TypeError):
+                raise ValueError(
+                    f"memo_key= on {f!r}: signature not introspectable"
+                ) from None
+            for name, override in memo_key.items():
+                if name not in params:
+                    raise ValueError(
+                        f"memo_key parameter {name!r} is not a parameter of "
+                        f"{getattr(f, '__qualname__', f)!r}"
+                    )
+                if override is not None and not callable(override):
+                    raise TypeError(
+                        f"memo_key[{name!r}] must be callable or None, "
+                        f"got {type(override).__name__}"
+                    )
+        if logic_tracking not in ("full", "self", None):
+            raise ValueError(
+                f"logic_tracking must be 'full', 'self' or None, got {logic_tracking!r}"
+            )
+        if logic_tracking is None and self._dep_fps:
+            raise ValueError("deps= requires logic_tracking to be enabled")
+
+    def __call__(self, *args, **kwargs):
+        return self.fn(*args, **kwargs)
+
+    def __get__(self, obj, objtype=None):
+        # method support: bind like a plain function would
+        if obj is None:
+            return self
+        return functools.partial(self.__call__, obj)
+
+    @property
+    def logic_fp(self) -> str:
+        """Lazy: resolved on first use, by which time the defining
+        module has fully executed — forward-referenced helpers are in
+        ``__globals__`` and fold in (the r5 advisor's finding on the
+        decoration-time snapshot)."""
+        if self._logic_fp is None:
+            if self._computing:
+                # mutual recursion between two tracked fns: break the
+                # cycle with a stable name-based marker (deterministic;
+                # the other direction still hashes real AST content)
+                return f"cycle:{self.__module__}.{self.__qualname__}"
+            self._computing = True
+            try:
+                if self._logic_tracking is None:
+                    # untracked: stable across any code edit
+                    self._logic_fp = fp_value(
+                        ["untracked", self.__module__, self.__qualname__]
+                    )
+                elif self._logic_tracking == "self":
+                    self._logic_fp = fp_logic(
+                        self.fn, version=self._version, deps=self._dep_fps
+                    )
+                else:
+                    self._logic_fp = fp_logic(
+                        self.fn,
+                        version=self._version,
+                        deps=self._dep_fps + _auto_dep_fps(self.fn),
+                    )
+            finally:
+                self._computing = False
+        return self._logic_fp
+
+    def bound_memo_args(self, args: tuple, kwargs: dict) -> Any:
+        """The value tree fingerprinted as this call's memo args key,
+        after per-parameter ``memo_key`` overrides (docs
+        memoization_keys.mdx): callable → transformed value, None →
+        excluded, unlisted → the raw argument."""
+        if not self.memo_key:
+            return [list(args), kwargs]
+        ba = inspect.signature(self.fn).bind(*args, **kwargs)
+        items = []
+        for name, value in ba.arguments.items():
+            if name in self.memo_key:
+                override = self.memo_key[name]
+                if override is None:
+                    continue
+                value = override(value)
+            items.append([name, value])
+        return items
+
+
 def fn(
     memo: bool = True,
     version: int | None = None,
-    deps: tuple[Callable, ...] = (),
+    deps: Any = (),
+    memo_key: dict[str, Callable | None] | None = None,
+    logic_tracking: str | None = "full",
 ) -> Callable:
-    def deco(f: Callable) -> Callable:
-        explicit = tuple(
-            getattr(d, "logic_fp", None) or fp_logic(d) for d in deps
+    def deco(f: Callable) -> TrackedFn:
+        return TrackedFn(
+            f,
+            memo=memo,
+            version=version,
+            deps=deps,
+            memo_key=memo_key,
+            logic_tracking=logic_tracking,
         )
-        f.logic_fp = fp_logic(
-            f, version=version, deps=explicit + _auto_dep_fps(f)
-        )
-        f.memo = memo
-        return f
 
     return deco

@@ -380,3 +380,81 @@ def q65_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("singleton_self"),
         )
     )
+
+
+# --- q145: ContextKey detect_change memo invalidation measured on the
+#     LIVE engine (reference: context_keys.py:99-214 provide/fp
+#     registry, the memo-hit "context fps match" condition; docs
+#     context.mdx "Change detection"). Five syncs of the documents
+#     table through a context-reading transform; the returned frame is
+#     the engine's MEASURED per-phase stats, and the oracle is the
+#     corpus-derived expectation: a changed detect_change=True value
+#     misses and rewrites everything (w = (len+1)·k differs for every
+#     doc), re-providing the original value revives the first
+#     snapshot's memo rows (hits, but the target rows update back),
+#     and rotating a detect_change=False value invalidates nothing.
+#     Engine-sync query: deliberately NOT in the bench HEADLINE
+#     (q99/q135-q137/q144 precedent — each call is a pipe_cold twin).
+@register(
+    "q145_context_memo_invalidation",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS c FROM documents)
+SELECT 'p1_cold' AS phase, c AS memo_misses, c AS inserts, CAST(0 AS BIGINT) AS updates FROM n
+UNION ALL
+SELECT 'p2_warm', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM n
+UNION ALL
+SELECT 'p3_ctx_edit', c, CAST(0 AS BIGINT), c FROM n
+UNION ALL
+SELECT 'p4_ctx_back', CAST(0 AS BIGINT), CAST(0 AS BIGINT), c FROM n
+UNION ALL
+SELECT 'p5_undetected', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM n
+""",
+)
+def q145_context_memo_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from cocoindex_spark.engine.app import App
+    from cocoindex_spark.engine.context import ContextKey, use_context
+    from cocoindex_spark.engine.function import fn as _fn
+
+    sfx = _uuid.uuid4().hex[:12]
+    k_scale = ContextKey(f"q145-scale-{sfx}", detect_change=True)
+    k_conn = ContextKey(f"q145-conn-{sfx}", detect_change=False)
+
+    @_fn(memo=True)
+    def weigh(df):
+        k = use_context(k_scale)
+        use_context(k_conn)  # consumed but NOT change-detected
+        return df.select(
+            "__args_fp",
+            "__component_path",
+            "doc_id",
+            ((F.length("text") + 1).cast("long") * F.lit(k)).alias("w"),
+        )
+
+    root = tempfile.mkdtemp(prefix="q145_")
+    rows = []
+    try:
+        app = App("ctxq", state_dir=root, spark=spark)
+        t = app.target(os.path.join(root, "t"), ["doc_id"], "doc_id LONG, w LONG")
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def run(phase: str, scale: int, conn: str) -> None:
+            app.provide(k_scale, scale)
+            app.provide(k_conn, conn)
+            s = app.sync_table(docs, ["doc_id"], weigh, t)
+            rows.append((phase, s.memo_misses, s.inserts, s.updates))
+
+        run("p1_cold", 2, "conn-A")
+        run("p2_warm", 2, "conn-A")
+        run("p3_ctx_edit", 3, "conn-A")
+        run("p4_ctx_back", 2, "conn-A")
+        run("p5_undetected", 2, "conn-B")
+        return spark.createDataFrame(
+            rows, "phase STRING, memo_misses LONG, inserts LONG, updates LONG"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
