@@ -588,10 +588,17 @@ class App:
             # read, not a job. Fallback: when the optimizer erased the
             # observed subtree entirely (empty-relation propagation
             # through a limit(0)/empty source drops the CollectMetrics
-            # node), the metrics row is absent and `get` raises — count
-            # the cached frame instead (trivial: it is empty or tiny in
-            # exactly those cases).
+            # node), the metrics row is absent — count the cached frame
+            # instead (trivial: it is empty or tiny in exactly those
+            # cases). The absent-row probe is the NON-BLOCKING JVM
+            # `getRowOrEmpty` (r5 advisor: `Observation.get` raises on
+            # the installed PySpark 4.1 but BLOCKS forever on 3.x —
+            # probing first makes the fallback version-independent;
+            # pyproject.toml also pins pyspark>=4).
             try:
+                jo = getattr(obs, "_jo", None)
+                if jo is None or jo.getRowOrEmpty().isEmpty():
+                    return df.count()
                 return int(obs.get["n"])
             except Exception:
                 return df.count()

@@ -705,6 +705,25 @@ class StructuralPattern:
                 toks[j - 1].text
             ):
                 depth = 1
+                # A real type-argument list balances its OWN parens and
+                # brackets: a `)`/`]` that closes an ENCLOSING delimiter
+                # (underflow) means the `<` was a comparison —
+                # `f(a<b && c)` stays a comparison instead of a
+                # pseudo-generic swallow (r5 advisor). `||` never
+                # occurs in a type-argument list in any generic-snap
+                # language; `&&` only where rvalue/double references
+                # are types (cpp `T&&`, rust `&&str`) and `=` only
+                # where type args bind defaults/associations (rust
+                # `Item = u32`, cpp `= int`, ts `<T = string>`) — in
+                # the other languages both abort the walk, so unspaced
+                # comparisons like `a<b && c>d` stay two comparisons.
+                # The cpp/rust `&&` ambiguity is token-level
+                # irreducible; it is resolved by the longest-first
+                # candidate order (the plain unit is still tried when
+                # the generic grouping fails the rest of the pattern).
+                no_amp = self.language not in ("cpp", "rust")
+                no_eq = self.language not in ("cpp", "rust", "typescript", "tsx")
+                pdepth = 0
                 j += 1
                 while j < n and depth > 0:
                     tt = toks[j].text
@@ -716,7 +735,18 @@ class StructuralPattern:
                         depth -= 1
                     elif tt == ">>":
                         depth -= 2
-                    elif tt in (";", "{", "}") or _STRING.match(tt):
+                    elif tt in ("(", "["):
+                        pdepth += 1
+                    elif tt in (")", "]"):
+                        pdepth -= 1
+                        if pdepth < 0:
+                            return None  # closes an enclosing delimiter
+                    elif (
+                        tt in (";", "{", "}", "||")
+                        or (tt == "&&" and no_amp)
+                        or (tt == "=" and no_eq)
+                        or _STRING.match(tt)
+                    ):
                         return None  # not a generic list after all
                     j += 1
                 if depth > 0:
@@ -817,12 +847,29 @@ class StructuralPattern:
                     region_lo, region_hi = ti + 1, max(hi - 1, ti + 1)
                 else:
                     # braceless suite (python/ruby …): no closing token
-                    # exists, so the "one node" region is the maximal
-                    # same-level sibling run — the token-stream analog
-                    # of the suite node (documented approximation: it
-                    # extends to the next closer/EOF, not the dedent)
+                    # exists, so the "one node" region is the same-level
+                    # sibling run bounded by INDENTATION — the run stops
+                    # at the first unit that begins its own line at a
+                    # column BELOW the suite's first token, the
+                    # token-stream dedent, which is where the
+                    # reference's tree-sitter suite node ends (the r5
+                    # advisor's false positive: without the bound the
+                    # region bled into the NEXT top-level definition
+                    # and matched its returns under the wrong header).
+                    a_ls = source.rfind("\n", 0, toks[ti].start) + 1
+                    anchor_col = toks[ti].start - a_ls
+
+                    def _dedented(tok: Tok) -> bool:
+                        ls = source.rfind("\n", 0, tok.start) + 1
+                        return (
+                            tok.start - ls < anchor_col
+                            and not source[ls : tok.start].strip()
+                        )
+
                     j = ti
                     while j < limit and toks[j].text not in _CLOSERS:
+                        if j > ti and _dedented(toks[j]):
+                            break
                         j = min(self._unit_ends(toks, j)[0], limit)
                     hi = j
                     region_lo, region_hi = ti, hi

@@ -471,3 +471,53 @@ def test_remaining_reference_feature_block():
     assert d == {"A": "a", "B": "b"}
     a = StructuralPattern(r"f(\S, \N)", "typescript").match('f("x)y", 3);')[0].captures
     assert a == {"S": '"x)y"', "N": "3"}
+
+
+def test_contains_python_suite_bounded_by_dedent():
+    """r5 advisor: the braceless containment region must end at the
+    DEDENT (the reference's suite node boundary), not bleed into the
+    next top-level definition and match its returns under the wrong
+    header."""
+    p = StructuralPattern(r"def \F(): \{{ return \(X+\) \}}", "python")
+    src = "def foo():\n    x = 1\n\ndef bar():\n    return a + b\n"
+    ms = p.match(src)
+    assert len(ms) == 1
+    assert ms[0].captures == {"F": "bar", "X": "a + b"}
+    assert ms[0].text.startswith("def bar")
+    # multi-statement suites at ONE level still span the whole suite
+    p2 = StructuralPattern(r"def \F(): \{{ return \(X+\) \}}", "python")
+    src2 = "def foo():\n    x = 1\n    return x + 1\n"
+    m2 = p2.match(src2)
+    assert m2 and m2[0].captures == {"F": "foo", "X": "x + 1"}
+    # nested deeper-indent statements stay inside the region
+    src3 = "def foo():\n    if c:\n        return a + b\n\ndef baz():\n    pass\n"
+    m3 = p2.match(src3)
+    assert m3 and m3[0].captures == {"F": "foo", "X": "a + b"}
+    assert m3[0].text.rstrip().endswith("return a + b")
+
+
+def test_generic_walk_comparison_guards():
+    """r5 advisor: unspaced comparisons must not group into one
+    pseudo-generic unit when the walk crosses an enclosing `)` or, in
+    languages without reference/default-type tokens, `&&`/`=`."""
+    from cocoindex_spark.operators.code_match import StructuralPattern as SP
+
+    # java: `&&` can never sit in a type-argument list → \X stays `a`
+    p = SP(r"if (\X < \Y && \(Z+\)) { }", "java")
+    m = p.match("if (a<b && c>d) { }")
+    assert m and m[0].captures["X"] == "a" and m[0].captures["Y"] == "b"
+    # java generics still snap as one unit
+    p2 = SP(r"\T \N = new \(I+\);", "java")
+    m2 = p2.match("Map<String, List<Integer>> m = new HashMap<>();")
+    assert m2 and m2[0].captures["T"] == "Map<String, List<Integer>>"
+    # enclosing-paren underflow aborts the walk in EVERY language
+    p3 = SP(r"assert(\X < \(Y+\));", "rust")
+    m3 = p3.match("assert(a<b && c);")
+    assert m3 and m3[0].captures["X"] == "a" and m3[0].captures["Y"] == "b && c"
+    # rust type args keep `&&` and `=` (double ref, associated binding)
+    p4 = SP(r"fn f(v: \(T+\)) { }", "rust")
+    m4 = p4.match("fn f(v: Vec<&&str>) { }")
+    assert m4 and m4[0].captures["T"] == "Vec<&&str>"
+    p5 = SP(r"fn g(it: \(T+\)) { }", "rust")
+    m5 = p5.match("fn g(it: Iterator<Item = u32>) { }")
+    assert m5 and m5[0].captures["T"] == "Iterator<Item = u32>"
