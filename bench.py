@@ -266,6 +266,15 @@ def bench_incremental(spark, sf_dir: str, timings: dict, phases: dict | None = N
         # ---- two-level phases: metadata-only listing + load callable
         # (the reference's cheap-version-first validation: a warm run
         # touches ZERO content bytes — O(listing), not O(data)).
+        # HONEST HEADLINE NOTE: at bench scale (5k short docs, content
+        # ≈ metadata size) the pipe_*_cheap phases pay the cheap_level
+        # probe (~0.4 s of bounded metadata jobs) without a matching
+        # I/O saving, so they can read SLOWER than their plain twins.
+        # The cheap path wins when content ≫ metadata — the warm run
+        # provably loads zero content rows (asserted below), which at
+        # 100 TB is the difference between O(listing) and O(data).
+        # Judged a watch item in r5; don't re-litigate the probe cost
+        # without a new idea (it needs counts before plan construction).
         app2 = App("bench2", state_dir=root, spark=spark)
         target2 = app2.target(
             f"{root}/doc_stats2", ["doc_id"],

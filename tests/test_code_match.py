@@ -521,3 +521,51 @@ def test_generic_walk_comparison_guards():
     p5 = SP(r"fn g(it: \(T+\)) { }", "rust")
     m5 = p5.match("fn g(it: Iterator<Item = u32>) { }")
     assert m5 and m5[0].captures["T"] == "Iterator<Item = u32>"
+
+
+# --- AST-precedence behaviors (reference features.rs:22
+#     `precedence_from_ast`, :48 `function_signature_ignores_body`) —
+#     pinned as DOCUMENTED DELTAS: a token-stream matcher has no
+#     grammar, so it cannot see operator associativity or enclosing
+#     node kinds. What it guarantees instead (and these tests freeze):
+#     deterministic leftmost-innermost matching, and signature patterns
+#     still FINDING their declarations. The delimiter-atomicity half of
+#     "precedence" (strings/groups are one node) is full parity and is
+#     pinned in test_string_atomic / test_contains_* above. -----------
+
+
+def test_precedence_from_ast_documented_delta():
+    """reference: `\\A = \\B` on `a = b = c;` yields TWO matches (outer
+    binds B = `b = c` via right-associativity, inner binds B = `c`).
+    Token-level delta: ONE leftmost match with B = the immediate unit
+    `b` — associativity needs a grammar, and the scan is
+    non-overlapping. Both halves of the delta are deterministic and
+    frozen here; a user wanting the full RHS writes the run form
+    `\\(B+\\)` explicitly."""
+    p = StructuralPattern(r"\A = \B", "typescript")
+    ms = p.match("a = b = c;")
+    assert len(ms) == 1
+    assert ms[0].captures == {"A": "a", "B": "b"}
+    # the run form recovers the reference's outer binding on demand
+    p2 = StructuralPattern(r"\A = \(B+\);", "typescript")
+    m2 = p2.match("a = b = c;")
+    assert m2 and m2[0].captures == {"A": "a", "B": "b = c"}
+
+
+def test_function_signature_ignores_body_documented_delta():
+    """reference: the signature pattern `function f()` matches the
+    whole function_declaration node (span includes the body). Token
+    parity: the declaration IS found — same positive/negative
+    behavior — but the reported span is the matched token range (the
+    signature), because without a grammar there is no enclosing node
+    to widen to. The containment form reproduces the full-span report
+    when the body matters."""
+    p = StructuralPattern(r"function f()", "typescript")
+    ms = p.match("function f() { return 1; }")
+    assert len(ms) == 1
+    assert ms[0].text == "function f()"
+    assert p.match("function g() { return 1; }") == []
+    # full-span report via containment, when the caller wants the body
+    p2 = StructuralPattern(r"function f() \{{ return \X; \}}", "typescript")
+    m2 = p2.match("function f() { return 1; }")
+    assert m2 and m2[0].text == "function f() { return 1; }"
