@@ -161,10 +161,15 @@ HEADLINE = [
     "q140_unigram_surprisal",
     "q141_copurchase_recs",
     "q142_session_search",
-    # q144 (indexed session search) is NOT benched: like q99/q135-q137
-    # it runs a full engine sync per call; its probe side is the point
-    # and is sub-second once the table exists.
+    # q144/q145 are NOT benched: like q99/q135-q137 each runs a full
+    # engine sync per call (a pipe_cold twin the pipe_* phases already
+    # measure); their query sides are sub-second once the table exists.
     "q143_balanced_epoch_sample",
+    "q146_shingle_containment",
+    "q147_cdc_chunk_dedup",
+    "q148_bigram_surprisal",
+    "q149_hamming_topk",
+    "q150_oov_rate",
 ]
 
 

@@ -1046,3 +1046,71 @@ def q126_detector_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(tp * 1000) div (tp + fn)"),
         ).otherwise(F.lit(-1).cast("long")).alias("recall_milli"),
     )
+
+
+# --- q146: shingle-containment near-dup pairs — the asymmetric twin
+#     of q31 (C(A→B) = |A∩B| / |A|, the "A is quoted/contained inside
+#     B" detector used for boilerplate and quotation dedup, e.g.
+#     Broder's containment from the resemblance paper). Candidate
+#     generation is prefix-filtered on the CONTAINED side only: for
+#     C ≥ t every qualifying pair must share one of A's
+#     (n_a − ⌈t·n_a⌉ + 1) globally-rarest shingles (the PPJoin bound
+#     applies verbatim — containment's intersection requirement is on
+#     A alone), so join keys are rare by construction and the B side
+#     joins its full shingle table without a hot-shingle blowup.
+#     Integer milli-containment (BIGINT div) keeps the oracle exact.
+_CONT_T = 0.8
+
+
+@register(
+    "q146_shingle_containment",
+    oracle=f"""
+WITH sh AS ({_SH}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, (c * 1000) // s1.n AS cont_milli
+FROM inter JOIN sizes s1 ON a_id = s1.doc_id
+WHERE (c * 1000) // s1.n >= {int(_CONT_T * 1000)}
+""",
+)
+def q146_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    freq = sh.groupBy("g").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window as W
+
+    ranked = sh.join(freq, "g").withColumn(
+        "rk", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "g"))
+    )
+    # prefix on the contained side only (see docstring)
+    prefix = ranked.join(sizes, "doc_id").filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(_CONT_T) * F.col("n")) + 1
+    )
+    pa = prefix.select(F.col("doc_id").alias("a_id"), "g")
+    sb_all = sh.select(F.col("doc_id").alias("b_id"), "g")
+    cand = (
+        pa.join(sb_all, ["g"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"), "g")
+    sb = sh.select(F.col("doc_id").alias("bb_id"), F.col("g").alias("gb"))
+    inter = (
+        cand.join(sa, "a_id")
+        .join(sb, (F.col("b_id") == F.col("bb_id")) & (F.col("g") == F.col("gb")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n1"))
+    cont = F.expr("(c * 1000) div n1")
+    return (
+        inter.join(s1, "a_id")
+        .withColumn("cont_milli", cont)
+        .filter(F.col("cont_milli") >= int(_CONT_T * 1000))
+        .select("a_id", "b_id", "cont_milli")
+    )

@@ -38,6 +38,11 @@ _PRIORITY: list[str] = [
     # next round.
     "q144_session_search_indexed",  # NEW in r6
     "q145_context_memo_invalidation",  # NEW in r6
+    "q146_shingle_containment",  # NEW in r6
+    "q147_cdc_chunk_dedup",  # NEW in r6
+    "q148_bigram_surprisal",  # NEW in r6
+    "q149_hamming_topk",  # NEW in r6
+    "q150_oov_rate",  # NEW in r6
     "q126_detector_eval",  # touched: prefix-filtered truth join
     "q31_ngram_jaccard_pairs",  # touched: shared helper extraction
     "q142_session_search",  # touched: oracle constant refactor

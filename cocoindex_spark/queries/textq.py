@@ -727,3 +727,224 @@ def q140_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "source", "n_tok", "total_bits", "milli_bits_per_tok")
     )
+
+
+# --- q147: content-defined chunking + cross-corpus chunk dedup — the
+#     CDC stage of large-scale dedup pipelines (FastCDC/LBFS lineage:
+#     boundaries are decided by LOCAL content, so an insertion early in
+#     a document shifts no later chunk identity — the property that
+#     makes chunk-hash dedup work at 100 TB). Word-gear variant kept
+#     engine-exact: a boundary falls after word i when the md5 of the
+#     adjacent word pair (w_i, w_{i+1}) ≡ 0 (mod 8); chunk fingerprints
+#     are md5 over the space-joined chunk words. The whole pipeline is
+#     per-row ARRAY expressions (no per-doc window, no Python) + one
+#     hash agg over exploded chunk hashes; output = the 20 most
+#     duplicated chunks across the corpus.
+@register(
+    "q147_cdc_chunk_dedup",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+  WHERE length(trim(text)) > 0
+),
+marks AS (
+  SELECT doc_id, w,
+    list_prepend(CAST(0 AS BIGINT),
+      list_filter(range(1, len(w)),
+        i -> CAST(concat('0x', substr(md5(w[i] || ' ' || w[i+1]), 1, 12)) AS BIGINT) % 8 = 0)) AS bs
+  FROM ws
+),
+chunks AS (
+  SELECT doc_id,
+    UNNEST(list_transform(range(1, len(bs)+1),
+      j -> md5(array_to_string(
+             w[CAST(bs[j]+1 AS BIGINT):
+               CAST((CASE WHEN j = len(bs) THEN len(w) ELSE bs[j+1] END) AS BIGINT)],
+             ' ')))) AS ch
+  FROM marks
+)
+SELECT ch AS chunk_hash,
+  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM chunks
+GROUP BY ch
+ORDER BY n_occurrences DESC, chunk_hash ASC
+LIMIT 20
+""",
+)
+def q147_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    w = F.split(F.trim(F.col("text")), " ")
+    # boundary marks: 0-based word index i (1..n-1) is a cut BEFORE
+    # word i+1 when gear(w_i, w_{i+1}) % 8 == 0 — local content only
+    gear = (
+        "CAST(conv(substring(md5(concat(element_at(w, CAST(i AS INT)), ' ', "
+        "element_at(w, CAST(i AS INT) + 1))), 1, 12), 16, 10) AS BIGINT) % 8 = 0"
+    )
+    marks = F.expr(
+        "concat(array(CAST(0 AS BIGINT)), "
+        f"filter(sequence(CAST(1 AS BIGINT), size(w) - 1), i -> {gear}))"
+    )
+    chunk_hashes = F.expr(
+        "transform(sequence(1, size(bs)), j -> md5(concat_ws(' ', "
+        "slice(w, CAST(element_at(bs, j) + 1 AS INT), "
+        "CAST((IF(j = size(bs), size(w), element_at(bs, j + 1))) "
+        "- element_at(bs, j) AS INT)))))"
+    )
+    chunks = (
+        d.select("doc_id", w.alias("w"))
+        .withColumn("bs", marks)
+        .select("doc_id", F.explode(chunk_hashes).alias("ch"))
+    )
+    return (
+        chunks.groupBy(F.col("ch").alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("chunk_hash"))
+        .limit(20)
+    )
+
+
+# --- q148: bigram-surprisal quality signal — q140's unigram LM
+#     upgraded to the conditional bigram model that perplexity filters
+#     actually use (CCNet, arXiv:1911.00359): surprisal of a pair
+#     (prev, tok) is ilog2(c_prev) − ilog2(c_pair) whole bits (exact
+#     integer math, bin() has no leading zeros in either engine).
+#     Scale shape: adjacent pairs come from one per-row array zip (no
+#     window), then ONE pair-count agg, ONE prev-count agg, equi-joins
+#     back, a per-doc agg, and a per-source top-5 keyed window.
+@register(
+    "q148_bigram_surprisal",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 2
+),
+pairs AS (
+  SELECT doc_id, source, w[CAST(i AS BIGINT)] AS prev, w[CAST(i+1 AS BIGINT)] AS tok
+  FROM ws, UNNEST(range(1, len(w))) AS t(i)
+),
+pc AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cp FROM pairs GROUP BY prev, tok),
+uc AS (SELECT prev, CAST(SUM(cp) AS BIGINT) AS cu FROM pc GROUP BY prev),
+scored AS (
+  SELECT p.doc_id, p.source,
+    CAST(length(bin(uc.cu)) - length(bin(pc.cp)) AS BIGINT) AS bits
+  FROM pairs p JOIN pc ON p.prev = pc.prev AND p.tok = pc.tok
+  JOIN uc ON p.prev = uc.prev
+),
+per_doc AS (
+  SELECT doc_id, source,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(SUM(bits) AS BIGINT) AS total_bits,
+    CAST(SUM(bits) * 1000 AS BIGINT) // COUNT(*) AS milli_bits_per_pair
+  FROM scored GROUP BY doc_id, source
+)
+SELECT doc_id, source, n_pairs, total_bits, milli_bits_per_pair
+FROM per_doc
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY milli_bits_per_pair DESC, doc_id ASC
+) <= 5
+""",
+)
+def q148_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    pairs = (
+        d.select("doc_id", "source", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, CAST(i AS INT)) AS prev, "
+                    "element_at(w, CAST(i AS INT) + 1) AS tok))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "source", F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
+    )
+    pc = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).cast("long").alias("cp"))
+    uc = pc.groupBy("prev").agg(F.sum("cp").cast("long").alias("cu"))
+    bits = (F.length(F.bin(F.col("cu"))) - F.length(F.bin(F.col("cp")))).cast("long")
+    scored = pairs.join(pc, ["prev", "tok"]).join(uc, "prev").select(
+        "doc_id", "source", bits.alias("bits")
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("(sum(bits) * 1000) div count(1)").alias("milli_bits_per_pair"),
+    )
+    return (
+        per_doc.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(
+                    F.desc("milli_bits_per_pair"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", "n_pairs", "total_bits", "milli_bits_per_pair")
+    )
+
+
+# --- q150: tokenizer-vocab coverage — the OOV-rate gate a training
+#     pipeline runs before committing to a tokenizer/vocab (high OOV →
+#     the vocab underfits that source; reference analog: the corpus
+#     token statistics its text ops feed curation with). vocab = the
+#     corpus's top-1000 tokens (deterministic tiebreak), per-source
+#     OOV milli-rate over it. Scale shape: one token-count agg, the
+#     top-1000 cut via TakeOrdered (never a global window), the
+#     bounded vocab BROADCAST back onto the token stream, one
+#     per-source agg.
+_VOCAB_K = 1000
+
+
+@register(
+    "q150_oov_rate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, UNNEST(string_split(trim(text), ' ')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok FROM cnt
+  QUALIFY row_number() OVER (ORDER BY c DESC, tok ASC) <= {_VOCAB_K}
+)
+SELECT t.source,
+  CAST(COUNT(*) AS BIGINT) AS n_tok,
+  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  (CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+    // COUNT(*) AS oov_milli
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.source
+""",
+)
+def q150_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # top-k cut via orderBy+limit → TakeOrderedAndProject (per-partition
+    # local top-k, driver merge of k·parts rows) — never a global window
+    vocab = cnt.orderBy(F.desc("c"), F.asc("tok")).limit(_VOCAB_K).select("tok")
+    joined = toks.join(
+        F.broadcast(vocab.withColumn("__in_v", F.lit(1))), "tok", "left"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.expr(
+            "(sum(CASE WHEN __in_v IS NULL THEN 1 ELSE 0 END) * 1000) div count(1)"
+        ).alias("oov_milli"),
+    )

@@ -1243,3 +1243,62 @@ def q127_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(n_overlap * 1000) div {_QR_K}").alias("recall_milli"),
         )
     )
+
+
+# --- q149: binary-sign Hamming top-k — the 1-bit-per-dimension
+#     compressed ANN baseline (Charikar's sign random projections /
+#     "binary hashing": dot-product rank preserved in expectation by
+#     Hamming distance over sign bits). Every embedding packs to ONE
+#     BIGINT (bit j set ⟺ e_j >= 0), the probe code broadcasts as a
+#     1-row side, distance is xor+bit_count — integer-exact in both
+#     engines — and the cut is TakeOrdered. At 100 TB this is the scan
+#     you CAN afford (8 bytes/vector, SIMD popcount) before any float
+#     re-rank; the float re-rank path is q109/q28.
+_HAM_DIM = 16
+_HAM_K = 10
+
+
+def _sql_sign_code(a: str) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN {a}[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_HAM_DIM)
+    ) + ")"
+
+
+@register(
+    "q149_hamming_topk",
+    oracle=f"""
+WITH coded AS (
+  SELECT vec_id, {_sql_sign_code("embedding")} AS code FROM embeddings
+),
+probe AS (SELECT code AS qc FROM coded WHERE vec_id = 0)
+SELECT c.vec_id, bit_count(xor(c.code, p.qc)) AS hamming
+FROM coded c, probe p
+WHERE c.vec_id <> 0
+ORDER BY hamming ASC, c.vec_id ASC
+LIMIT {_HAM_K}
+""",
+)
+def q149_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    code = sum(
+        (
+            F.when(F.element_at("embedding", j + 1) >= 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(_HAM_DIM)
+        ),
+        F.lit(0),
+    ).cast("long")
+    coded = e.select("vec_id", code.alias("code"))
+    probe = coded.filter(F.col("vec_id") == 0).select(F.col("code").alias("qc"))
+    return (
+        coded.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.bit_count(F.col("code").bitwiseXOR(F.col("qc"))).alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(_HAM_K)
+    )

@@ -494,6 +494,42 @@ CHECKS = {
             r"ArrowEvalPython",
         ],
     ),
+    "q146_shingle_containment": (
+        # containment candidates prefix-filtered on the contained side
+        # (rank window present), every join an equi hash/sort join
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "q147_cdc_chunk_dedup": (
+        # boundaries + chunk hashes are per-row ARRAY expressions; the
+        # only shuffle is the chunk-hash agg; cut = TakeOrdered
+        [r"HashAggregate", r"TakeOrderedAndProject", r"Generate"],
+        [r"CartesianProduct", r"Window", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q148_bigram_surprisal": (
+        # pair stream from array zip (no window for pairing), pair/prev
+        # count aggs + equi-joins back, per-SOURCE top-5 keyed window
+        [
+            r"HashAggregate",
+            r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            r"hashpartitioning\(source",
+        ],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q149_hamming_topk": (
+        # 1-row probe code broadcast onto the packed scan; xor+popcount
+        # JVM integers; cut = TakeOrdered — no shuffle join, no Python
+        [r"BroadcastNestedLoopJoin", r"TakeOrderedAndProject"],
+        [r"SortMergeJoin", r"ShuffledHashJoin",
+         r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    "q150_oov_rate": (
+        # vocab cut = TakeOrdered (never a global window), bounded
+        # vocab BROADCAST onto the token stream, one per-source agg
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct", r"Window", r"SortMergeJoin",
+         r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
     "q127_quantization_recall": (
         # both rankings ride ONE broadcast of the 10-query panel; the
         # overlap is an equi-join + per-query agg (BNLJ = that bounded
