@@ -17,7 +17,11 @@ from cocoindex_spark.engine.context import ContextKey, ContextProvider, use_cont
 from cocoindex_spark.engine.function import TrackedFn, fn
 from cocoindex_spark.engine.reconcile import reconcile
 from cocoindex_spark.fingerprint import (
+    NON_EXISTENCE,
+    MemoStateOutcome,
+    NonExistenceType,
     NotMemoKeyable,
+    is_non_existence,
     fp_col,
     fp_logic,
     fp_value,
@@ -39,6 +43,10 @@ __all__ = [
     "fp_logic",
     "fp_value",
     "NotMemoKeyable",
+    "NON_EXISTENCE",
+    "NonExistenceType",
+    "MemoStateOutcome",
+    "is_non_existence",
     "register_memo_key",
     "TableTarget",
     "ManagedTable",

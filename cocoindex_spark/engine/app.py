@@ -983,12 +983,19 @@ class App:
         """
         import json as _json
 
+        from cocoindex_spark.fingerprint import (
+            NON_EXISTENCE,
+            fp_value_with_states,
+            resolve_outcomes,
+        )
+
         logic_fp = getattr(f, "logic_fp", None) or fp_logic(f)
         bound = getattr(f, "bound_memo_args", None)
         if bound is not None and getattr(f, "memo_key", None):
-            args_fp = fp_value(bound(args, kwargs))
+            key_tree = bound(args, kwargs)
         else:
-            args_fp = fp_value([list(args), kwargs])
+            key_tree = [list(args), kwargs]
+        args_fp, state_fns = fp_value_with_states(key_tree)
         key = self.spark.createDataFrame(
             [(logic_fp, args_fp)], "logic_fp STRING, args_fp STRING"
         )
@@ -1002,28 +1009,72 @@ class App:
             .limit(1)
             .collect()  # single-row state read
         )
-        if hit:
-            stored = _json.loads(hit[0]["result_json"])
-            if not (isinstance(stored, dict) and "__coco_ctx__" in stored):
-                return stored  # context-free entry (the common shape)
-            if self.context.all_live(stored["__coco_ctx__"]):
-                return stored["v"]
-            # a consumed context value changed: fall through to re-run
+        stored = _json.loads(hit[0]["result_json"]) if hit else None
+        envelope = isinstance(stored, dict) and "__coco_memo__" in stored
+
+        # memo STATE validation (memoization_keys.mdx "Memo state
+        # validation", reference function.py _call_state_methods):
+        # after a fingerprint match, every argument-borne state method
+        # runs against its stored previous state (NON_EXISTENCE on
+        # first sight); the hit survives only if ALL say memo_valid.
+        # States persist for the next run either way — including the
+        # "state changed but result still valid" refresh (new mtime,
+        # same content hash).
+        new_states: list | None = None
+        states_valid = True
+        if state_fns:
+            prev_states = (
+                stored.get("states") if envelope and stored.get("states") else None
+            )
+            outcomes = resolve_outcomes(
+                [
+                    fn_(
+                        prev_states[i]
+                        if prev_states is not None and i < len(prev_states)
+                        else NON_EXISTENCE
+                    )
+                    for i, fn_ in enumerate(state_fns)
+                ]
+            )
+            new_states = [o.state for o in outcomes]
+            states_valid = all(o.memo_valid for o in outcomes)
+
+        def _persist(value, ctx_fps: list) -> None:
+            if not getattr(f, "memo", True):
+                return
+            if ctx_fps or state_fns:
+                payload = {"__coco_memo__": 1, "v": value}
+                if ctx_fps:
+                    payload["ctx"] = ctx_fps
+                if new_states is not None:
+                    payload["states"] = new_states
+            else:
+                payload = value
+            row = self.spark.createDataFrame(
+                [(logic_fp, args_fp, _json.dumps(payload), None, 0)],
+                self.state.memo.schema,
+            )
+            self.state.memo.merge_upsert(row)
+
+        if stored is not None:
+            value = stored["v"] if envelope else stored
+            ctx_ok = (not envelope) or self.context.all_live(stored.get("ctx", []))
+            if ctx_ok and states_valid:
+                if state_fns and new_states != (
+                    stored.get("states") if envelope else None
+                ):
+                    # valid hit with refreshed state: persist the new
+                    # state so the next run takes the cheap path
+                    _persist(value, stored.get("ctx", []) if envelope else [])
+                return value
+            # stale context or failed state validation: re-run below
         _push_active(self.context)
         try:
             with self.context.record() as rec:
                 out = f(*args, **kwargs)
         finally:
             _pop_active()
-        if getattr(f, "memo", True):
-            payload = (
-                {"__coco_ctx__": sorted(rec.fps), "v": out} if rec.fps else out
-            )
-            row = self.spark.createDataFrame(
-                [(logic_fp, args_fp, _json.dumps(payload), None, 0)],
-                self.state.memo.schema,
-            )
-            self.state.memo.merge_upsert(row)
+        _persist(out, sorted(rec.fps))
         return out
 
     def gc_memo(self, source: DataFrame, transform: Callable) -> int:
