@@ -1092,25 +1092,33 @@ def q146_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = prefix.select(F.col("doc_id").alias("a_id"), "g")
     sb_all = sh.select(F.col("doc_id").alias("b_id"), "g")
+    s1 = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n2"))
+    # size-bound prune (exact, result-identical): C(A→B) ≥ t needs
+    # |A∩B| ≥ t·n_a, and |A∩B| ≤ n_b, so any qualifying pair has
+    # n_b·1000 ≥ t·1000·n_a — integer test, applied BEFORE the
+    # candidate-scoped verify join so near-empty B sides never join
     cand = (
         pa.join(sb_all, ["g"])
         .filter(F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
+        .join(s1, "a_id")
+        .join(s2, "b_id")
+        .filter(F.col("n2") * 1000 >= F.lit(int(_CONT_T * 1000)) * F.col("n1"))
+        .select("a_id", "b_id", "n1")
     )
     sa = sh.select(F.col("doc_id").alias("a_id"), "g")
     sb = sh.select(F.col("doc_id").alias("bb_id"), F.col("g").alias("gb"))
     inter = (
         cand.join(sa, "a_id")
         .join(sb, (F.col("b_id") == F.col("bb_id")) & (F.col("g") == F.col("gb")))
-        .groupBy("a_id", "b_id")
+        .groupBy("a_id", "b_id", "n1")
         .agg(F.count("*").alias("c"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n1"))
     cont = F.expr("(c * 1000) div n1")
     return (
-        inter.join(s1, "a_id")
-        .withColumn("cont_milli", cont)
+        inter.withColumn("cont_milli", cont)
         .filter(F.col("cont_milli") >= int(_CONT_T * 1000))
         .select("a_id", "b_id", "cont_milli")
     )
