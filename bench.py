@@ -170,6 +170,7 @@ HEADLINE = [
     "q148_bigram_surprisal",
     "q149_hamming_topk",
     "q150_oov_rate",
+    "q151_import_indegree",
 ]
 
 

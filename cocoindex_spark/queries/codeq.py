@@ -1437,3 +1437,80 @@ def q138_containment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("captures")["NAME"].alias("fn_name"),
         F.col("captures")["X"].alias("ret_expr"),
     )
+
+
+# --- q151: import-dependency indegree — the dependency-edge slice of
+#     the reference's AST element views (rust/code_ast/src/elements/
+#     lang/go.rs:24 base_namespace; view classification lang.rs) as a
+#     query: per-language import extraction over a polyglot corpus
+#     (python / javascript / java snippets derived from doc_id), then
+#     module indegree — the "which modules does this corpus depend on"
+#     rollup a multi-codebase summarizer starts from. Decoy imports in
+#     strings and comments must NOT count (the extractor shares the
+#     comment/string-exact lexer). Scale shape: Arrow-batched per-row
+#     extraction + explode, ONE module hash agg — no joins, no window.
+@register(
+    "q151_import_indegree",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+imp AS (
+  SELECT doc_id, 'mod' || CAST(doc_id % 5 AS VARCHAR) AS module
+  FROM d WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'pkg' || CAST(doc_id % 4 AS VARCHAR) FROM d WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'lib' || CAST(doc_id % 5 AS VARCHAR) FROM d WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id, 'util' || CAST(doc_id % 4 AS VARCHAR) FROM d WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id, 'com.ex.Mod' || CAST(doc_id % 5 AS VARCHAR)
+  FROM d WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id, 'com.ex.Util' || CAST(doc_id % 4 AS VARCHAR) || '.*'
+  FROM d WHERE doc_id % 3 = 2
+)
+SELECT module, CAST(COUNT(*) AS BIGINT) AS indegree,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM imp GROUP BY module
+""",
+)
+def q151_import_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_imports import imports_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid5 = (F.col("doc_id") % 5).cast("string")
+    sid4 = (F.col("doc_id") % 4).cast("string")
+    py = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "code",
+        F.concat(
+            F.lit("import mod"), sid5,
+            F.lit("\nfrom pkg"), sid4, F.lit(" import thing\n"),
+            F.lit('x = "import fake"\n# import fake2\n'),
+        ),
+    )
+    js = d.filter(F.col("doc_id") % 3 == 1).withColumn(
+        "code",
+        F.concat(
+            F.lit('import a from "lib'), sid5, F.lit('";\n'),
+            F.lit('const b = require("util'), sid4, F.lit('");\n'),
+            F.lit('// import fake from "nope"\nlet s = \'import f2 from "x"\';\n'),
+        ),
+    )
+    java = d.filter(F.col("doc_id") % 3 == 2).withColumn(
+        "code",
+        F.concat(
+            F.lit("import com.ex.Mod"), sid5, F.lit(";\n"),
+            F.lit("import static com.ex.Util"), sid4, F.lit(".*;\n"),
+            F.lit('// import fake.Thing;\nclass C { String s = "import x.Y;"; }\n'),
+        ),
+    )
+    edges = (
+        imports_df(py, "code", "python")
+        .select("doc_id", "module")
+        .unionByName(imports_df(js, "code", "javascript").select("doc_id", "module"))
+        .unionByName(imports_df(java, "code", "java").select("doc_id", "module"))
+    )
+    return edges.groupBy("module").agg(
+        F.count(F.lit(1)).cast("long").alias("indegree"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )

@@ -530,6 +530,12 @@ CHECKS = {
         [r"CartesianProduct", r"Window", r"SortMergeJoin",
          r"BatchEvalPython", r"ArrowEvalPython"],
     ),
+    "q151_import_indegree": (
+        # per-language Arrow extraction branches unioned, ONE module
+        # hash agg — no joins, no window, no cross product
+        [r"ArrowEvalPython", r"Generate", r"HashAggregate", r"Union"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BroadcastHashJoin", r"Window"],
+    ),
     "q127_quantization_recall": (
         # both rankings ride ONE broadcast of the 10-query panel; the
         # overlap is an equi-join + per-query agg (BNLJ = that bounded
