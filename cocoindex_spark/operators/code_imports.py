@@ -57,9 +57,6 @@ def imports_of(text: str, language: str = "python") -> list[dict]:
     out: list[dict] = []
     n = len(toks)
 
-    def span(i: int, j: int) -> tuple[int, int]:
-        return toks[i].start, toks[j - 1].end
-
     if language == "python":
         i = 0
         while i < n:
