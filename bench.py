@@ -171,6 +171,7 @@ HEADLINE = [
     "q149_hamming_topk",
     "q150_oov_rate",
     "q151_import_indegree",
+    "q152_element_kinds",
 ]
 
 

@@ -1514,3 +1514,71 @@ def q151_import_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("indegree"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
     )
+
+
+# --- q152: element-kind classification with METHOD — the
+#     DeclarationKind::Method slice of the reference's AST element
+#     views (rust/code_ast/src/elements/types.rs: Class/Struct/…/
+#     Function/Method; the view layer classifies a function nested in
+#     a type's region as a method). Token-level derivation: a
+#     `function` definition whose span is CONTAINED in an `impl`
+#     region is a method; top-level fns stay functions. Decoy fns in
+#     comments/strings are invisible (shared lexer). Scale shape:
+#     Arrow extraction + explode, one doc_id-keyed equi-join for the
+#     containment test (bounded per doc), one pass-through union.
+@register(
+    "q152_element_kinds",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents)
+SELECT doc_id, 'struct' AS element_kind, 'S' || CAST(doc_id % 4 AS VARCHAR) AS name FROM d
+UNION ALL
+SELECT doc_id, 'impl', 'S' || CAST(doc_id % 4 AS VARCHAR) FROM d
+UNION ALL
+SELECT doc_id, 'method', 'm' || CAST(doc_id % 5 AS VARCHAR) FROM d
+UNION ALL
+SELECT doc_id, 'function', 'free' || CAST(doc_id % 3 AS VARCHAR) FROM d
+""",
+)
+def q152_element_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_match import definitions_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    a = (F.col("doc_id") % 4).cast("string")
+    b = (F.col("doc_id") % 5).cast("string")
+    c = (F.col("doc_id") % 3).cast("string")
+    code = F.concat(
+        F.lit("struct S"), a, F.lit(";\nimpl S"), a,
+        F.lit(" {\n    fn m"), b, F.lit("(&self) -> u64 { 1 }\n}\nfn free"),
+        c, F.lit("() -> u64 { 2 }\n// fn fake() {}\n"),
+        F.lit('const X: &str = "fn fake2() {}";\n'),
+    )
+    defs = definitions_df(d.withColumn("code", code), "code", "rust").select(
+        "doc_id", "def_kind", "def_name", "def_start", "def_end"
+    )
+    impls = defs.filter(F.col("def_kind") == "impl").select(
+        "doc_id",
+        F.col("def_start").alias("i_start"),
+        F.col("def_end").alias("i_end"),
+    )
+    fns = defs.filter(F.col("def_kind") == "function")
+    classified_fns = (
+        fns.join(impls, "doc_id", "left")
+        .withColumn(
+            "element_kind",
+            F.when(
+                F.col("i_start").isNotNull()
+                & (F.col("def_start") >= F.col("i_start"))
+                & (F.col("def_end") <= F.col("i_end")),
+                F.lit("method"),
+            ).otherwise(F.lit("function")),
+        )
+        # a fn matching several impl rows would duplicate; keep the
+        # strongest classification per definition (method wins)
+        .groupBy("doc_id", "def_name", "def_start")
+        .agg(F.max("element_kind").alias("element_kind"))
+        .select("doc_id", F.col("element_kind"), F.col("def_name").alias("name"))
+    )
+    others = defs.filter(~F.col("def_kind").isin("function")).select(
+        "doc_id", F.col("def_kind").alias("element_kind"), F.col("def_name").alias("name")
+    )
+    return classified_fns.unionByName(others)

@@ -44,6 +44,7 @@ _PRIORITY: list[str] = [
     "q149_hamming_topk",  # NEW in r6
     "q150_oov_rate",  # NEW in r6
     "q151_import_indegree",  # NEW in r6
+    "q152_element_kinds",  # NEW in r6
     "q126_detector_eval",  # touched: prefix-filtered truth join
     "q31_ngram_jaccard_pairs",  # touched: shared helper extraction
     "q142_session_search",  # touched: oracle constant refactor

@@ -536,6 +536,13 @@ CHECKS = {
         [r"ArrowEvalPython", r"Generate", r"HashAggregate", r"Union"],
         [r"CartesianProduct", r"SortMergeJoin", r"BroadcastHashJoin", r"Window"],
     ),
+    "q152_element_kinds": (
+        # Arrow extraction + explode; containment = ONE doc_id-keyed
+        # equi-join (range test as a post-join filter, bounded per doc)
+        [r"ArrowEvalPython", r"Generate",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window"],
+    ),
     "q127_quantization_recall": (
         # both rankings ride ONE broadcast of the 10-query panel; the
         # overlap is an equi-join + per-query agg (BNLJ = that bounded
