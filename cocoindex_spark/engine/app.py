@@ -256,7 +256,13 @@ class App:
         # context snapshot across all rows.
         ctx_fps = self._transform_context_fps(transform, source)
         if ctx_fps:
+            base_logic_fp = logic_fp
             logic_fp = fp_value(["ctx", logic_fp, sorted(ctx_fps)])
+            # Record the folded fp in the per-transform context history
+            # (one tiny idempotent upsert, context users only): gc_memo
+            # reads this to sweep rows written under PREVIOUS context
+            # values, whose folded fp no current lookup can address.
+            self._record_ctx_history(base_logic_fp, logic_fp)
         src_cols = [c for c in source.columns]
         # NOT cached: each consumer needs a different column subset —
         # key-only joins (probe, hit/miss split) must keep parquet
@@ -1010,7 +1016,16 @@ class App:
             .collect()  # single-row state read
         )
         stored = _json.loads(hit[0]["result_json"]) if hit else None
-        envelope = isinstance(stored, dict) and "__coco_memo__" in stored
+        # Every row _persist writes is an envelope (the few bytes buy a
+        # marker that can never be confused with user data — a user
+        # value that IS a dict with these keys gets wrapped like any
+        # other value). The shape check below only matters for rows
+        # written by pre-envelope versions, which stored bare values.
+        envelope = (
+            isinstance(stored, dict)
+            and stored.get("__coco_memo__") == 1
+            and "v" in stored
+        )
 
         # memo STATE validation (memoization_keys.mdx "Memo state
         # validation", reference function.py _call_state_methods):
@@ -1042,14 +1057,11 @@ class App:
         def _persist(value, ctx_fps: list) -> None:
             if not getattr(f, "memo", True):
                 return
-            if ctx_fps or state_fns:
-                payload = {"__coco_memo__": 1, "v": value}
-                if ctx_fps:
-                    payload["ctx"] = ctx_fps
-                if new_states is not None:
-                    payload["states"] = new_states
-            else:
-                payload = value
+            payload = {"__coco_memo__": 1, "v": value}
+            if ctx_fps:
+                payload["ctx"] = ctx_fps
+            if new_states is not None:
+                payload["states"] = new_states
             row = self.spark.createDataFrame(
                 [(logic_fp, args_fp, _json.dumps(payload), None, 0)],
                 self.state.memo.schema,
@@ -1060,7 +1072,11 @@ class App:
             value = stored["v"] if envelope else stored
             ctx_ok = (not envelope) or self.context.all_live(stored.get("ctx", []))
             if ctx_ok and states_valid:
-                if state_fns and new_states != (
+                # Compare through a JSON round-trip: state fns may
+                # return tuples or other non-JSON-canonical shapes that
+                # would never equal their stored (list-ified) form and
+                # force a redundant upsert on every hit.
+                if state_fns and _json.loads(_json.dumps(new_states)) != (
                     stored.get("states") if envelope else None
                 ):
                     # valid hit with refreshed state: persist the new
@@ -1077,26 +1093,75 @@ class App:
         _persist(out, sorted(rec.fps))
         return out
 
+    # Reserved logic_fp namespace for per-transform context-fold
+    # history rows living inside the memo table. Real logic fps are
+    # hex digests, so the prefix cannot collide with user rows; the
+    # rows carry decl_json NULL and are invisible to sync replay.
+    _CTX_HIST_PREFIX = "__ctxhist__:"
+
+    def _record_ctx_history(self, base_fp: str, folded_fp: str) -> None:
+        """Remember that ``base_fp`` has synced under context snapshot
+        ``folded_fp`` — the breadcrumb gc_memo needs to find (and
+        sweep) the memo generations stranded by context rotation."""
+        row = self.spark.createDataFrame(
+            [(self._CTX_HIST_PREFIX + base_fp, folded_fp, None, None, 0)],
+            self.state.memo.schema,
+        )
+        self.state.memo.merge_upsert(row)
+
     def gc_memo(self, source: DataFrame, transform: Callable) -> int:
         """Sweep memo rows of ``transform`` whose args fingerprint no
         longer occurs in ``source`` — the rows only dead keys leave
         behind (hits of live keys are never rewritten, so age-based
         pruning would evict live entries; liveness against the current
         source is the correct criterion, and it's one anti-join).
+
+        Context rotation: memo rows written under a PREVIOUS value of a
+        ``detect_change`` context key carry a different folded
+        logic_fp, which no current lookup addresses — an entire dead
+        generation per rotation. sync_table records every folded fp it
+        writes under (``_record_ctx_history``), and the sweep removes
+        every generation other than the current snapshot's, plus the
+        spent history breadcrumbs. (Rotating BACK to an old value
+        re-runs cold — correct, never stale.)
+
         Returns the number of rows swept. Distributed end-to-end; at
         100 TB the sweep shuffles only the memo table's key columns.
         """
-        logic_fp = getattr(transform, "logic_fp", None) or fp_logic(transform)
+        base_fp = getattr(transform, "logic_fp", None) or fp_logic(transform)
+        logic_fp = base_fp
         ctx_fps = self._transform_context_fps(transform, source)
         if ctx_fps:
             # the same context fold sync_table applies — the sweep must
             # address the rows the CURRENT context snapshot would read
-            logic_fp = fp_value(["ctx", logic_fp, sorted(ctx_fps)])
+            logic_fp = fp_value(["ctx", base_fp, sorted(ctx_fps)])
         live = source.select(
             fp_col(F.lit(logic_fp), *[F.col(c) for c in source.columns]).alias("args_fp")
         ).distinct()
-        rows = self.state.memo.read(self.spark).filter(F.col("logic_fp") == logic_fp)
+        memo = self.state.memo.read(self.spark)
+        rows = memo.filter(F.col("logic_fp") == logic_fp)
         dead = rows.join(live, "args_fp", "left_anti").select("logic_fp", "args_fp")
+        hist_key = self._CTX_HIST_PREFIX + base_fp
+        stale_gen_fps = [
+            r["args_fp"]
+            for r in memo.filter(F.col("logic_fp") == hist_key)
+            .select("args_fp")
+            .collect()  # bounded: one fp per historical context snapshot
+            if r["args_fp"] != logic_fp
+        ]
+        if stale_gen_fps:
+            stale_rows = memo.filter(F.col("logic_fp").isin(stale_gen_fps)).select(
+                "logic_fp", "args_fp"
+            )
+            stale_hist = memo.filter(
+                (F.col("logic_fp") == hist_key)
+                & F.col("args_fp").isin(stale_gen_fps)
+            ).select("logic_fp", "args_fp")
+            dead = dead.unionByName(stale_rows)
+            n = dead.count()
+            if n:
+                self.state.memo.delete_keys(dead.unionByName(stale_hist))
+            return n
         n = dead.count()
         if n:
             self.state.memo.delete_keys(dead)

@@ -150,6 +150,13 @@ def _dep_fp(d: Any) -> str:
     return "val:" + fp_value(d)
 
 
+# Logic-fp resolution stack: detects mutual recursion between tracked
+# fns so every member of a cycle gets a JOINTLY computed fingerprint
+# (order-independent) instead of whichever partial fp the traversal
+# order happened to produce first.
+_RESOLVE_STACK: list["TrackedFn"] = []
+
+
 class TrackedFn:
     """Callable wrapper produced by ``@fn`` — see module docstring."""
 
@@ -178,7 +185,7 @@ class TrackedFn:
         else:
             self._dep_fps = (_dep_fp(deps),)
         self._logic_fp: str | None = None
-        self._computing = False
+        self._scc_peers: set[TrackedFn] = set()
         if memo_key is not None:
             try:
                 params = inspect.signature(f).parameters
@@ -213,37 +220,83 @@ class TrackedFn:
             return self
         return functools.partial(self.__call__, obj)
 
+    def _self_fp(self) -> str:
+        """This fn's OWN content fingerprint (AST + version + explicit
+        deps) — no call-graph walk, so it is always resolvable without
+        recursion. Used as each member's contribution to a cycle's
+        joint fingerprint."""
+        if self._logic_tracking is None:
+            return fp_value(["untracked", self.__module__, self.__qualname__])
+        return fp_logic(self.fn, version=self._version, deps=self._dep_fps)
+
     @property
     def logic_fp(self) -> str:
         """Lazy: resolved on first use, by which time the defining
         module has fully executed — forward-referenced helpers are in
         ``__globals__`` and fold in (the r5 advisor's finding on the
-        decoration-time snapshot)."""
+        decoration-time snapshot).
+
+        Mutual recursion: fns whose call graphs form a cycle (an SCC)
+        get a JOINT fingerprint — the hash of the sorted set of every
+        member's own content fp — personalized per member by name.
+        Editing ANY member's body therefore invalidates EVERY member,
+        and the result is independent of which member's fp was asked
+        for first (order-dependent partial fps were the r6 advisor's
+        finding). External tracked callees of cycle members fold in
+        via each member's explicit ``deps=``; the automatic call-graph
+        walk stops at the cycle boundary."""
         if self._logic_fp is None:
-            if self._computing:
-                # mutual recursion between two tracked fns: break the
-                # cycle with a stable name-based marker (deterministic;
-                # the other direction still hashes real AST content)
+            if any(m is self for m in _RESOLVE_STACK):
+                # Cycle: everything from our first stack occurrence to
+                # the top is in the SCC. Record membership on each
+                # member and break the recursion — the marker is only
+                # ever folded into raw fps that the SCC branch below
+                # discards.
+                i = next(j for j, m in enumerate(_RESOLVE_STACK) if m is self)
+                scc = _RESOLVE_STACK[i:]
+                for m in scc:
+                    m._scc_peers.update(scc)
                 return f"cycle:{self.__module__}.{self.__qualname__}"
-            self._computing = True
+            _RESOLVE_STACK.append(self)
             try:
                 if self._logic_tracking is None:
                     # untracked: stable across any code edit
-                    self._logic_fp = fp_value(
+                    raw = fp_value(
                         ["untracked", self.__module__, self.__qualname__]
                     )
                 elif self._logic_tracking == "self":
-                    self._logic_fp = fp_logic(
+                    raw = fp_logic(
                         self.fn, version=self._version, deps=self._dep_fps
                     )
                 else:
-                    self._logic_fp = fp_logic(
+                    raw = fp_logic(
                         self.fn,
                         version=self._version,
                         deps=self._dep_fps + _auto_dep_fps(self.fn),
                     )
             finally:
-                self._computing = False
+                _RESOLVE_STACK.pop()
+            if self._scc_peers:
+                # The raw fp embedded traversal-order-dependent cycle
+                # markers — discard it and assign every member its
+                # joint fp (deterministic: sorted by name, so any
+                # member reaching this branch computes the same value).
+                members = sorted(
+                    self._scc_peers | {self},
+                    key=lambda m: (m.__module__, m.__qualname__),
+                )
+                joint = fp_value(
+                    [
+                        [m.__module__, m.__qualname__, m._self_fp()]
+                        for m in members
+                    ]
+                )
+                for m in members:
+                    m._logic_fp = fp_value(
+                        ["scc", joint, m.__module__, m.__qualname__]
+                    )
+            elif self._logic_fp is None:
+                self._logic_fp = raw
         return self._logic_fp
 
     def bound_memo_args(self, args: tuple, kwargs: dict) -> Any:

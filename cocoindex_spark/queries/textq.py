@@ -781,9 +781,15 @@ def q147_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substring(md5(concat(element_at(w, CAST(i AS INT)), ' ', "
         "element_at(w, CAST(i AS INT) + 1))), 1, 12), 16, 10) AS BIGINT) % 8 = 0"
     )
+    # Guard size(w) == 1: sequence(1, 0) is DESCENDING in Spark ([1, 0]),
+    # so the gear lambda would probe element_at(w, 0)/element_at(w, 2) and
+    # crash (INVALID_ARRAY_INDEX_IN_ELEMENT_AT).  An empty boundary list
+    # yields bs = [0] → one whole-doc chunk, matching the DuckDB oracle
+    # (range(1, 1) is empty there).
     marks = F.expr(
         "concat(array(CAST(0 AS BIGINT)), "
-        f"filter(sequence(CAST(1 AS BIGINT), size(w) - 1), i -> {gear}))"
+        "filter(CASE WHEN size(w) >= 2 THEN sequence(CAST(1 AS BIGINT), size(w) - 1) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END, i -> {gear}))"
     )
     chunk_hashes = F.expr(
         "transform(sequence(1, size(bs)), j -> md5(concat_ws(' ', "
