@@ -32,6 +32,7 @@ from cocoindex_spark.operators.vector_ops import (
     sqnorm_fixed,
 )
 from cocoindex_spark.queries.registry import register, table
+from cocoindex_spark.state.store import _PROBE_COL
 
 CHUNK = 32
 STRIDE = 24
@@ -106,7 +107,10 @@ def sync_quickstart_table(app, docs: DataFrame):
         "doc_id LONG, chunk_idx LONG, chunk_text STRING, "
         "embedding ARRAY<FLOAT>, bucket INT",
     )
-    target.declare_index("lsh", "embedding", bits=LSH_BITS)
+    # probe_col: lay the storage down with a __probe partition level on
+    # the LSH bucket so index probes prune file I/O (seek-shaped, like
+    # the reference's pgvector indexes), not just compute
+    target.declare_index("lsh", "embedding", bits=LSH_BITS, probe_col="bucket")
     stats = app.sync_table(docs, ["doc_id"], chunk_and_embed, target)
     return target, stats
 
@@ -128,6 +132,49 @@ _SQL_CHUNKS = f"""
   ), UNNEST(range(0, n_chunks)) AS u(i)
   WHERE strlen(array_to_string(ws[CAST(i*{STRIDE}+1 AS BIGINT):CAST(i*{STRIDE}+{CHUNK} AS BIGINT)], ' ')) > 0
 """
+
+
+def _q137_probe(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    from cocoindex_spark.engine.app import App
+
+    app = App("quickstart", state_dir=root, spark=spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    target, _ = sync_quickstart_table(app, docs)
+    # probe row: one PK lookup (bounded collect — the "query
+    # embedding" a real caller would supply)
+    probe_rows = (
+        target.read(spark)
+        .filter((F.col("doc_id") == 0) & (F.col("chunk_idx") == 0))
+        .withColumn("sqn", sqnorm_fixed(F.col("embedding")))
+        .filter(F.col("sqn") > 0)
+        .select("embedding", "bucket", "sqn")
+        .collect()
+    )
+    if not probe_rows:
+        return spark.createDataFrame([], "doc_id LONG, chunk_idx LONG, sim DOUBLE")
+    qe, qb, qsqn = probe_rows[0]
+    # candidate scan: statically partition-pruned on the probe's
+    # bucket — reads only the __probe=hash(qb) files of the index
+    pids = target.probe_partitions(spark, [int(qb)])
+    probe_df = spark.createDataFrame([(qe, int(qsqn))], "qe ARRAY<FLOAT>, qsqn LONG")
+    return (
+        target.read_indexed(spark)
+        .filter(F.col(_PROBE_COL).isin(pids))
+        .filter(F.col("bucket") == int(qb))
+        .withColumn("sqn", sqnorm_fixed(F.col("embedding")))
+        .filter(F.col("sqn") > 0)
+        .crossJoin(F.broadcast(probe_df))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (
+                dot_fixed(F.col("embedding"), F.col("qe")).cast("double")
+                / F.sqrt(F.col("sqn").cast("double") * F.col("qsqn").cast("double"))
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_id"), F.asc("chunk_idx"))
+        .limit(3)
+    )
 
 
 @register(
@@ -155,39 +202,8 @@ LIMIT 3
 """,
 )
 def q137_quickstart_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cocoindex_spark.engine.app import App
-
     root = tempfile.mkdtemp(prefix="quickstart_")
     try:
-        app = App("quickstart", state_dir=root, spark=spark)
-        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-        target, _ = sync_quickstart_table(app, docs)
-        idx = (
-            target.read(spark)
-            .select("doc_id", "chunk_idx", "embedding", "bucket")
-            .withColumn("sqn", sqnorm_fixed(F.col("embedding")))
-        )
-        probe = idx.filter(
-            (F.col("doc_id") == 0) & (F.col("chunk_idx") == 0) & (F.col("sqn") > 0)
-        ).select(
-            F.col("embedding").alias("qe"),
-            F.col("bucket").alias("qb"),
-            F.col("sqn").alias("qsqn"),
-        )
-        hits = (
-            idx.filter(F.col("sqn") > 0)
-            .join(F.broadcast(probe), F.col("bucket") == F.col("qb"))
-            .select(
-                "doc_id",
-                "chunk_idx",
-                (
-                    dot_fixed(F.col("embedding"), F.col("qe")).cast("double")
-                    / F.sqrt(F.col("sqn").cast("double") * F.col("qsqn").cast("double"))
-                ).alias("sim"),
-            )
-            .orderBy(F.desc("sim"), F.asc("doc_id"), F.asc("chunk_idx"))
-            .limit(3)
-        )
-        return hits.localCheckpoint(eager=True)
+        return _q137_probe(spark, sf_dir, root).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

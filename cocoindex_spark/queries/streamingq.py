@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cocoindex_spark.queries.registry import register, table
+from cocoindex_spark.state.store import _PROBE_COL
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
@@ -757,7 +758,9 @@ def sync_session_index(app, events: DataFrame):
         ["user_id", "session_id"],
         "user_id LONG, session_id LONG, embedding ARRAY<FLOAT>, bucket INT",
     )
-    target.declare_index("lsh", "embedding", bits=SS_BITS)
+    # probe_col: __probe partition level on the sign bucket — session
+    # search probes then prune file I/O, not just compute
+    target.declare_index("lsh", "embedding", bits=SS_BITS, probe_col="bucket")
     bundles = events.select(
         "user_id",
         F.struct(
@@ -777,27 +780,32 @@ def _q144_probe(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
 
     app = App("session_index", state_dir=root, spark=spark)
     target, _ = sync_session_index(app, table(spark, sf_dir, "events"))
-    idx = target.read(spark).withColumn("sqn", sqnorm_fixed(F.col("embedding")))
-    probe_row = idx.filter(
-        (F.col("user_id") == 0) & (F.col("session_id") == 1) & (F.col("sqn") > 0)
-    ).select(
-        F.col("embedding").alias("qe"),
-        F.col("bucket").alias("qb"),
-        F.col("sqn").alias("qsqn"),
+    # probe row: one PK lookup (bounded collect — a real caller's
+    # query session)
+    probe_rows = (
+        target.read(spark)
+        .filter((F.col("user_id") == 0) & (F.col("session_id") == 1))
+        .withColumn("sqn", sqnorm_fixed(F.col("embedding")))
+        .filter(F.col("sqn") > 0)
+        .select("embedding", "bucket", "sqn")
+        .collect()
     )
-    # hamming-1 multiprobe: the probe's bucket plus each 1-bit flip —
-    # a bounded (SS_BITS+1)-row list broadcast onto the bucket equi-join
-    probes = probe_row.select(
-        F.explode(
-            F.array(
-                *[
-                    F.col("qb").bitwiseXOR(F.lit(m))
-                    for m in [0] + [1 << j for j in range(SS_BITS)]
-                ]
-            )
-        ).alias("pb"),
-        "qe",
-        "qsqn",
+    if not probe_rows:
+        return spark.createDataFrame([], "user_id LONG, session_id LONG, sim DOUBLE")
+    qe, qb, qsqn = probe_rows[0]
+    # hamming-1 multiprobe: the probe's bucket plus each 1-bit flip — a
+    # bounded (SS_BITS+1)-value list; its probe-partition ids statically
+    # prune the index scan to the matching __probe directories
+    multiprobe = [int(qb) ^ m for m in [0] + [1 << j for j in range(SS_BITS)]]
+    pids = target.probe_partitions(spark, multiprobe)
+    probes = spark.createDataFrame(
+        [(pb, qe, int(qsqn)) for pb in multiprobe],
+        "pb INT, qe ARRAY<FLOAT>, qsqn LONG",
+    )
+    idx = (
+        target.read_indexed(spark)
+        .filter(F.col(_PROBE_COL).isin(pids))
+        .withColumn("sqn", sqnorm_fixed(F.col("embedding")))
     )
     return (
         idx.filter(

@@ -32,6 +32,35 @@ class TableTarget:
     def read(self, spark: SparkSession) -> DataFrame:
         return self._table.read(spark)
 
+    def read_indexed(self, spark: SparkSession) -> DataFrame:
+        """Rows plus the ``__probe`` partition column. A probe-side
+        plan that filters on ``__probe`` (values from
+        :meth:`probe_expr`) gets planning-time partition pruning — the
+        probe skips the index table's FILE I/O, the seek-shaped access
+        the reference gets from its pgvector/FTS indexes
+        (postgres/_target.py:466-560)."""
+        return self._table.read(spark, keep_probe=True)
+
+    def probe_expr(self, *cols):
+        """The probe-partition id for query-side key column(s) — the
+        same hash the storage layout partitions by."""
+        return self._table.probe_expr(list(cols))
+
+    def probe_partitions(self, spark: SparkSession, values) -> list[int]:
+        """Probe-partition ids for a bounded list of index-key values
+        (one tiny local job) — feed them to
+        ``read_indexed(...).filter(F.col('__probe').isin(ids))`` for a
+        statically partition-pruned probe scan."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(v,) for v in values], ["__pv"])
+        return sorted(
+            r[0]
+            for r in df.select(self._table.probe_expr([F.col("__pv")]).alias("p"))
+            .distinct()
+            .collect()
+        )
+
     def upsert(self, rows: DataFrame) -> None:
         self._table.merge_upsert(rows.select(*[f.name for f in self.schema.fields]))
 
@@ -59,12 +88,27 @@ class TableTarget:
         self._table.overwrite(spark.createDataFrame([], self.schema))
 
     # -- index metadata (declare_vector_index / declare_fts_index analog)
-    def declare_index(self, kind: str, column: str, **options) -> None:
+    def declare_index(
+        self, kind: str, column: str, probe_col: str | None = None, **options
+    ) -> None:
+        """Record an index declaration. ``probe_col`` names the stored
+        column probes equi-join on (LSH bucket, IVF cell, FTS term);
+        when given, the table's storage adds a probe partition level on
+        it so index probes prune file I/O, not just compute (declared
+        before the first sync this is free; on a live table it is a
+        one-time re-layout)."""
         meta = self._read_meta()
         entry = {"kind": kind, "column": column, **options}
+        if probe_col is not None:
+            entry["probe_col"] = probe_col
         if entry not in meta.setdefault("indexes", []):
             meta["indexes"].append(entry)
         self._write_meta(meta)
+        if probe_col is not None:
+            spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+            self._table.set_probe_layout(
+                spark, [probe_col], int(options.get("probe_buckets", 8))
+            )
 
     def _write_meta(self, meta: dict) -> None:
         tmp = self._meta_path + ".tmp"

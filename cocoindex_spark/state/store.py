@@ -34,6 +34,7 @@ from pyspark.sql.types import StructType
 _POINTER = "_CURRENT"
 _KEEP_UNREFERENCED = 2
 _BUCKET_COL = "__bucket"
+_PROBE_COL = "__probe"
 
 
 class ManagedTable:
@@ -59,30 +60,61 @@ class ManagedTable:
         self.key_cols = key_cols
         self.schema = schema
         self.n_buckets = n_buckets  # initial count; live count is in the pointer
+        # Optional PROBE layout (None = PK-hash buckets only). When an
+        # index is declared on this table, writes add a second
+        # partition-directory level __probe=hash(probe_cols)%n under
+        # each PK bucket, so probe-side reads prune FILE I/O on the
+        # index key (the reference's seek-shaped pgvector/FTS indexes,
+        # postgres/_target.py:466-560) while MERGE keeps its PK-bucket
+        # rewrite granularity. The live layout persists in the pointer.
+        self.probe_cols: list[str] | None = None
+        self.probe_buckets: int = 8
         self.fs = fs_for(path)
         self.fs.makedirs(path)
 
     # -- pointer plumbing ---------------------------------------------------
-    def _meta(self) -> tuple[int, dict[str, str]]:
-        """(live bucket count, bucket(str) → version dir name). The
-        bucket count persists in the pointer so every reader/writer
-        hashes consistently even after adaptive growth; a legacy
-        flat-mapping pointer implies the constructor count."""
+    def _meta3(self) -> tuple[int, dict[str, str], dict | None]:
+        """(live bucket count, bucket(str) → version dir name, live
+        probe layout or None). Both counts persist in the pointer so
+        every reader/writer hashes consistently even after adaptive
+        growth / index declaration; a legacy flat-mapping pointer
+        implies the constructor count. Before any pointer exists the
+        instance's declared probe layout is live (first write adopts
+        it)."""
         text = self.fs.read_text(os.path.join(self.path, _POINTER))
+        declared = (
+            {"cols": self.probe_cols, "n": self.probe_buckets}
+            if self.probe_cols
+            else None
+        )
         if text is None:
-            return self.n_buckets, {}
+            return self.n_buckets, {}, declared
         doc = json.loads(text)
         if "buckets" in doc:
-            return int(doc.get("n_buckets", self.n_buckets)), doc["buckets"]
-        return self.n_buckets, doc  # legacy format
+            probe = doc.get("probe")
+            if probe is None and not doc["buckets"]:
+                probe = declared  # empty table: adopt the declaration
+            return int(doc.get("n_buckets", self.n_buckets)), doc["buckets"], probe
+        return self.n_buckets, doc, None  # legacy format
+
+    def _meta(self) -> tuple[int, dict[str, str]]:
+        n, mapping, _ = self._meta3()
+        return n, mapping
 
     def _pointer(self) -> dict[str, str]:
-        return self._meta()[1]
+        return self._meta3()[1]
 
-    def _swap_pointer(self, mapping: dict[str, str], n_buckets: int | None = None) -> None:
+    def _swap_pointer(
+        self,
+        mapping: dict[str, str],
+        n_buckets: int | None = None,
+        probe: dict | None | str = "keep",
+    ) -> None:
+        cur_n, _, cur_probe = self._meta3()
         doc = {
-            "n_buckets": n_buckets if n_buckets is not None else self._meta()[0],
+            "n_buckets": n_buckets if n_buckets is not None else cur_n,
             "buckets": mapping,
+            "probe": cur_probe if probe == "keep" else probe,
         }
         self.fs.write_atomic(os.path.join(self.path, _POINTER), json.dumps(doc))
 
@@ -110,25 +142,84 @@ class ManagedTable:
             self.fs.rmtree(os.path.join(self.path, d))
 
     # -- read/write -------------------------------------------------------
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
-        paths = self._bucket_paths(self._pointer(), buckets)
+    def probe_expr(self, col_or_cols, n: int | None = None) -> F.Column:
+        """The probe-partition id for given key column(s) — the SAME
+        hash the write path lays directories down with, exposed so a
+        probe-side plan can compute its target partitions."""
+        cols = col_or_cols if isinstance(col_or_cols, (list, tuple)) else [col_or_cols]
+        if n is None:
+            _, _, probe = self._meta3()
+            n = probe["n"] if probe else self.probe_buckets
+        return F.pmod(
+            F.xxhash64(*[F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]),
+            F.lit(n),
+        )
+
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        keep_probe: bool = False,
+    ) -> DataFrame:
+        """Current rows. With a probe layout, bucket paths are grouped
+        per version dir and read with that dir as ``basePath`` so
+        ``__bucket``/``__probe`` surface as DISCOVERED PARTITION
+        COLUMNS — a filter on ``__probe`` (see :meth:`probe_expr`)
+        prunes directories at planning time (PartitionFilters in the
+        scan), i.e. the probe skips file I/O, not just compute. Scan
+        count is O(live version dirs), which maybe_compact bounds.
+        ``keep_probe=True`` keeps the ``__probe`` column for probe-side
+        plans; engine merge paths read the bare schema."""
+        n, mapping, probe = self._meta3()
+        paths = self._bucket_paths(mapping, buckets)
         if not paths:
-            return spark.createDataFrame([], self.schema)
-        return spark.read.schema(self.schema).parquet(*paths)
+            df = spark.createDataFrame([], self.schema)
+            return df.withColumn(_PROBE_COL, F.lit(0)) if keep_probe else df
+        if probe is None:
+            df = spark.read.schema(self.schema).parquet(*paths)
+            if keep_probe:
+                df = df.withColumn(_PROBE_COL, self.probe_expr(self.probe_cols or self.key_cols))
+            return df
+        by_version: dict[str, list[str]] = {}
+        for p in paths:
+            ver_dir = os.path.dirname(p)
+            by_version.setdefault(ver_dir, []).append(p)
+        cols = [f.name for f in self.schema.fields] + ([_PROBE_COL] if keep_probe else [])
+        frames = [
+            spark.read.option("basePath", ver)
+            .schema(self.schema)
+            .parquet(*ps)
+            .select(*cols)
+            for ver, ps in by_version.items()
+        ]
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+        return df
 
     def _write_version(self, df: DataFrame, n_buckets: int) -> tuple[str, list[int]]:
         """Write df (bucketed) into a new version dir; returns (version
         name, buckets actually written — empty buckets produce no dir)."""
         version_name = f"v_{int(time.time() * 1e6)}_{os.getpid()}"
         out = os.path.join(self.path, version_name)
+        _, _, probe = self._meta3()
+        part_cols = [_BUCKET_COL]
+        bdf = df
+        if probe:
+            bdf = bdf.drop(_PROBE_COL).withColumn(
+                _PROBE_COL, self.probe_expr(probe["cols"], probe["n"])
+            )
+            part_cols.append(_PROBE_COL)
         (
-            df.withColumn(_BUCKET_COL, self._bucket_expr(n_buckets))
+            bdf.withColumn(_BUCKET_COL, self._bucket_expr(n_buckets))
             # One task (and one file) per bucket: state tables are
             # metadata-sized relative to the data they track, so fewer,
-            # fuller files beat 32×n_buckets fragments.
+            # fuller files beat 32×n_buckets fragments. (With a probe
+            # layout the task fans its bucket into one file per probe
+            # dir — still one writer per bucket.)
             .repartition(n_buckets, F.col(_BUCKET_COL))
             .write.mode("overwrite")
-            .partitionBy(_BUCKET_COL)
+            .partitionBy(*part_cols)
             .parquet(out)
         )
         written = [
@@ -229,6 +320,27 @@ class ManagedTable:
         if not trigger:
             return False
         self.overwrite(self.read(spark), n_buckets=n)
+        return True
+
+    def set_probe_layout(self, spark: SparkSession, cols: list[str], n: int = 8) -> bool:
+        """Declare (or change) the probe layout. An empty table just
+        records it — the first write adopts it. A table with live rows
+        under a different layout is rewritten ONCE into the new one
+        (same one-shot shape as maybe_grow's rehash; callers invoke
+        this between syncs). Returns True if a rewrite happened."""
+        want = {"cols": list(cols), "n": int(n)}
+        self.probe_cols, self.probe_buckets = want["cols"], want["n"]
+        cur_n, mapping, cur = self._meta3()
+        if cur == want:
+            return False
+        if not mapping:
+            self._swap_pointer({}, n_buckets=cur_n, probe=want)
+            return False
+        # pin current rows before the layout swap so the re-layout
+        # write cannot race version GC
+        df = self.read(spark).localCheckpoint(eager=True)
+        self._swap_pointer(mapping, n_buckets=cur_n, probe=want)
+        self.overwrite(df, n_buckets=cur_n)
         return True
 
     def touched_buckets(self, keys: DataFrame) -> list[int]:

@@ -65,7 +65,7 @@ def test_cell_table_incremental_and_probe(app, spark, tmp_state):
         ["vec_id"],
         "vec_id LONG, cell INT, embedding ARRAY<FLOAT>",
     )
-    t.declare_index("ivf", "embedding", cells=len(_CENTS))
+    t.declare_index("ivf", "embedding", cells=len(_CENTS), probe_col="cell")
 
     src = _vecs(
         spark,

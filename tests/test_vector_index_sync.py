@@ -41,7 +41,9 @@ def test_lsh_table_incremental_and_queryable(app, spark, tmp_state):
         ["vec_id"],
         "vec_id LONG, bucket INT, embedding ARRAY<FLOAT>",
     )
-    t.declare_index("lsh", "embedding", bits=4)
+    # probe_col: the synced table also lays down __probe partition
+    # dirs on the bucket, so query probes prune FILE I/O
+    t.declare_index("lsh", "embedding", bits=4, probe_col="bucket")
 
     src = _vecs(
         spark,
@@ -82,3 +84,19 @@ def test_lsh_table_incremental_and_queryable(app, spark, tmp_state):
     # both negative-orthant vectors land in the query's bucket; flipped
     # vector 2 is found there, vector 1 is pruned away
     assert set(got) == {2, 3} and 1 not in got
+
+    # file-I/O pruning: the probe-partitioned read of the query's
+    # bucket reads fewer files than the full index scan, same rows
+    from cocoindex_spark.state.store import _PROBE_COL
+
+    from test_probe_layout import files_read
+
+    qb_val = qb.collect()[0]["bucket"]
+    pids = t.probe_partitions(spark, [int(qb_val)])
+    probed = (
+        t.read_indexed(spark)
+        .filter(F.col(_PROBE_COL).isin(pids))
+        .filter(F.col("bucket") == int(qb_val))
+    )
+    assert {r.vec_id for r in probed.collect()} == {2, 3}
+    assert files_read(probed) < files_read(t.read(spark))
