@@ -172,6 +172,11 @@ HEADLINE = [
     "q150_oov_rate",
     "q151_import_indegree",
     "q152_element_kinds",
+    # round-7 additions (engine-sync queries like q145/q153-style App
+    # drivers stay out of HEADLINE per the r5 precedent — q153/q154 are
+    # plain extraction pipelines, so they time like any other query)
+    "q153_element_namespaces",
+    "q154_callsite_indegree",
 ]
 
 

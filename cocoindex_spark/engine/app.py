@@ -98,8 +98,70 @@ class App:
         """Bind a context value for this app's lifetime. With
         ``detect_change=True`` on the key, the value's fingerprint
         joins the live set and memos recorded under a DIFFERENT value
-        of this key stop hitting (context.mdx "Change detection")."""
-        return self.context.provide(key, value)
+        of this key stop hitting (context.mdx "Change detection").
+
+        Provide-time memo-state validation (reference
+        context_keys.py:180-200: ``state_methods`` run per provided
+        value, persisted as ``context_memo_states``): a value carrying
+        state methods (``__coco_memo_state__`` / registered
+        ``state_fn``) runs them here against the states stored by the
+        PREVIOUS provide (persisted in the engine's user-state table).
+        All-valid outcomes keep the previous effective fingerprint —
+        memos keep hitting even when the cheap state (an mtime, an
+        ETag) refreshed; any invalid outcome mints a new fingerprint,
+        so memos that consumed the key re-run even though the value's
+        identity fp (e.g. a FileLike's path) never changed."""
+        if not key.detect_change:
+            return self.context.provide(key, value)
+        import json as _json
+
+        from cocoindex_spark.fingerprint import (
+            NON_EXISTENCE,
+            fp_value_with_states,
+            resolve_outcomes,
+        )
+
+        base_fp, state_fns = fp_value_with_states(["context_key", key.key, value])
+        if not state_fns:
+            return self.context.provide(key, value, fp=base_fp)
+        stored = self.get_state("__context__", key.key)
+        prev = (
+            stored.get("states")
+            if stored is not None and stored.get("fp") == base_fp
+            else None
+        )
+        outcomes = resolve_outcomes(
+            [
+                fn_(
+                    prev[i]
+                    if prev is not None and i < len(prev)
+                    else NON_EXISTENCE
+                )
+                for i, fn_ in enumerate(state_fns)
+            ]
+        )
+        new_states = _json.loads(_json.dumps([o.state for o in outcomes]))
+        valid = (
+            prev is not None
+            and all(o.memo_valid for o in outcomes)
+        )
+        if valid:
+            eff = stored["eff"]
+            if new_states != stored.get("states"):
+                self.set_state(
+                    "__context__",
+                    key.key,
+                    {**stored, "states": new_states},
+                )
+        else:
+            gen = (stored.get("gen", 0) + 1) if stored is not None else 0
+            eff = fp_value(["context_key_state", key.key, base_fp, gen])
+            self.set_state(
+                "__context__",
+                key.key,
+                {"fp": base_fp, "states": new_states, "eff": eff, "gen": gen},
+            )
+        return self.context.provide(key, value, fp=eff)
 
     def provide_with(self, key: ContextKey, cm):
         """provide() via a context manager, closed at app.drop()."""

@@ -100,13 +100,17 @@ class ContextProvider:
         self._recorders: list[set[str]] = []  # stack of active fp recorders
 
     # -- provide / get ----------------------------------------------------
-    def provide(self, key: ContextKey[T], value: T) -> T:
+    def provide(self, key: ContextKey[T], value: T, fp: str | None = None) -> T:
+        """Bind a value. ``fp`` lets the App pass a pre-resolved
+        effective fingerprint (provide-time memo-state validation —
+        see App.provide); otherwise the value's canonical fp is used."""
         self._values[key.key] = value
         if key.detect_change:
             # value runs the full memo-key canonicalization (honors
             # __coco_memo_key__ / registered key fns / dataclasses);
             # the tuple tag keeps context fps disjoint from arg fps.
-            fp = fp_value(["context_key", key.key, value])
+            if fp is None:
+                fp = fp_value(["context_key", key.key, value])
             # keyed by name: re-providing a different value REPLACES
             # the fp, so the old one leaves the live set and memos that
             # carried it invalidate (the reference's re-provide

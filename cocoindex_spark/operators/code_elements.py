@@ -1,0 +1,582 @@
+"""Element views: the reference's AST element extraction — declaration
+kinds beyond functions/types (Field / Constant / Constructor /
+Extension / Property), namespace attribution for every declaration,
+and usage References — re-expressed on the shared comment/string-exact
+token stream.
+
+Reference: rust/code_ast/src/elements/types.rs:25-45 (DeclarationKind
+incl. Field, Constant, Constructor, Extension, Property),
+types.rs:119-142 (Declaration.namespace + Reference); per-language
+configs rust/code_ast/src/elements/lang/rust.rs, java.rs, csharp.rs,
+kotlin.rs. The reference builds these views from tree-sitter parse
+trees; here the same classifications derive from brace_definitions'
+lexer-exact regions (operators/code_boundaries.py) plus a direct-member
+token scan per container — a `const` inside a string literal or
+comment can never become a declaration, because the lexer already
+dropped it.
+
+Namespace rules (matching the reference's attribution):
+- file base: `package a.b;` (Java), `namespace A.B;` / `namespace A.B
+  {}` (C#); Rust's crate root is the empty namespace.
+- nesting: each enclosing container contributes its name; an `impl S`
+  block attributes members to `S` (the reference's method-owner rule).
+
+Scale shape: everything here is per-row Python executed in Arrow
+batches via the definitions_df plumbing — no shuffle, no join; the
+downstream def⋈ref joins are doc_id-keyed equi-joins (bounded per
+document).
+"""
+
+from __future__ import annotations
+
+import bisect
+
+import pandas as pd
+
+from cocoindex_spark.operators.code_boundaries import brace_definitions
+from cocoindex_spark.operators.code_match import tokenize
+
+# Container kinds that contribute a namespace segment to members.
+_CONTAINERS = {
+    "class", "struct", "trait", "impl", "interface", "enum", "record",
+    "object", "namespace", "module", "union", "protocol", "extension",
+    "mixin", "contract", "library",
+}
+
+# Kinds whose bodies get a direct-member field/constant scan.
+_MEMBER_HOSTS = {
+    "rust": {"struct", "union"},
+    "java": {"class", "interface", "enum", "record"},
+    "c_sharp": {"class", "interface", "struct", "record"},
+    "kotlin": {"class", "object", "interface"},
+}
+
+_LANG_KEYWORDS = {
+    "rust": {
+        "fn", "struct", "enum", "trait", "impl", "mod", "union", "macro_rules",
+        "let", "const", "static", "if", "else", "match", "while", "for",
+        "loop", "return", "use", "pub", "crate", "self", "Self", "super",
+        "where", "move", "ref", "mut", "as", "in", "break", "continue",
+        "unsafe", "async", "await", "dyn", "type",
+    },
+    "java": {
+        "class", "interface", "enum", "record", "if", "else", "for",
+        "while", "switch", "case", "return", "new", "package", "import",
+        "public", "private", "protected", "static", "final", "abstract",
+        "void", "int", "long", "double", "float", "boolean", "char",
+        "byte", "short", "this", "super", "throw", "throws", "try",
+        "catch", "finally", "synchronized", "instanceof", "assert",
+        "do", "break", "continue", "default", "extends", "implements",
+    },
+    "c_sharp": {
+        "class", "interface", "struct", "enum", "record", "namespace",
+        "if", "else", "for", "foreach", "while", "switch", "case",
+        "return", "new", "using", "public", "private", "protected",
+        "internal", "static", "readonly", "const", "void", "int", "long",
+        "double", "float", "bool", "char", "byte", "string", "this",
+        "base", "throw", "try", "catch", "finally", "lock", "is", "as",
+        "do", "break", "continue", "default", "var", "get", "set",
+        "partial", "sealed", "override", "virtual", "async", "await",
+    },
+    "kotlin": {
+        "fun", "class", "interface", "object", "val", "var", "if",
+        "else", "for", "while", "when", "return", "package", "import",
+        "public", "private", "protected", "internal", "constructor",
+        "init", "this", "super", "throw", "try", "catch", "finally",
+        "is", "in", "as", "do", "break", "continue", "companion",
+        "data", "open", "override", "suspend", "const",
+    },
+}
+
+_MODS = {
+    "pub", "public", "private", "protected", "internal", "static",
+    "final", "readonly", "const", "abstract", "sealed", "override",
+    "virtual", "volatile", "transient", "partial", "new", "unsafe",
+    "open", "data", "lateinit", "companion", "crate",
+}
+
+
+def _ident(t: str) -> bool:
+    return bool(t) and (t[0].isalpha() or t[0] == "_")
+
+
+def _tok_range(toks, start: int, end: int) -> tuple[int, int]:
+    """Token index range [lo, hi) covering char span [start, end)."""
+    starts = [t.start for t in toks]
+    lo = bisect.bisect_left(starts, start)
+    hi = bisect.bisect_left(starts, end)
+    return lo, hi
+
+
+def _body_range(toks, lo: int, hi: int) -> tuple[int, int] | None:
+    """Token range (exclusive) of the container's outermost {...} body
+    inside def-token range [lo, hi)."""
+    bal = 0
+    open_i = None
+    for i in range(lo, hi):
+        t = toks[i].text
+        if t == "{":
+            if bal == 0:
+                open_i = i
+            bal += 1
+        elif t == "}":
+            bal -= 1
+            if bal == 0 and open_i is not None:
+                return open_i + 1, i
+    return None
+
+
+def _base_namespace(toks, language: str) -> tuple[str, list[tuple[str, int, int]]]:
+    """(file base namespace, extra namespace regions). Java: `package
+    a.b;`. C#: `namespace A.B;` is file-scoped; `namespace A.B { }` is
+    a region (C#'s kind table has no namespace regions, so they are
+    recovered here)."""
+    base = ""
+    regions: list[tuple[str, int, int]] = []
+    kw = "package" if language == "java" else ("namespace" if language == "c_sharp" else None)
+    if kw is None:
+        return base, regions
+    i = 0
+    while i < len(toks):
+        if toks[i].text == kw:
+            j = i + 1
+            parts = []
+            while j < len(toks) and (_ident(toks[j].text) or toks[j].text == "."):
+                if _ident(toks[j].text):
+                    parts.append(toks[j].text)
+                j += 1
+            name = ".".join(parts)
+            if j < len(toks) and toks[j].text == ";":
+                base = name  # file-scoped
+            elif j < len(toks) and toks[j].text == "{" and name:
+                bal = 1
+                k = j + 1
+                while k < len(toks) and bal:
+                    if toks[k].text == "{":
+                        bal += 1
+                    elif toks[k].text == "}":
+                        bal -= 1
+                    k += 1
+                regions.append((name, toks[i].start, toks[k - 1].end if k else toks[-1].end))
+            i = j
+        i += 1
+    return base, regions
+
+
+def _member_rows(toks, lo: int, hi: int, language: str, host_kind: str) -> list[dict]:
+    """Direct-member Field/Constant/Property declarations inside a
+    container body token range [lo, hi)."""
+    out: list[dict] = []
+    if language == "rust":
+        # struct/union body: `[pub] name : Type` separated by `,`
+        depth = 0
+        expect = True  # at a member boundary
+        i = lo
+        while i < hi:
+            t = toks[i].text
+            if t in ("{", "(", "[", "<"):
+                depth += 1
+            elif t in ("}", ")", "]", ">"):
+                depth = max(0, depth - 1)
+            elif depth == 0 and t == ",":
+                expect = True
+            elif depth == 0 and expect and _ident(t) and t not in ("pub", "crate"):
+                if i + 1 < hi and toks[i + 1].text == ":":
+                    out.append({"kind": "field", "name": t, "start": toks[i].start,
+                                "end": toks[i].end})
+                expect = False
+            i += 1
+        return out
+    # brace statement languages: statements at body depth 0 split on `;`
+    depth = 0
+    stmt: list[int] = []
+    i = lo
+    while i < hi:
+        t = toks[i].text
+        if t == "{":
+            # C# property: `Type Name { get ... }` — the statement so
+            # far names it and the block replaces the `;`
+            if language == "c_sharp" and depth == 0 and stmt:
+                k = i + 1
+                bal = 1
+                has_accessor = False
+                while k < hi and bal:
+                    if toks[k].text == "{":
+                        bal += 1
+                    elif toks[k].text == "}":
+                        bal -= 1
+                    elif bal == 1 and toks[k].text in ("get", "set", "init"):
+                        has_accessor = True
+                    k += 1
+                name_i = stmt[-1]
+                if has_accessor and _ident(toks[name_i].text):
+                    out.append({"kind": "property", "name": toks[name_i].text,
+                                "start": toks[name_i].start, "end": toks[name_i].end})
+                    i = k
+                    stmt = []
+                    continue
+            depth += 1
+            stmt = []
+        elif t == "}":
+            depth = max(0, depth - 1)
+            stmt = []
+        elif depth == 0:
+            if t == ";":
+                row = _classify_stmt(toks, stmt, language, host_kind)
+                if row:
+                    out.append(row)
+                stmt = []
+            elif t == "=" and language == "kotlin":
+                row = _classify_stmt(toks, stmt, language, host_kind)
+                if row:
+                    out.append(row)
+                stmt = []
+                # skip initializer to end of line
+                ls = toks[i].start
+                while i + 1 < hi and toks[i + 1].start <= ls:
+                    i += 1
+            else:
+                stmt.append(i)
+        i += 1
+    if language == "kotlin" and stmt:
+        row = _classify_stmt(toks, stmt, language, host_kind)
+        if row:
+            out.append(row)
+    return out
+
+
+def _classify_stmt(toks, stmt: list[int], language: str, host_kind: str) -> dict | None:
+    """Field/Constant from one member statement's token indices (no
+    `(` at balance 0 before any `=` ⇒ not a method/ctor header)."""
+    if not stmt:
+        return None
+    words = [toks[i].text for i in stmt]
+    if language == "kotlin":
+        if "val" not in words and "var" not in words:
+            return None
+        kwi = words.index("val") if "val" in words else words.index("var")
+        if kwi + 1 >= len(stmt) or not _ident(words[kwi + 1]):
+            return None
+        name_i = stmt[kwi + 1]
+        kind = "constant" if "const" in words[:kwi] else "field"
+        return {"kind": kind, "name": toks[name_i].text,
+                "start": toks[name_i].start, "end": toks[name_i].end}
+    # java / c_sharp: reject method headers and control statements
+    name_i = None
+    for i in stmt:
+        t = toks[i].text
+        if t == "(":
+            return None  # method/ctor signature
+        if t == "=":
+            break
+        if _ident(t) and t not in _LANG_KEYWORDS.get(language, set()) or t in ("var",):
+            name_i = i
+    if name_i is None:
+        return None
+    mods = {toks[i].text for i in stmt if toks[i].text in _MODS}
+    if language == "java":
+        constant = ("static" in mods and "final" in mods) or host_kind == "interface"
+    else:
+        constant = "const" in mods or ("static" in mods and "readonly" in mods)
+    return {"kind": "constant" if constant else "field",
+            "name": toks[name_i].text,
+            "start": toks[name_i].start, "end": toks[name_i].end}
+
+
+def _rust_consts(toks) -> list[dict]:
+    """`const NAME: T = …;` / `static NAME: T = …;` in statement
+    position (previous token ends a statement or is a modifier) —
+    const generics and `const fn` never match."""
+    out = []
+    for i, t in enumerate(toks):
+        if t.text not in ("const", "static"):
+            continue
+        prev = toks[i - 1].text if i else None
+        if prev not in (None, ";", "}", "{") and prev not in _MODS:
+            continue
+        j = i + 1
+        if j < len(toks) and toks[j].text == "mut":
+            j += 1
+        if (
+            j + 1 < len(toks)
+            and _ident(toks[j].text)
+            and toks[j].text != "fn"
+            and toks[j + 1].text == ":"
+        ):
+            out.append({"kind": "constant", "name": toks[j].text,
+                        "start": toks[j].start, "end": toks[j].end})
+    return out
+
+
+def _deep_defs(text: str, language: str, depth: int = 0) -> list[dict]:
+    """brace_definitions without its depth cap: containers' bodies are
+    re-scanned as standalone slices (the lexer is self-contained inside
+    a balanced body), so methods of a class inside a namespace/module
+    still surface. Two extra levels cover the reference's view shapes."""
+    defs = brace_definitions(text, language) or []
+    if depth >= 2:
+        return defs
+    toks = tokenize(text, language)
+    out = list(defs)
+    seen = {(d["start"], d["kind"], d["name"]) for d in defs}
+    for d in defs:
+        if d["kind"] not in _CONTAINERS:
+            continue
+        lo, hi = _tok_range(toks, d["start"], d["end"])
+        body = _body_range(toks, lo, hi)
+        if not body or body[0] >= body[1]:
+            continue
+        off = toks[body[0]].start
+        inner_text = text[off : toks[body[1]].start]
+        for m in _deep_defs(inner_text, language, depth + 1):
+            row = {**m, "start": m["start"] + off, "end": m["end"] + off,
+                   "depth": d.get("depth", 0) + 1 + m.get("depth", 0)}
+            key = (row["start"], row["kind"], row["name"])
+            if key not in seen:
+                seen.add(key)
+                out.append(row)
+    return sorted(out, key=lambda d: (d["start"], d["kind"]))
+
+
+def _kotlin_top_props(text: str, toks) -> list[dict]:
+    """Top-level (brace depth 0) `val`/`var` declarations in statement
+    position (first on their line, modifiers allowed) — Kotlin
+    top-level properties; `const val` ⇒ Constant."""
+    out = []
+    depth = 0
+    for i, t in enumerate(toks):
+        if t.text == "{":
+            depth += 1
+        elif t.text == "}":
+            depth = max(0, depth - 1)
+        elif depth == 0 and t.text in ("val", "var"):
+            prev = toks[i - 1] if i else None
+            first_on_line = prev is None or "\n" in text[prev.end : t.start]
+            if not first_on_line and (prev is None or prev.text not in _MODS):
+                continue
+            if i + 1 < len(toks) and _ident(toks[i + 1].text):
+                kind = (
+                    "constant"
+                    if prev is not None and prev.text == "const"
+                    else "field"
+                )
+                out.append({"kind": kind, "name": toks[i + 1].text,
+                            "start": toks[i + 1].start, "end": toks[i + 1].end})
+    return out
+
+
+def element_views(text: str, language: str) -> list[dict]:
+    """Full element view of a source: one row per declaration —
+    {kind, name, namespace, start, end}. Kinds: the brace_definitions
+    region kinds (class/struct/trait/impl/…) plus function
+    reclassification (function | method | constructor | extension) and
+    direct-member field / constant / property rows. Namespace = file
+    base (package/namespace) + enclosing container names (impl blocks
+    attribute to the implemented type)."""
+    defs = _deep_defs(text, language)
+    toks = tokenize(text, language)
+    base, ns_regions = _base_namespace(toks, language)
+
+    containers = [
+        d for d in defs if d["kind"] in _CONTAINERS
+    ] + [{"kind": "namespace", "name": n, "start": s, "end": e, "depth": -1}
+         for n, s, e in ns_regions]
+    containers.sort(key=lambda d: (d["start"], -(d["end"] - d["start"])))
+
+    def ns_of(start: int, end: int, exclude=None) -> str:
+        parts = [base] if base else []
+        for c in containers:
+            if c is exclude:
+                continue
+            if c["start"] < start and c["end"] >= end:
+                parts.append(c["name"])
+        return ".".join(parts)
+
+    def host_of(start: int, end: int):
+        best = None
+        for c in containers:
+            if c["start"] < start and c["end"] >= end:
+                if best is None or c["start"] > best["start"]:
+                    best = c
+        return best
+
+    rows: list[dict] = []
+    hosts = _MEMBER_HOSTS.get(language, set())
+    for d in defs:
+        if d["kind"] == "function":
+            host = host_of(d["start"], d["end"])
+            kind = "function"
+            name = d["name"]
+            lo, hi = _tok_range(toks, d["start"], d["end"])
+            if language == "kotlin":
+                # `fun Recv.name()` is an extension function
+                for i in range(lo, min(hi, lo + 8)):
+                    if toks[i].text == "fun":
+                        if (
+                            i + 3 < hi
+                            and _ident(toks[i + 1].text)
+                            and toks[i + 2].text == "."
+                            and _ident(toks[i + 3].text)
+                        ):
+                            kind, name = "extension", toks[i + 3].text
+                        break
+            if kind == "function" and host is not None:
+                if language in ("java", "c_sharp", "cpp") and name == host["name"]:
+                    kind = "constructor"
+                elif language == "c_sharp":
+                    # `this` first parameter ⇒ extension method
+                    for i in range(lo, hi):
+                        if toks[i].text == "(":
+                            if i + 1 < hi and toks[i + 1].text == "this":
+                                kind = "extension"
+                            break
+                    else:
+                        pass
+                    if kind == "function":
+                        kind = "method"
+                else:
+                    kind = "method"
+            rows.append({"kind": kind, "name": name,
+                         "namespace": ns_of(d["start"], d["end"]),
+                         "start": d["start"], "end": d["end"]})
+            continue
+        me = None
+        for c in containers:
+            if c["start"] == d["start"] and c["end"] == d["end"] and c["name"] == d["name"]:
+                me = c
+                break
+        rows.append({"kind": d["kind"], "name": d["name"],
+                     "namespace": ns_of(d["start"], d["end"], exclude=me),
+                     "start": d["start"], "end": d["end"]})
+        if d["kind"] in hosts:
+            lo, hi = _tok_range(toks, d["start"], d["end"])
+            body = _body_range(toks, lo, hi)
+            if body:
+                for m in _member_rows(toks, body[0], body[1], language, d["kind"]):
+                    m["namespace"] = ns_of(m["start"], m["end"])
+                    rows.append(m)
+            if language == "kotlin":
+                # primary-constructor properties: `class C(val x: T)`
+                head_hi = body[0] - 1 if body else hi
+                for i in range(lo, head_hi):
+                    if toks[i].text in ("val", "var") and i + 1 < head_hi and _ident(
+                        toks[i + 1].text
+                    ):
+                        rows.append({
+                            "kind": "field", "name": toks[i + 1].text,
+                            "namespace": ns_of(toks[i + 1].start, toks[i + 1].end),
+                            "start": toks[i + 1].start, "end": toks[i + 1].end,
+                        })
+    if language == "rust":
+        for m in _rust_consts(toks):
+            m["namespace"] = ns_of(m["start"], m["end"])
+            rows.append(m)
+    if language == "kotlin":
+        for m in _kotlin_top_props(text, toks):
+            m["namespace"] = ns_of(m["start"], m["end"])
+            rows.append(m)
+        # secondary constructors: `constructor(...)` inside a class body
+        for i, t in enumerate(toks):
+            if t.text == "constructor" and i + 1 < len(toks) and toks[i + 1].text == "(":
+                host = host_of(t.start, t.end)
+                if host is not None:
+                    rows.append({"kind": "constructor", "name": host["name"],
+                                 "namespace": ns_of(t.start, t.end),
+                                 "start": t.start, "end": t.end})
+    rows.sort(key=lambda r: (r["start"], r["kind"], r["name"]))
+    return rows
+
+
+def references(text: str, language: str) -> list[dict]:
+    """Usage References (types.rs:142 Reference): call-site identifier
+    references — an identifier token directly followed by `(` that is
+    neither a keyword nor the name position of a definition header.
+    Comment/string-exact (shared lexer). Rows: {name, namespace,
+    start}."""
+    toks = tokenize(text, language)
+    kw = _LANG_KEYWORDS.get(language, set())
+    defs = _deep_defs(text, language)
+    base, ns_regions = _base_namespace(toks, language)
+    containers = [
+        d for d in defs if d["kind"] in _CONTAINERS
+    ] + [{"kind": "namespace", "name": n, "start": s, "end": e}
+         for n, s, e in ns_regions]
+
+    def ns_of(pos: int) -> str:
+        parts = [base] if base else []
+        for c in sorted(containers, key=lambda c: c["start"]):
+            if c["start"] < pos <= c["end"]:
+                parts.append(c["name"])
+        return ".".join(parts)
+
+    # name-token offsets of definition headers (never references)
+    def_name_offsets: set[int] = set()
+    starts = [t.start for t in toks]
+    for d in defs:
+        lo = bisect.bisect_left(starts, d["start"])
+        for i in range(lo, min(lo + 12, len(toks))):
+            if toks[i].text == d["name"]:
+                def_name_offsets.add(toks[i].start)
+                break
+
+    out = []
+    intro = {"fn", "def", "func", "fun", "function", "macro_rules"}
+    for i, t in enumerate(toks):
+        if not _ident(t.text) or t.text in kw:
+            continue
+        if i + 1 >= len(toks) or toks[i + 1].text != "(":
+            continue
+        if i > 0 and toks[i - 1].text in intro:
+            continue
+        if t.start in def_name_offsets:
+            continue
+        out.append({"name": t.text, "namespace": ns_of(t.start), "start": t.start})
+    return out
+
+
+def elements_df(df, text_col: str, language: str):
+    """One row per element view declaration — Arrow-batched, per-row,
+    no shuffle; columns (el_kind, el_name, el_namespace, el_start,
+    el_end)."""
+    from pyspark.sql import functions as F
+
+    schema = (
+        "array<struct<kind: string, name: string, namespace: string, "
+        "start: long, end: long>>"
+    )
+
+    def run(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [[] if t is None else element_views(t, language) for t in texts]
+        )
+
+    udf = F.pandas_udf(run, schema)
+    return df.withColumn("__e", F.explode(udf(F.col(text_col)))).select(
+        *df.columns,
+        F.col("__e.kind").alias("el_kind"),
+        F.col("__e.name").alias("el_name"),
+        F.col("__e.namespace").alias("el_namespace"),
+        F.col("__e.start").alias("el_start"),
+        F.col("__e.end").alias("el_end"),
+    )
+
+
+def references_df(df, text_col: str, language: str):
+    """One row per usage reference — columns (ref_name, ref_namespace,
+    ref_start)."""
+    from pyspark.sql import functions as F
+
+    schema = "array<struct<name: string, namespace: string, start: long>>"
+
+    def run(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [[] if t is None else references(t, language) for t in texts]
+        )
+
+    udf = F.pandas_udf(run, schema)
+    return df.withColumn("__r", F.explode(udf(F.col(text_col)))).select(
+        *df.columns,
+        F.col("__r.name").alias("ref_name"),
+        F.col("__r.namespace").alias("ref_namespace"),
+        F.col("__r.start").alias("ref_start"),
+    )

@@ -1582,3 +1582,168 @@ def q152_element_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("def_kind").alias("element_kind"), F.col("def_name").alias("name")
     )
     return classified_fns.unionByName(others)
+
+
+# --- q153: full element views — kind classification (field / constant
+#     / constructor / extension / property / method) WITH namespace
+#     attribution, across three languages (reference:
+#     rust/code_ast/src/elements/types.rs:25-45 DeclarationKind,
+#     :119-142 Declaration.namespace; per-language configs
+#     elements/lang/rust.rs, java.rs, csharp.rs). Decoy declarations in
+#     comments/strings are invisible (shared lexer). Scale shape:
+#     Arrow-batched per-row extraction + explode, a pass-through
+#     union — no join, no window, no shuffle before the driver's sort.
+@register(
+    "q153_element_namespaces",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+r AS (SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS a,
+             CAST(doc_id % 4 AS VARCHAR) AS b,
+             CAST(doc_id % 7 AS VARCHAR) AS c
+      FROM d WHERE doc_id % 3 = 0),
+j AS (SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS a,
+             CAST(doc_id % 4 AS VARCHAR) AS b,
+             CAST(doc_id % 7 AS VARCHAR) AS c
+      FROM d WHERE doc_id % 3 = 1),
+cs AS (SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS a,
+             CAST(doc_id % 4 AS VARCHAR) AS b,
+             CAST(doc_id % 7 AS VARCHAR) AS c
+      FROM d WHERE doc_id % 3 = 2)
+SELECT doc_id, 'rust' AS lang, el_kind, el_name, el_namespace FROM (
+  SELECT doc_id, 'module' AS el_kind, 'm' || a AS el_name, '' AS el_namespace FROM r
+  UNION ALL SELECT doc_id, 'struct', 'S' || b, 'm' || a FROM r
+  UNION ALL SELECT doc_id, 'field', 'f' || c, 'm' || a || '.S' || b FROM r
+  UNION ALL SELECT doc_id, 'impl', 'S' || b, 'm' || a FROM r
+  UNION ALL SELECT doc_id, 'constant', 'C' || c, 'm' || a || '.S' || b FROM r
+  UNION ALL SELECT doc_id, 'method', 'get' || c, 'm' || a || '.S' || b FROM r
+  UNION ALL SELECT doc_id, 'constant', 'TOP' || a, '' FROM r
+)
+UNION ALL
+SELECT doc_id, 'java', el_kind, el_name, el_namespace FROM (
+  SELECT doc_id, 'class' AS el_kind, 'K' || b AS el_name,
+         'com.ex.p' || a AS el_namespace FROM j
+  UNION ALL SELECT doc_id, 'field', 'v' || c, 'com.ex.p' || a || '.K' || b FROM j
+  UNION ALL SELECT doc_id, 'constant', 'MAX' || a, 'com.ex.p' || a || '.K' || b FROM j
+  UNION ALL SELECT doc_id, 'constructor', 'K' || b, 'com.ex.p' || a || '.K' || b FROM j
+  UNION ALL SELECT doc_id, 'method', 'get' || c, 'com.ex.p' || a || '.K' || b FROM j
+)
+UNION ALL
+SELECT doc_id, 'c_sharp', el_kind, el_name, el_namespace FROM (
+  SELECT doc_id, 'class' AS el_kind, 'C' || b AS el_name,
+         'Ex.N' || a AS el_namespace FROM cs
+  UNION ALL SELECT doc_id, 'field', 'n' || c, 'Ex.N' || a || '.C' || b FROM cs
+  UNION ALL SELECT doc_id, 'constant', 'TAG' || a, 'Ex.N' || a || '.C' || b FROM cs
+  UNION ALL SELECT doc_id, 'property', 'P' || c, 'Ex.N' || a || '.C' || b FROM cs
+  UNION ALL SELECT doc_id, 'constructor', 'C' || b, 'Ex.N' || a || '.C' || b FROM cs
+  UNION ALL SELECT doc_id, 'method', 'Get' || c, 'Ex.N' || a || '.C' || b FROM cs
+)
+""",
+)
+def q153_element_namespaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_elements import elements_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    a = (F.col("doc_id") % 5).cast("string")
+    b = (F.col("doc_id") % 4).cast("string")
+    c = (F.col("doc_id") % 7).cast("string")
+    rust = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "code",
+        F.concat(
+            F.lit("mod m"), a, F.lit(" {\n    pub struct S"), b,
+            F.lit(" { pub f"), c, F.lit(": u64 }\n    impl S"), b,
+            F.lit(" {\n        const C"), c, F.lit(": u64 = 1;\n        pub fn get"),
+            c, F.lit("(&self) -> u64 { self.f"), c, F.lit(" }\n    }\n}\nconst TOP"),
+            a, F.lit(": u64 = 2;\n// const FAKE: u64 = 3; fn fake() {}\n"),
+        ),
+    )
+    java = d.filter(F.col("doc_id") % 3 == 1).withColumn(
+        "code",
+        F.concat(
+            F.lit("package com.ex.p"), a, F.lit(";\npublic class K"), b,
+            F.lit(" {\n    private long v"), c,
+            F.lit(";\n    public static final int MAX"), a,
+            F.lit(" = 1;\n    public K"), b, F.lit("(long v) { }\n    public long get"),
+            c, F.lit("() { return v"), c, F.lit("; }\n}\n// class Fake { int x; }\n"),
+        ),
+    )
+    cs = d.filter(F.col("doc_id") % 3 == 2).withColumn(
+        "code",
+        F.concat(
+            F.lit("namespace Ex.N"), a, F.lit(";\npublic class C"), b,
+            F.lit(" {\n    private int n"), c,
+            F.lit(";\n    public const string TAG"), a,
+            F.lit(' = "const Fake = 1;";\n    public int P'), c,
+            F.lit(" { get; set; }\n    public C"), b,
+            F.lit("(int n) { }\n    public int Get"), c,
+            F.lit("() { return n"), c, F.lit("; }\n}\n"),
+        ),
+    )
+    cols = ["doc_id", "lang", "el_kind", "el_name", "el_namespace"]
+    out = None
+    for lang, df in (("rust", rust), ("java", java), ("c_sharp", cs)):
+        part = elements_df(df, "code", lang).select(
+            "doc_id", F.lit(lang).alias("lang"), "el_kind", "el_name", "el_namespace"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select(*cols)
+
+
+# --- q154: call-site indegree per definition — the def⋈ref join over
+#     usage References (reference types.rs:142 Reference; the
+#     real-code twin of q151's import indegree). References come from
+#     the comment/string-exact lexer (decoy calls in comments/strings
+#     never count); the join is doc_id-keyed (bounded per document),
+#     then ONE name agg. Defs that are never called still report
+#     indegree 0 (left join) — the dead-code signal.
+@register(
+    "q154_callsite_indegree",
+    oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS a,
+                  CAST(doc_id % 3 AS VARCHAR) AS b
+           FROM documents),
+defs AS (
+  SELECT doc_id, 'util' || a AS name FROM d
+  UNION ALL SELECT doc_id, 'run' || b FROM d
+),
+refs AS (  -- two util calls per doc inside run's body
+  SELECT doc_id, 'util' || a AS name, 2 AS calls FROM d
+)
+SELECT defs.name AS fn_name,
+       CAST(COALESCE(SUM(refs.calls), 0) AS BIGINT) AS total_calls,
+       CAST(COUNT(DISTINCT CASE WHEN refs.calls IS NOT NULL
+                                THEN defs.doc_id END) AS BIGINT) AS n_calling_docs
+FROM defs LEFT JOIN refs ON defs.doc_id = refs.doc_id AND defs.name = refs.name
+GROUP BY defs.name
+""",
+)
+def q154_callsite_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_elements import elements_df, references_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    a = (F.col("doc_id") % 5).cast("string")
+    b = (F.col("doc_id") % 3).cast("string")
+    code = F.concat(
+        F.lit("fn util"), a, F.lit("() -> u64 { 1 }\nfn run"), b,
+        F.lit("() -> u64 { util"), a, F.lit("() + util"), a,
+        F.lit("() + ext() }\n// fn fake() { util9() }\n"),
+        F.lit('const S: &str = "util8()";\n'),
+    )
+    src = d.withColumn("code", code)
+    defs = elements_df(src, "code", "rust").filter(
+        F.col("el_kind").isin("function", "method")
+    ).select("doc_id", F.col("el_name").alias("fn_name"))
+    refs = (
+        references_df(src, "code", "rust")
+        .groupBy("doc_id", F.col("ref_name").alias("fn_name"))
+        .agg(F.count(F.lit(1)).alias("calls"))
+    )
+    return (
+        defs.join(refs, ["doc_id", "fn_name"], "left")
+        .groupBy("fn_name")
+        .agg(
+            F.coalesce(F.sum("calls"), F.lit(0)).cast("long").alias("total_calls"),
+            F.countDistinct(
+                F.when(F.col("calls").isNotNull(), F.col("doc_id"))
+            ).cast("long").alias("n_calling_docs"),
+        )
+    )

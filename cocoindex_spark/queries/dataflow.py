@@ -408,6 +408,12 @@ UNION ALL
 SELECT 'p4_ctx_back', CAST(0 AS BIGINT), CAST(0 AS BIGINT), c FROM n
 UNION ALL
 SELECT 'p5_undetected', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM n
+UNION ALL
+SELECT 'p6_state_refresh', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM n
+UNION ALL
+SELECT 'p7_state_invalid', c, CAST(0 AS BIGINT), c FROM n
+UNION ALL
+SELECT 'p8_state_back', c, CAST(0 AS BIGINT), c FROM n
 """,
 )
 def q145_context_memo_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,16 +429,46 @@ def q145_context_memo_invalidation(spark: SparkSession, sf_dir: str) -> DataFram
     sfx = _uuid.uuid4().hex[:12]
     k_scale = ContextKey(f"q145-scale-{sfx}", detect_change=True)
     k_conn = ContextKey(f"q145-conn-{sfx}", detect_change=False)
+    k_cfg = ContextKey(f"q145-cfg-{sfx}", detect_change=True)
+
+    class CfgFile:
+        """FileLike config: identity = path; memo state = [mtime,
+        content]. mtime match ⇒ valid without reading content; mtime
+        change ⇒ content decides (the reference's two-level provide-
+        time state validation, context_keys.py:180-200)."""
+
+        def __init__(self, mtime: int, content: int):
+            self.mtime = mtime
+            self.content = content
+
+        def __coco_memo_key__(self):
+            return "cfg.toml"  # identity: never changes across phases
+
+        def __coco_memo_state__(self, prev):
+            from cocoindex_spark.fingerprint import MemoStateOutcome, is_non_existence
+
+            if is_non_existence(prev):
+                return MemoStateOutcome(state=[self.mtime, self.content])
+            if self.mtime == prev[0]:
+                return MemoStateOutcome(state=prev, memo_valid=True)
+            return MemoStateOutcome(
+                state=[self.mtime, self.content],
+                memo_valid=self.content == prev[1],
+            )
 
     @_fn(memo=True)
     def weigh(df):
         k = use_context(k_scale)
+        cfg = use_context(k_cfg)  # state-validated at provide() time
         use_context(k_conn)  # consumed but NOT change-detected
         return df.select(
             "__args_fp",
             "__component_path",
             "doc_id",
-            ((F.length("text") + 1).cast("long") * F.lit(k)).alias("w"),
+            (
+                (F.length("text") + 1).cast("long") * F.lit(k)
+                + F.lit(cfg.content)
+            ).alias("w"),
         )
 
     root = tempfile.mkdtemp(prefix="q145_")
@@ -442,9 +478,10 @@ def q145_context_memo_invalidation(spark: SparkSession, sf_dir: str) -> DataFram
         t = app.target(os.path.join(root, "t"), ["doc_id"], "doc_id LONG, w LONG")
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
 
-        def run(phase: str, scale: int, conn: str) -> None:
+        def run(phase: str, scale: int, conn: str, mtime: int = 1, content: int = 5) -> None:
             app.provide(k_scale, scale)
             app.provide(k_conn, conn)
+            app.provide(k_cfg, CfgFile(mtime, content))
             s = app.sync_table(docs, ["doc_id"], weigh, t)
             rows.append((phase, s.memo_misses, s.inserts, s.updates))
 
@@ -453,6 +490,11 @@ def q145_context_memo_invalidation(spark: SparkSession, sf_dir: str) -> DataFram
         run("p3_ctx_edit", 3, "conn-A")
         run("p4_ctx_back", 2, "conn-A")
         run("p5_undetected", 2, "conn-B")
+        # state-fn phases: the cfg value's IDENTITY fp (its path) never
+        # changes — only its provide-time state outcomes drive validity
+        run("p6_state_refresh", 2, "conn-B", mtime=2, content=5)  # cheap-valid
+        run("p7_state_invalid", 2, "conn-B", mtime=3, content=9)  # content edit
+        run("p8_state_back", 2, "conn-B", mtime=4, content=5)  # new generation
         return spark.createDataFrame(
             rows, "phase STRING, memo_misses LONG, inserts LONG, updates LONG"
         )

@@ -27,70 +27,76 @@ def register(name: str, oracle: str | None = None):
 # must come first. This list is refreshed each round from the previous
 # CORRECTNESS_r{N}.json: never-checked first, then stalest-checked.
 _PRIORITY: list[str] = [
-    # r6 rotation. CORRECTNESS_r05 was 50/50 green, so the window
-    # rotates to: (a) queries NEW this round, (b) queries whose code
-    # was touched since their last driver verdict (q126/q31 took the
-    # shared prefix-filter refactor; q142's oracle moved to a shared
-    # constant), then (c) the stalest set — everything whose last
-    # driver check was round 3: q01-q04, q28, q39, q50-q55, q57-q59,
-    # q66-q68, q70-q75, q77-q79, q81-q88, q90-q96. Everything else
-    # stays registered and locally value-verified; it rotates back in
-    # next round.
-    "q144_session_search_indexed",  # NEW in r6
-    "q145_context_memo_invalidation",  # NEW in r6
-    "q146_shingle_containment",  # NEW in r6
-    "q147_cdc_chunk_dedup",  # NEW in r6
-    "q148_bigram_surprisal",  # NEW in r6
-    "q149_hamming_topk",  # NEW in r6
-    "q150_oov_rate",  # NEW in r6
-    "q151_import_indegree",  # NEW in r6
-    "q152_element_kinds",  # NEW in r6
-    "q126_detector_eval",  # touched: prefix-filtered truth join
-    "q31_ngram_jaccard_pairs",  # touched: shared helper extraction
-    "q142_session_search",  # touched: oracle constant refactor
+    # r7 rotation (the driver checks ~the first 50 rows). Window:
+    # (a) queries NEW this round (q153/q154 — element namespaces,
+    # call-site indegree), (b) queries whose CODE changed since their
+    # r6 verdict (q147 chunker extracted to operators/cdc.py; q137/q144
+    # probe plans now partition-pruned via the __probe storage layout;
+    # q145 gained the provide-time state phases p6-p8), then (c) the
+    # stalest set — the r3-checked q93-q96 and the r4-checked batch
+    # q05-q27/q30-q49/q56/q60-q65/q97-q101. Everything else stays
+    # registered and locally value-verified; it rotates back next round.
+    "q153_element_namespaces",  # NEW in r7
+    "q154_callsite_indegree",  # NEW in r7
+    "q147_cdc_chunk_dedup",  # touched: shared CDC operator + 1-word fix
+    "q137_quickstart_topk",  # touched: probe-pruned index scan
+    "q144_session_search_indexed",  # touched: probe-pruned index scan
+    "q145_context_memo_invalidation",  # touched: provide-time states
     # stalest: last driver-checked in round 3
-    "q01_pricing_summary",
-    "q02_topk_orders",
-    "q03_revenue_by_nation",
-    "q04_priority_semijoin",
-    "q28_pq_topk",
-    "q39_filter_pipeline",
-    "q50_tumbling_daily",
-    "q51_sessionization",
-    "q52_hourly_uniques",
-    "q53_event_transitions",
-    "q54_asof_attribution",
-    "q55_range_click_burst",
-    "q57_source_quantiles",
-    "q58_deterministic_sample",
-    "q59_split_assignment",
-    "q66_graph_degree",
-    "q67_motif_cosupplier",
-    "q68_supplier_triangles",
-    "q70_multimodal_decode",
-    "q71_multimodal_stats",
-    "q72_multimodal_frames",
-    "q73_transcribe",
-    "q74_frame_near_dup",
-    "q75_fts_bm25",
-    "q77_token_packing",
-    "q78_contamination",
-    "q79_ast_definitions",
-    "q81_mixture_weights",
-    "q82_pagerank",
-    "q83_multiprobe_topk",
-    "q84_event_dedup_windowed",
-    "q85_funnel",
-    "q86_retention_weekly",
-    "q87_outlier_trim",
-    "q88_length_bucketed_batches",
-    "q90_phrase_search",
-    "q91_sliding_revenue",
-    "q92_decayed_user_value",
     "q93_region_share",
     "q94_weekday_type_pivot",
     "q95_cube_revenue",
     "q96_shared_sql_topspenders",
+    # stalest: last driver-checked in round 4
+    "q05_top3_orders_per_customer",
+    "q06_groupby_scoring",
+    "q07_customers_without_orders",
+    "q08_unreferenced_parts",
+    "q09_last_wins_per_key",
+    "q10_ownership_latest_supplier",
+    "q11_stats_rollup",
+    "q12_selective_scan",
+    "q13_json_props",
+    "q14_rollup_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_banded_revenue",
+    "q20_vector_topk",
+    "q21_knn_batch",
+    "q22_similarity_join_blocked",
+    "q23_lsh_bucket_join",
+    "q24_label_centroids",
+    "q25_ivf_topk",
+    "q26_hash_embed_knn",
+    "q27_multivector_maxsim",
+    "q30_exact_dedup",
+    "q32_minhash_lsh_pairs",
+    "q33_simhash_pairs",
+    "q34_embedding_neardup",
+    "q35_repetition_ngrams",
+    "q36_pii_scrub",
+    "q37_normalized_dedup",
+    "q38_bpe_token_estimate",
+    "q40_token_stats",
+    "q41_quality_score",
+    "q42_langid_confusion",
+    "q43_doc_fingerprint",
+    "q44_chunk_documents",
+    "q45_deterministic_ids",
+    "q56_stemmed_vocab",
+    "q60_reconcile_actions",
+    "q61_memo_miss_join",
+    "q62_connected_components",
+    "q63_rrf_hybrid",
+    "q64_child_existence_diff",
+    "q65_entity_resolution",
+    "q97_shared_sql_doc_quality",
+    "q98_brace_definitions",
+    "q99_pair_relation_read",
+    "q100_brace_chunks",
+    "q101_tfidf_top_terms",
 ]
 
 

@@ -773,37 +773,17 @@ LIMIT 20
 """,
 )
 def q147_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    w = F.split(F.trim(F.col("text")), " ")
-    # boundary marks: 0-based word index i (1..n-1) is a cut BEFORE
-    # word i+1 when gear(w_i, w_{i+1}) % 8 == 0 — local content only
-    gear = (
-        "CAST(conv(substring(md5(concat(element_at(w, CAST(i AS INT)), ' ', "
-        "element_at(w, CAST(i AS INT) + 1))), 1, 12), 16, 10) AS BIGINT) % 8 = 0"
-    )
-    # Guard size(w) == 1: sequence(1, 0) is DESCENDING in Spark ([1, 0]),
-    # so the gear lambda would probe element_at(w, 0)/element_at(w, 2) and
-    # crash (INVALID_ARRAY_INDEX_IN_ELEMENT_AT).  An empty boundary list
-    # yields bs = [0] → one whole-doc chunk, matching the DuckDB oracle
-    # (range(1, 1) is empty there).
-    marks = F.expr(
-        "concat(array(CAST(0 AS BIGINT)), "
-        "filter(CASE WHEN size(w) >= 2 THEN sequence(CAST(1 AS BIGINT), size(w) - 1) "
-        f"ELSE CAST(array() AS ARRAY<BIGINT>) END, i -> {gear}))"
-    )
-    chunk_hashes = F.expr(
-        "transform(sequence(1, size(bs)), j -> md5(concat_ws(' ', "
-        "slice(w, CAST(element_at(bs, j) + 1 AS INT), "
-        "CAST((IF(j = size(bs), size(w), element_at(bs, j + 1))) "
-        "- element_at(bs, j) AS INT)))))"
-    )
-    chunks = (
-        d.select("doc_id", w.alias("w"))
-        .withColumn("bs", marks)
-        .select("doc_id", F.explode(chunk_hashes).alias("ch"))
+    # Chunk computation is the shared operator (operators/cdc.py) so
+    # the SAME per-row plan feeds the live path
+    # (streaming/sketch_stream.cdc_chunk_stream) — parity pinned in
+    # tests/test_stateful_streaming.py.
+    from cocoindex_spark.operators.cdc import cdc_chunk_hashes
+
+    chunks = cdc_chunk_hashes(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     return (
-        chunks.groupBy(F.col("ch").alias("chunk_hash"))
+        chunks.groupBy("chunk_hash")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_occurrences"),
             F.countDistinct("doc_id").cast("long").alias("n_docs"),

@@ -47,3 +47,20 @@ def cm_cell_stream(docs: DataFrame) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
     )
     return cm_cells(toks, "tok")
+
+
+def cdc_chunk_stream(docs: DataFrame) -> DataFrame:
+    """Streaming content-defined-chunk dedup counts (chunk_hash,
+    n_occurrences) — q147's live twin. Chunking is per-row array work
+    (operators/cdc.py, shared with the batch query), so the only state
+    is the built-in COUNT aggregation keyed by chunk hash —
+    SUM-mergeable across micro-batches like cm_cell_stream. Update
+    mode emits running totals per hash; upsert (replace) into a
+    serving table keyed by chunk_hash."""
+    from cocoindex_spark.operators.cdc import cdc_chunk_hashes
+
+    return (
+        cdc_chunk_hashes(docs)
+        .groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )

@@ -1,0 +1,175 @@
+"""Element views: kind classification (Field / Constant / Constructor /
+Extension / Property / Method), namespace attribution, and usage
+References — parametrized per language, mirroring the reference's
+per-language configs (rust/code_ast/src/elements/lang/rust.rs,
+java.rs, csharp.rs, kotlin.rs; kinds types.rs:25-45; namespace +
+Reference types.rs:119-142)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cocoindex_spark.operators.code_elements import element_views, references
+
+RUST = """
+pub const MAX: usize = 10;
+mod geo {
+    pub struct Point { pub x: f64, y: f64 }
+    impl Point {
+        const ORIGIN_X: f64 = 0.0;
+        pub fn new(x: f64, y: f64) -> Point { Point { x, y } }
+        fn norm(&self) -> f64 { (self.x * self.x).sqrt() }
+    }
+}
+fn free() -> u64 { helper(1) + 2 }
+// const FAKE: u32 = 1;
+static GREETING: &str = "const NOPE: u8 = 0;";
+"""
+
+JAVA = """
+package com.ex.app;
+public class Account {
+    private long balance;
+    public static final int MAX_RETRIES = 3;
+    public Account(long b) { balance = b; }
+    public long getBalance() { return balance; }
+}
+interface Limits { int CAP = 100; }
+// class Fake { int x; }
+"""
+
+CSHARP = """
+namespace Ex.App;
+public class Cart {
+    private int count;
+    public const string Tag = "const Fake = 1;";
+    public int Count { get; set; }
+    public Cart(int c) { count = c; }
+    public int Total() { return count; }
+}
+public static class Exts {
+    public static int Doubled(this int x) { return x + x; }
+}
+"""
+
+KOTLIN = """
+class Wallet(val owner: String) {
+    var cents: Long = 0
+    constructor(o: String, c: Long) : this(o) { cents = c }
+    fun add(n: Long) { cents += n }
+}
+fun Long.asEuros(): String = "E" + this
+const val LIMIT = 99
+val greeting = "hi"
+// val fake = 1
+"""
+
+# (language, source, expected {(kind, name, namespace)})
+CASES = [
+    (
+        "rust",
+        RUST,
+        {
+            ("constant", "MAX", ""),
+            ("module", "geo", ""),
+            ("struct", "Point", "geo"),
+            ("field", "x", "geo.Point"),
+            ("field", "y", "geo.Point"),
+            ("impl", "Point", "geo"),
+            ("constant", "ORIGIN_X", "geo.Point"),
+            ("method", "new", "geo.Point"),
+            ("method", "norm", "geo.Point"),
+            ("function", "free", ""),
+            ("constant", "GREETING", ""),
+        },
+    ),
+    (
+        "java",
+        JAVA,
+        {
+            ("class", "Account", "com.ex.app"),
+            ("field", "balance", "com.ex.app.Account"),
+            ("constant", "MAX_RETRIES", "com.ex.app.Account"),
+            ("constructor", "Account", "com.ex.app.Account"),
+            ("method", "getBalance", "com.ex.app.Account"),
+            ("interface", "Limits", "com.ex.app"),
+            ("constant", "CAP", "com.ex.app.Limits"),  # interface member
+        },
+    ),
+    (
+        "c_sharp",
+        CSHARP,
+        {
+            ("class", "Cart", "Ex.App"),
+            ("field", "count", "Ex.App.Cart"),
+            ("constant", "Tag", "Ex.App.Cart"),
+            ("property", "Count", "Ex.App.Cart"),
+            ("constructor", "Cart", "Ex.App.Cart"),
+            ("method", "Total", "Ex.App.Cart"),
+            ("class", "Exts", "Ex.App"),
+            ("extension", "Doubled", "Ex.App.Exts"),
+        },
+    ),
+    (
+        "kotlin",
+        KOTLIN,
+        {
+            ("class", "Wallet", ""),
+            ("field", "owner", "Wallet"),  # primary-ctor property
+            ("field", "cents", "Wallet"),
+            ("constructor", "Wallet", "Wallet"),
+            ("method", "add", "Wallet"),
+            ("extension", "asEuros", ""),
+            ("constant", "LIMIT", ""),
+            ("field", "greeting", ""),
+        },
+    ),
+]
+
+
+@pytest.mark.parametrize("language,source,expected", CASES, ids=[c[0] for c in CASES])
+def test_element_views_kinds_and_namespaces(language, source, expected):
+    got = {(r["kind"], r["name"], r["namespace"]) for r in element_views(source, language)}
+    assert got == expected
+
+
+def test_block_namespace_csharp():
+    src = """
+namespace Ex.Deep {
+    public class Cart {
+        private int count;
+        public Cart(int c) { count = c; }
+        public int Total() { return count; }
+    }
+}
+"""
+    got = {(r["kind"], r["name"], r["namespace"]) for r in element_views(src, "c_sharp")}
+    assert got == {
+        ("class", "Cart", "Ex.Deep"),
+        ("field", "count", "Ex.Deep.Cart"),
+        ("constructor", "Cart", "Ex.Deep.Cart"),
+        ("method", "Total", "Ex.Deep.Cart"),
+    }
+
+
+def test_decoys_in_strings_and_comments_invisible():
+    src = 'fn real() -> u64 { 1 }\n// fn fake() {}\nconst S: &str = "fn fake2() {} const F: u8 = 1;";\n'
+    got = {(r["kind"], r["name"]) for r in element_views(src, "rust")}
+    assert got == {("function", "real"), ("constant", "S")}
+
+
+def test_references_call_sites():
+    refs = references(RUST, "rust")
+    by_name = {}
+    for r in refs:
+        by_name.setdefault(r["name"], []).append(r["namespace"])
+    # sqrt called inside impl Point (namespace geo.Point); helper at top
+    assert by_name["sqrt"] == ["geo.Point"]
+    assert by_name["helper"] == [""]
+    # definition header names are never references
+    assert "new" not in by_name and "norm" not in by_name and "free" not in by_name
+
+
+def test_references_exclude_decoys():
+    src = 'fn a() -> u64 { go(1) }\n// call fake()\nconst S: &str = "decoy()";\n'
+    assert [r["name"] for r in references(src, "rust")] == ["go"]

@@ -231,3 +231,91 @@ def test_context_key_as_argument_is_stable_identity(app):
     second = app.call_fn(describe, key)
     assert first == second
     assert calls == [key.key]  # single execution
+
+
+# ---- provide-time memo-state validation --------------------------------
+# (reference context_keys.py:180-200: state_methods run per provided
+# value, persisted as context_memo_states; validated before reuse)
+
+
+class _CfgFile:
+    """Two-level FileLike config: identity = path; state = [mtime,
+    content]. mtime match ⇒ valid without content; mtime change ⇒
+    content decides."""
+
+    def __init__(self, mtime: int, content: int):
+        self.mtime = mtime
+        self.content = content
+
+    def __coco_memo_key__(self):
+        return "/etc/app.toml"
+
+    def __coco_memo_state__(self, prev):
+        from cocoindex_spark.fingerprint import MemoStateOutcome, is_non_existence
+
+        if is_non_existence(prev):
+            return MemoStateOutcome(state=[self.mtime, self.content])
+        if self.mtime == prev[0]:
+            return MemoStateOutcome(state=prev, memo_valid=True)
+        return MemoStateOutcome(
+            state=[self.mtime, self.content], memo_valid=self.content == prev[1]
+        )
+
+
+def test_provide_time_state_validation(app, spark, tmp_state):
+    key = _mk_key("cfg", True)
+
+    @fn(memo=True)
+    def apply_cfg(df):
+        cfg = use_context(key)
+        return df.select(
+            "__args_fp",
+            "__component_path",
+            "id",
+            (F.col("x") + F.lit(cfg.content)).cast("long").alias("y"),
+        )
+
+    t = app.target(f"{tmp_state}/t", ["id"], "id LONG, y LONG")
+    src = _src(spark)
+
+    app.provide(key, _CfgFile(mtime=1, content=5))
+    cold = app.sync_table(src, ["id"], apply_cfg, t)
+    assert cold.memo_misses == 3 and cold.inserts == 3
+
+    # same mtime: valid — full memo hit
+    app.provide(key, _CfgFile(mtime=1, content=5))
+    warm = app.sync_table(src, ["id"], apply_cfg, t)
+    assert warm.memo_misses == 0 and warm.updates == 0
+
+    # mtime refreshed, content identical: STILL a hit (cheap level) —
+    # the identity fp never changed and the state fn said memo_valid
+    app.provide(key, _CfgFile(mtime=2, content=5))
+    refresh = app.sync_table(src, ["id"], apply_cfg, t)
+    assert refresh.memo_misses == 0 and refresh.updates == 0
+
+    # the refreshed mtime was persisted: providing it again stays cheap
+    app.provide(key, _CfgFile(mtime=2, content=5))
+    again = app.sync_table(src, ["id"], apply_cfg, t)
+    assert again.memo_misses == 0
+
+    # content changed: every consumer misses even though the value's
+    # identity fp (the path) is unchanged — the state fn invalidated
+    app.provide(key, _CfgFile(mtime=3, content=9))
+    edit = app.sync_table(src, ["id"], apply_cfg, t)
+    assert edit.memo_misses == 3 and edit.updates == 3
+    assert {r.y for r in t.read(spark).collect()} == {19, 29, 39}
+
+
+def test_provide_time_state_no_statefns_unchanged(app, spark, tmp_state):
+    """Values without state methods take the plain fp path — rotation
+    semantics identical to before (regression guard on App.provide)."""
+    key = _mk_key("plain", True)
+    transform = _scaler(key)
+    t = app.target(f"{tmp_state}/t2", ["id"], "id LONG, y LONG")
+    src = _src(spark)
+    app.provide(key, 2)
+    assert app.sync_table(src, ["id"], transform, t).memo_misses == 3
+    app.provide(key, 2)
+    assert app.sync_table(src, ["id"], transform, t).memo_misses == 0
+    app.provide(key, 3)
+    assert app.sync_table(src, ["id"], transform, t).memo_misses == 3

@@ -277,3 +277,67 @@ def test_cm_cell_stream_matches_batch(spark, tmp_state):
     want = {(r["row"], r["cell"], r["n"]) for r in cm_cells(toks, "tok").collect()}
     assert got == want
     spark.catalog.dropTempView("cm_cells_out")
+
+
+def test_cdc_chunk_stream_matches_batch(spark, tmp_state):
+    """CDC chunk dedup on the live path: two one-file micro-batches;
+    the final per-chunk counts must equal the batch chunker over the
+    union (cross-micro-batch parity — chunk boundaries are per-row
+    content, state is the built-in COUNT agg)."""
+    from cocoindex_spark.operators.cdc import cdc_chunk_hashes
+    from cocoindex_spark.streaming.sketch_stream import cdc_chunk_stream
+
+    src = os.path.join(tmp_state, "cdc_in")
+    os.makedirs(src)
+    chk = os.path.join(tmp_state, "chk_cdc")
+
+    rows1 = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "hello"),  # single word: one whole-doc chunk
+    ]
+    rows2 = [
+        (3, "the quick brown fox jumps over the lazy dog again and again"),
+        (4, "hello"),
+        (5, "completely different words in this one document here"),
+    ]
+    schema = "doc_id LONG, text STRING"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        cdc_chunk_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cdc_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    got = {
+        (r["chunk_hash"], r["n_occurrences"])
+        for r in spark.sql("SELECT * FROM cdc_counts").collect()
+    }
+    both = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        (r["chunk_hash"], r["n"])
+        for r in cdc_chunk_hashes(both)
+        .groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # identical docs dedup across micro-batches: every chunk of doc 1/3
+    # (and the single-word doc 2/4) counts exactly twice
+    assert {n for _, n in got} == {1, 2}
+    spark.catalog.dropTempView("cdc_counts")
