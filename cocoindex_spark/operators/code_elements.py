@@ -40,7 +40,7 @@ from cocoindex_spark.operators.code_match import tokenize
 _CONTAINERS = {
     "class", "struct", "trait", "impl", "interface", "enum", "record",
     "object", "namespace", "module", "union", "protocol", "extension",
-    "mixin", "contract", "library",
+    "mixin", "contract", "library", "type",
 }
 
 # Kinds whose bodies get a direct-member field/constant scan.
@@ -49,6 +49,8 @@ _MEMBER_HOSTS = {
     "java": {"class", "interface", "enum", "record"},
     "c_sharp": {"class", "interface", "struct", "record"},
     "kotlin": {"class", "object", "interface"},
+    "cpp": {"class", "struct"},
+    "go": {"type"},
 }
 
 _LANG_KEYWORDS = {
@@ -86,13 +88,33 @@ _LANG_KEYWORDS = {
         "is", "in", "as", "do", "break", "continue", "companion",
         "data", "open", "override", "suspend", "const",
     },
+    "cpp": {
+        "class", "struct", "enum", "union", "namespace", "typedef",
+        "template", "if", "else", "for", "while", "switch", "case",
+        "return", "new", "delete", "using", "public", "private",
+        "protected", "static", "const", "constexpr", "virtual",
+        "override", "final", "void", "int", "long", "double", "float",
+        "bool", "char", "unsigned", "signed", "short", "auto", "this",
+        "throw", "try", "catch", "do", "break", "continue", "default",
+        "inline", "friend", "mutable", "volatile", "explicit",
+        "operator", "sizeof", "noexcept",
+    },
+    "go": {
+        "func", "type", "struct", "interface", "map", "chan", "if",
+        "else", "for", "switch", "case", "return", "package", "import",
+        "var", "const", "go", "defer", "select", "range", "break",
+        "continue", "default", "fallthrough", "goto", "make", "new",
+        "int", "int32", "int64", "uint", "uint32", "uint64", "float32",
+        "float64", "string", "bool", "byte", "rune", "error", "nil",
+    },
 }
 
 _MODS = {
     "pub", "public", "private", "protected", "internal", "static",
     "final", "readonly", "const", "abstract", "sealed", "override",
     "virtual", "volatile", "transient", "partial", "new", "unsafe",
-    "open", "data", "lateinit", "companion", "crate",
+    "open", "data", "lateinit", "companion", "crate", "constexpr",
+    "inline", "mutable", "extern",
 }
 
 
@@ -133,6 +155,12 @@ def _base_namespace(toks, language: str) -> tuple[str, list[tuple[str, int, int]
     recovered here)."""
     base = ""
     regions: list[tuple[str, int, int]] = []
+    if language == "go":
+        # `package name` — single identifier, no terminator
+        for i, t in enumerate(toks):
+            if t.text == "package" and i + 1 < len(toks) and _ident(toks[i + 1].text):
+                return toks[i + 1].text, regions
+        return base, regions
     kw = "package" if language == "java" else ("namespace" if language == "c_sharp" else None)
     if kw is None:
         return base, regions
@@ -163,10 +191,48 @@ def _base_namespace(toks, language: str) -> tuple[str, list[tuple[str, int, int]
     return base, regions
 
 
-def _member_rows(toks, lo: int, hi: int, language: str, host_kind: str) -> list[dict]:
+def _member_rows(
+    toks, lo: int, hi: int, language: str, host_kind: str, text: str = ""
+) -> list[dict]:
     """Direct-member Field/Constant/Property declarations inside a
     container body token range [lo, hi)."""
     out: list[dict] = []
+    if language == "go":
+        # struct body: one member per LINE at depth 0 — leading
+        # comma-separated identifiers before the type are field names
+        # (`X, Y float64`); interface method signatures (`Norm() f64`)
+        # and embedded qualified types (`sync.Mutex`) are skipped
+        depth = 0
+        for i in range(lo, hi):
+            t = toks[i]
+            if t.text in ("{", "(", "["):
+                depth += 1
+                continue
+            if t.text in ("}", ")", "]"):
+                depth = max(0, depth - 1)
+                continue
+            first = i == lo or "\n" in text[toks[i - 1].end : t.start]
+            if not (
+                depth == 0
+                and first
+                and _ident(t.text)
+                and t.text not in _LANG_KEYWORDS["go"]
+            ):
+                continue
+            nxt = toks[i + 1].text if i + 1 < hi else ""
+            if nxt in ("(", "."):
+                continue
+            names = [(t.text, t.start, t.end)]
+            j = i + 1
+            while j + 1 < hi and toks[j].text == "," and _ident(toks[j + 1].text):
+                names.append((toks[j + 1].text, toks[j + 1].start, toks[j + 1].end))
+                j += 2
+            if j < hi and (
+                _ident(toks[j].text) or toks[j].text in ("*", "[", "map", "chan")
+            ):
+                for nm, s, e in names:
+                    out.append({"kind": "field", "name": nm, "start": s, "end": e})
+        return out
     if language == "rust":
         # struct/union body: `[pub] name : Type` separated by `,`
         depth = 0
@@ -276,6 +342,8 @@ def _classify_stmt(toks, stmt: list[int], language: str, host_kind: str) -> dict
     mods = {toks[i].text for i in stmt if toks[i].text in _MODS}
     if language == "java":
         constant = ("static" in mods and "final" in mods) or host_kind == "interface"
+    elif language == "cpp":
+        constant = "const" in mods or "constexpr" in mods
     else:
         constant = "const" in mods or ("static" in mods and "readonly" in mods)
     return {"kind": "constant" if constant else "field",
@@ -393,8 +461,13 @@ def element_views(text: str, language: str) -> list[dict]:
         return ".".join(parts)
 
     def host_of(start: int, end: int):
+        """Smallest METHOD-OWNING container enclosing the span —
+        namespaces/modules scope names but do not own methods (a free
+        function inside `namespace x {}` stays a function)."""
         best = None
         for c in containers:
+            if c["kind"] in ("namespace", "module"):
+                continue
             if c["start"] < start and c["end"] >= end:
                 if best is None or c["start"] > best["start"]:
                     best = c
@@ -452,7 +525,7 @@ def element_views(text: str, language: str) -> list[dict]:
             lo, hi = _tok_range(toks, d["start"], d["end"])
             body = _body_range(toks, lo, hi)
             if body:
-                for m in _member_rows(toks, body[0], body[1], language, d["kind"]):
+                for m in _member_rows(toks, body[0], body[1], language, d["kind"], text):
                     m["namespace"] = ns_of(m["start"], m["end"])
                     rows.append(m)
             if language == "kotlin":
@@ -475,6 +548,50 @@ def element_views(text: str, language: str) -> list[dict]:
         for m in _kotlin_top_props(text, toks):
             m["namespace"] = ns_of(m["start"], m["end"])
             rows.append(m)
+    if language == "go":
+        # receiver methods: `func (p *T) Name(...)` — the brace walker
+        # skips keywordless receivers, so they surface here with the
+        # receiver TYPE as the owning namespace segment (the
+        # reference's method-owner rule; elements/lang/go.rs)
+        for i, t in enumerate(toks):
+            if t.text != "func" or i + 1 >= len(toks) or toks[i + 1].text != "(":
+                continue
+            j = i + 2
+            recv = None
+            while j < len(toks) and toks[j].text != ")":
+                if _ident(toks[j].text):
+                    recv = toks[j].text
+                j += 1
+            if recv is None or j + 1 >= len(toks) or not _ident(toks[j + 1].text):
+                continue
+            name_t = toks[j + 1]
+            parts = [p for p in (base, recv) if p]
+            rows.append({"kind": "method", "name": name_t.text,
+                         "namespace": ".".join(parts),
+                         "start": t.start, "end": name_t.end})
+        # top-level const/var declarations, single or block form
+        depth = 0
+        for i, t in enumerate(toks):
+            if t.text == "{":
+                depth += 1
+            elif t.text == "}":
+                depth = max(0, depth - 1)
+            elif depth == 0 and t.text in ("const", "var"):
+                kind = "constant" if t.text == "const" else "field"
+                if i + 1 < len(toks) and _ident(toks[i + 1].text):
+                    n = toks[i + 1]
+                    rows.append({"kind": kind, "name": n.text,
+                                 "namespace": base, "start": n.start, "end": n.end})
+                elif i + 1 < len(toks) and toks[i + 1].text == "(":
+                    j = i + 2
+                    while j < len(toks) and toks[j].text != ")":
+                        first = "\n" in text[toks[j - 1].end : toks[j].start] or toks[j - 1].text == "("
+                        if first and _ident(toks[j].text):
+                            rows.append({"kind": kind, "name": toks[j].text,
+                                         "namespace": base,
+                                         "start": toks[j].start, "end": toks[j].end})
+                        j += 1
+    if language == "kotlin":
         # secondary constructors: `constructor(...)` inside a class body
         for i, t in enumerate(toks):
             if t.text == "constructor" and i + 1 < len(toks) and toks[i + 1].text == "(":

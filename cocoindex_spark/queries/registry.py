@@ -38,6 +38,7 @@ _PRIORITY: list[str] = [
     # registered and locally value-verified; it rotates back next round.
     "q153_element_namespaces",  # NEW in r7
     "q154_callsite_indegree",  # NEW in r7
+    "q155_fts_synced_bm25",  # NEW in r7 (seek-shaped synced FTS)
     "q147_cdc_chunk_dedup",  # touched: shared CDC operator + 1-word fix
     "q137_quickstart_topk",  # touched: probe-pruned index scan
     "q144_session_search_indexed",  # touched: probe-pruned index scan

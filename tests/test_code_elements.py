@@ -173,3 +173,69 @@ def test_references_call_sites():
 def test_references_exclude_decoys():
     src = 'fn a() -> u64 { go(1) }\n// call fake()\nconst S: &str = "decoy()";\n'
     assert [r["name"] for r in references(src, "rust")] == ["go"]
+
+
+GO = """
+package geo
+
+type Point struct {
+    X, Y float64
+    name string
+}
+
+func (p *Point) Norm() float64 { return p.X }
+
+func Free(a int) int { return a + 1 }
+
+const MaxIter = 10
+const (
+    A = 1
+    B = 2
+)
+var debug = false
+// var fake = 1
+"""
+
+CPP = """
+namespace geo {
+class Point {
+public:
+    Point(double x) : x_(x) {}
+    double norm() const { return x_; }
+    static constexpr int kMax = 3;
+private:
+    double x_;
+};
+double free_fn(int a) { return a + 1.0; }
+}
+"""
+
+
+def test_go_elements():
+    got = {(r["kind"], r["name"], r["namespace"]) for r in element_views(GO, "go")}
+    assert got == {
+        ("type", "Point", "geo"),
+        ("field", "X", "geo.Point"),
+        ("field", "Y", "geo.Point"),
+        ("field", "name", "geo.Point"),
+        ("method", "Norm", "geo.Point"),  # receiver method → owner type
+        ("function", "Free", "geo"),
+        ("constant", "MaxIter", "geo"),
+        ("constant", "A", "geo"),
+        ("constant", "B", "geo"),
+        ("field", "debug", "geo"),
+    }
+
+
+def test_cpp_elements():
+    got = {(r["kind"], r["name"], r["namespace"]) for r in element_views(CPP, "cpp")}
+    assert got == {
+        ("namespace", "geo", ""),
+        ("class", "Point", "geo"),
+        ("constructor", "Point", "geo.Point"),
+        ("method", "norm", "geo.Point"),
+        ("constant", "kMax", "geo.Point"),
+        ("field", "x_", "geo.Point"),
+        # namespaces scope names but do not own methods
+        ("function", "free_fn", "geo"),
+    }

@@ -90,3 +90,51 @@ def test_fts_postings_incremental_and_queryable(app, spark, tmp_state):
     rows = scored.collect()
     # after the edit only doc 1 contains "spark"; it also has "cluster"
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_term_keyed_postings_probe_pruned(app, spark, tmp_state):
+    """q155's target shape: term-keyed postings rows with the __probe
+    layout on term — one edited doc re-syncs only its rows (blast
+    radius 1), and a term probe reads fewer files than the full scan."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_spark.queries.ftsq import sync_fts_index
+    from cocoindex_spark.state.store import _PROBE_COL
+    from test_probe_layout import files_read
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "spark broadcasts small tables"),
+            (3, "ducks swim in the pond"),
+        ],
+    )
+    target, cold = sync_fts_index(app, docs)
+    assert cold.memo_misses == 3
+
+    # edit one doc: exactly one recompute; its postings rows converge
+    docs2 = _docs(
+        spark,
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "flink broadcasts small tables"),
+            (3, "ducks swim in the pond"),
+        ],
+    )
+    _, edit = sync_fts_index(app, docs2)
+    assert edit.memo_misses == 1
+    terms = {
+        r["term"] for r in target.read(spark).filter(F.col("doc_id") == 2).collect()
+    }
+    assert "flink" in terms and "spark" not in terms
+
+    # seek-shaped probe: the 'spark' partition reads fewer files
+    pids = target.probe_partitions(spark, ["spark"])
+    probed = (
+        target.read_indexed(spark)
+        .filter(F.col(_PROBE_COL).isin(pids))
+        .filter(F.col("term") == "spark")
+    )
+    assert {r["doc_id"] for r in probed.collect()} == {1}
+    assert files_read(probed) < files_read(target.read(spark))

@@ -495,6 +495,22 @@ CHECKS = {
             r"ArrowEvalPython",
         ],
     ),
+    "q155_fts_synced_bm25": (
+        # seek-shaped FTS: the candidate scan of the SYNCED term-keyed
+        # postings table is partition-pruned to the query terms'
+        # __probe dirs; df is a broadcast side; the cut is TakeOrdered
+        [
+            r"PartitionFilters: \[.*__probe.*(IN|=)",
+            r"BroadcastHashJoin",
+            r"TakeOrderedAndProject",
+        ],
+        [
+            r"SortMergeJoin",
+            r"Window",
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+        ],
+    ),
     "q137_quickstart_topk": (
         # the flagship index probe: candidate scan of the SYNCED chunk
         # table is partition-pruned to the probe bucket's __probe dirs
@@ -675,6 +691,11 @@ def main() -> None:
 
     _q137_root = tempfile.mkdtemp(prefix="audit_quickstart_")
     queries["q137_quickstart_topk"] = lambda s, d: _q137_probe(s, d, _q137_root)
+
+    from cocoindex_spark.queries.ftsq import _q155_probe
+
+    _q155_root = tempfile.mkdtemp(prefix="audit_ftsidx_")
+    queries["q155_fts_synced_bm25"] = lambda s, d: _q155_probe(s, d, _q155_root)
 
     failures = 0
     for name, (must, must_not) in CHECKS.items():
