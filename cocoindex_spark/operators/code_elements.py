@@ -51,6 +51,8 @@ _MEMBER_HOSTS = {
     "kotlin": {"class", "object", "interface"},
     "cpp": {"class", "struct"},
     "go": {"type"},
+    "javascript": {"class"},
+    "typescript": {"class", "interface"},
 }
 
 _LANG_KEYWORDS = {
@@ -106,6 +108,25 @@ _LANG_KEYWORDS = {
         "continue", "default", "fallthrough", "goto", "make", "new",
         "int", "int32", "int64", "uint", "uint32", "uint64", "float32",
         "float64", "string", "bool", "byte", "rune", "error", "nil",
+    },
+    "javascript": {
+        "function", "class", "const", "let", "var", "if", "else",
+        "for", "while", "switch", "case", "return", "new", "import",
+        "export", "default", "from", "async", "await", "static",
+        "get", "set", "this", "super", "throw", "try", "catch",
+        "finally", "typeof", "instanceof", "in", "of", "do", "break",
+        "continue", "delete", "void", "yield", "extends", "constructor",
+    },
+    "typescript": {
+        "function", "class", "const", "let", "var", "if", "else",
+        "for", "while", "switch", "case", "return", "new", "import",
+        "export", "default", "from", "async", "await", "static",
+        "get", "set", "this", "super", "throw", "try", "catch",
+        "finally", "typeof", "instanceof", "in", "of", "do", "break",
+        "continue", "delete", "void", "yield", "extends", "constructor",
+        "interface", "type", "enum", "namespace", "readonly", "public",
+        "private", "protected", "declare", "abstract", "implements",
+        "string", "number", "boolean", "any", "unknown", "never",
     },
 }
 
@@ -192,11 +213,81 @@ def _base_namespace(toks, language: str) -> tuple[str, list[tuple[str, int, int]
 
 
 def _member_rows(
-    toks, lo: int, hi: int, language: str, host_kind: str, text: str = ""
+    toks,
+    lo: int,
+    hi: int,
+    language: str,
+    host_kind: str,
+    text: str = "",
+    host_name: str = "",
 ) -> list[dict]:
     """Direct-member Field/Constant/Property declarations inside a
     container body token range [lo, hi)."""
     out: list[dict] = []
+    if language in ("javascript", "typescript"):
+        # class/interface body: `name(args) {` ⇒ method (constructor
+        # for the literal `constructor`); `name = …` / `name: T;` ⇒
+        # field. Method bodies are skipped wholesale so locals never
+        # surface as members.
+        kw = _LANG_KEYWORDS[language]
+        i = lo
+        while i < hi:
+            t = toks[i]
+            if t.text == "{":  # stray block (e.g. initializer)
+                bal = 1
+                i += 1
+                while i < hi and bal:
+                    if toks[i].text == "{":
+                        bal += 1
+                    elif toks[i].text == "}":
+                        bal -= 1
+                    i += 1
+                continue
+            is_ctor = t.text == "constructor"
+            if (_ident(t.text) and t.text not in kw) or is_ctor:
+                nxt = toks[i + 1].text if i + 1 < hi else ""
+                if nxt == "(":
+                    # header: balanced args, optional TS return type,
+                    # then a body ⇒ method
+                    j = i + 2
+                    bal = 1
+                    while j < hi and bal:
+                        if toks[j].text == "(":
+                            bal += 1
+                        elif toks[j].text == ")":
+                            bal -= 1
+                        j += 1
+                    while j < hi and toks[j].text not in ("{", ";", "}"):
+                        j += 1
+                    if j < hi and toks[j].text == "{":
+                        out.append({
+                            "kind": "constructor" if is_ctor else "method",
+                            "name": host_name if is_ctor else t.text,
+                            "start": t.start, "end": t.end,
+                        })
+                        bal = 1
+                        j += 1
+                        while j < hi and bal:  # skip the body
+                            if toks[j].text == "{":
+                                bal += 1
+                            elif toks[j].text == "}":
+                                bal -= 1
+                            j += 1
+                    i = j
+                    continue
+                if nxt in ("=", ":", ";") or (
+                    i + 1 < hi and "\n" in text[t.end : toks[i + 1].start]
+                ):
+                    out.append({"kind": "field", "name": t.text,
+                                "start": t.start, "end": t.end})
+                    # skip to end of statement
+                    while i < hi and toks[i].text not in (";", "}"):
+                        if toks[i].text == "{":
+                            break
+                        i += 1
+                    continue
+            i += 1
+        return out
     if language == "go":
         # struct body: one member per LINE at depth 0 — leading
         # comma-separated identifiers before the type are field names
@@ -525,7 +616,9 @@ def element_views(text: str, language: str) -> list[dict]:
             lo, hi = _tok_range(toks, d["start"], d["end"])
             body = _body_range(toks, lo, hi)
             if body:
-                for m in _member_rows(toks, body[0], body[1], language, d["kind"], text):
+                for m in _member_rows(
+                    toks, body[0], body[1], language, d["kind"], text, d["name"]
+                ):
                     m["namespace"] = ns_of(m["start"], m["end"])
                     rows.append(m)
             if language == "kotlin":
@@ -577,7 +670,7 @@ def element_views(text: str, language: str) -> list[dict]:
             elif t.text == "}":
                 depth = max(0, depth - 1)
             elif depth == 0 and t.text in ("const", "var"):
-                kind = "constant" if t.text == "const" else "field"
+                kind = "constant" if t.text == "const" else "variable"
                 if i + 1 < len(toks) and _ident(toks[i + 1].text):
                     n = toks[i + 1]
                     rows.append({"kind": kind, "name": n.text,
@@ -600,6 +693,28 @@ def element_views(text: str, language: str) -> list[dict]:
                     rows.append({"kind": "constructor", "name": host["name"],
                                  "namespace": ns_of(t.start, t.end),
                                  "start": t.start, "end": t.end})
+    if language in ("javascript", "typescript"):
+        # top-level `const NAME` ⇒ constant, `let`/`var NAME` ⇒
+        # variable (types.rs Variable); loop headers (`for (let i`)
+        # and destructuring are skipped
+        depth = 0
+        for i, t in enumerate(toks):
+            if t.text in ("{", "("):
+                depth += 1
+            elif t.text in ("}", ")"):
+                depth = max(0, depth - 1)
+            elif depth == 0 and t.text in ("const", "let", "var"):
+                prev = toks[i - 1] if i else None
+                first = prev is None or "\n" in text[prev.end : t.start]
+                if not (first or (prev is not None and prev.text in (";", "}", "export"))):
+                    continue
+                if i + 1 < len(toks) and _ident(toks[i + 1].text):
+                    n = toks[i + 1]
+                    rows.append({
+                        "kind": "constant" if t.text == "const" else "variable",
+                        "name": n.text, "namespace": ns_of(n.start, n.end),
+                        "start": n.start, "end": n.end,
+                    })
     rows.sort(key=lambda r: (r["start"], r["kind"], r["name"]))
     return rows
 

@@ -223,7 +223,7 @@ def test_go_elements():
         ("constant", "MaxIter", "geo"),
         ("constant", "A", "geo"),
         ("constant", "B", "geo"),
-        ("field", "debug", "geo"),
+        ("variable", "debug", "geo"),  # package-level var
     }
 
 
@@ -238,4 +238,62 @@ def test_cpp_elements():
         ("field", "x_", "geo.Point"),
         # namespaces scope names but do not own methods
         ("function", "free_fn", "geo"),
+    }
+
+
+JS = """
+const MAX_ITEMS = 10;
+let counter = 0;
+class Cart {
+    items = [];
+    static TAG = "cart";
+    constructor(owner) { this.owner = owner; }
+    total() { return this.items.length; }
+    get size() { return this.items.length; }
+}
+function free(a) { return a + 1; }
+// const fake = 1;
+const s = "let decoy = 2;";
+"""
+
+TS = """
+export const LIMIT = 5;
+interface Point { x: number; y: number; }
+class Store {
+    private count: number = 0;
+    readonly name: string;
+    constructor(n: string) { this.name = n; }
+    increment(by: number): void { this.count += by; }
+}
+"""
+
+
+def test_javascript_elements():
+    got = {(r["kind"], r["name"], r["namespace"]) for r in element_views(JS, "javascript")}
+    assert got == {
+        ("constant", "MAX_ITEMS", ""),
+        ("variable", "counter", ""),
+        ("class", "Cart", ""),
+        ("field", "items", "Cart"),
+        ("field", "TAG", "Cart"),
+        ("constructor", "Cart", "Cart"),
+        ("method", "total", "Cart"),
+        ("method", "size", "Cart"),  # accessor
+        ("function", "free", ""),
+        ("constant", "s", ""),
+    }
+
+
+def test_typescript_elements():
+    got = {(r["kind"], r["name"], r["namespace"]) for r in element_views(TS, "typescript")}
+    assert got == {
+        ("constant", "LIMIT", ""),
+        ("interface", "Point", ""),
+        ("field", "x", "Point"),
+        ("field", "y", "Point"),
+        ("class", "Store", ""),
+        ("field", "count", "Store"),
+        ("field", "name", "Store"),
+        ("constructor", "Store", "Store"),
+        ("method", "increment", "Store"),
     }
