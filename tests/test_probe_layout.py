@@ -123,3 +123,28 @@ def test_table_target_declare_index_probe(tmp_path, spark):
     probed = idx.filter(F.col(_PROBE_COL) == t.probe_expr(F.lit(2)))
     assert probed.filter(F.col("bucket") == 2).count() == 20
     assert files_read(probed) < files_read(t.read(spark))
+
+
+def test_probe_layout_survives_grow_and_compact(tbl, spark):
+    """maybe_grow (bucket-count rehash) and maybe_compact (version
+    consolidation) rewrite the whole table — the probe layout must
+    persist through both (it lives in the pointer) and keep pruning."""
+    tbl.set_probe_layout(spark, ["bucket"], n=8)
+    tbl.merge_upsert(_rows(spark, range(100)))
+    # force a rehash: tiny threshold makes every bucket oversized
+    assert tbl.maybe_grow(spark, max_bucket_bytes=1) is True
+    assert tbl.read(spark).count() == 100
+    # several small merges fragment versions; compaction consolidates
+    for i in range(3):
+        tbl.merge_upsert(
+            spark.createDataFrame(
+                [(f"d{i}", i, f"edit{i}")], "doc_id STRING, bucket LONG, payload STRING"
+            )
+        )
+    assert tbl.maybe_compact(spark, max_versions=1) is True
+    assert tbl.read(spark).count() == 100
+    probed = tbl.read(spark, keep_probe=True).filter(
+        F.col(_PROBE_COL) == tbl.probe_expr(F.lit(3))
+    )
+    assert probed.filter(F.col("bucket") == 3).count() == 10
+    assert files_read(probed) < files_read(tbl.read(spark))
