@@ -177,6 +177,7 @@ HEADLINE = [
     # plain extraction pipelines, so they time like any other query)
     "q153_element_namespaces",
     "q154_callsite_indegree",
+    "q156_qualified_usage_search",
 ]
 
 

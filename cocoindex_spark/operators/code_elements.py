@@ -723,7 +723,11 @@ def references(text: str, language: str) -> list[dict]:
     """Usage References (types.rs:142 Reference): call-site identifier
     references — an identifier token directly followed by `(` that is
     neither a keyword nor the name position of a definition header.
-    Comment/string-exact (shared lexer). Rows: {name, namespace,
+    Comment/string-exact (shared lexer). ``qualifier`` is the dotted
+    path of the `::`/`.` chain before the name (``srv::api(`` →
+    ``srv``; ``obj.m(`` → ``obj``) — empty for bare calls — which lets
+    a consumer resolve qualified cross-module usages against
+    declaration namespaces. Rows: {name, qualifier, namespace,
     start}."""
     toks = tokenize(text, language)
     kw = _LANG_KEYWORDS.get(language, set())
@@ -762,7 +766,21 @@ def references(text: str, language: str) -> list[dict]:
             continue
         if t.start in def_name_offsets:
             continue
-        out.append({"name": t.text, "namespace": ns_of(t.start), "start": t.start})
+        qual_parts: list[str] = []
+        j = i - 1
+        while (
+            j >= 1
+            and toks[j].text in ("::", ".")
+            and _ident(toks[j - 1].text)
+        ):
+            qual_parts.insert(0, toks[j - 1].text)
+            j -= 2
+        out.append({
+            "name": t.text,
+            "qualifier": ".".join(qual_parts),
+            "namespace": ns_of(t.start),
+            "start": t.start,
+        })
     return out
 
 
@@ -794,11 +812,14 @@ def elements_df(df, text_col: str, language: str):
 
 
 def references_df(df, text_col: str, language: str):
-    """One row per usage reference — columns (ref_name, ref_namespace,
-    ref_start)."""
+    """One row per usage reference — columns (ref_name, ref_qualifier,
+    ref_namespace, ref_start)."""
     from pyspark.sql import functions as F
 
-    schema = "array<struct<name: string, namespace: string, start: long>>"
+    schema = (
+        "array<struct<name: string, qualifier: string, namespace: string, "
+        "start: long>>"
+    )
 
     def run(texts: pd.Series) -> pd.Series:
         return pd.Series(
@@ -809,6 +830,7 @@ def references_df(df, text_col: str, language: str):
     return df.withColumn("__r", F.explode(udf(F.col(text_col)))).select(
         *df.columns,
         F.col("__r.name").alias("ref_name"),
+        F.col("__r.qualifier").alias("ref_qualifier"),
         F.col("__r.namespace").alias("ref_namespace"),
         F.col("__r.start").alias("ref_start"),
     )

@@ -1747,3 +1747,88 @@ def q154_callsite_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_calling_docs"),
         )
     )
+
+
+# --- q156: cross-document qualified usage search — "find usages of
+#     srv::api across the codebase" (reference types.rs:119-142:
+#     Declaration.namespace + Reference; the namespace-RESOLVED join
+#     q154's per-doc indegree builds toward). References carry the
+#     `::`/`.` qualifier chain of the call site; resolution is an
+#     equi-join of (qualifier, name) against (declaration namespace,
+#     name) across ALL documents — the real "who calls this module's
+#     function" question. Decoy calls in comments/strings never count
+#     (shared lexer). Scale shape: two Arrow extractions + two aggs +
+#     one equi-join on the bounded (namespace, fn) key space.
+@register(
+    "q156_qualified_usage_search",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+defs AS (
+  SELECT 'srv' || CAST(doc_id % 3 AS VARCHAR) AS ns,
+         'api' || CAST(doc_id % 4 AS VARCHAR) AS fn, doc_id
+  FROM d WHERE doc_id % 7 = 0
+),
+refs AS (
+  SELECT 'srv' || CAST(doc_id % 3 AS VARCHAR) AS ns,
+         'api' || CAST(doc_id % 4 AS VARCHAR) AS fn, doc_id
+  FROM d
+),
+ad AS (SELECT ns, fn, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_defining_docs
+       FROM defs GROUP BY ns, fn),
+ar AS (SELECT ns, fn, CAST(COUNT(*) AS BIGINT) AS total_calls,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_calling_docs
+       FROM refs GROUP BY ns, fn)
+SELECT ad.ns AS namespace, ad.fn AS fn_name, ad.n_defining_docs,
+       CAST(COALESCE(ar.total_calls, 0) AS BIGINT) AS total_calls,
+       CAST(COALESCE(ar.n_calling_docs, 0) AS BIGINT) AS n_calling_docs
+FROM ad LEFT JOIN ar ON ad.ns = ar.ns AND ad.fn = ar.fn
+""",
+)
+def q156_qualified_usage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_elements import elements_df, references_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    b = (F.col("doc_id") % 3).cast("string")
+    c = (F.col("doc_id") % 4).cast("string")
+    m5 = (F.col("doc_id") % 5).cast("string")
+    lib = F.concat(
+        F.lit("mod srv"), b, F.lit(" { pub fn api"), c,
+        F.lit("() -> u64 { 1 } }\n"),
+    )
+    caller = F.concat(
+        F.lit("fn main"), m5, F.lit("() -> u64 { srv"), b,
+        F.lit("::api"), c, F.lit("() + local() }\n"),
+        F.lit('// srv9::api9()\nstatic S: &str = "srv8::api8()";\n'),
+    )
+    docs = d.withColumn(
+        "code",
+        F.concat(F.when(F.col("doc_id") % 7 == 0, lib).otherwise(F.lit("")), caller),
+    )
+    defs = (
+        elements_df(docs, "code", "rust")
+        .filter((F.col("el_kind") == "function") & (F.col("el_namespace") != ""))
+        .groupBy(
+            F.col("el_namespace").alias("namespace"),
+            F.col("el_name").alias("fn_name"),
+        )
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_defining_docs"))
+    )
+    refs = (
+        references_df(docs, "code", "rust")
+        .filter(F.col("ref_qualifier") != "")
+        .groupBy(
+            F.col("ref_qualifier").alias("namespace"),
+            F.col("ref_name").alias("fn_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_calls"),
+            F.countDistinct("doc_id").cast("long").alias("n_calling_docs"),
+        )
+    )
+    return defs.join(refs, ["namespace", "fn_name"], "left").select(
+        "namespace",
+        "fn_name",
+        "n_defining_docs",
+        F.coalesce(F.col("total_calls"), F.lit(0)).cast("long").alias("total_calls"),
+        F.coalesce(F.col("n_calling_docs"), F.lit(0)).cast("long").alias("n_calling_docs"),
+    )

@@ -39,6 +39,7 @@ _PRIORITY: list[str] = [
     "q153_element_namespaces",  # NEW in r7
     "q154_callsite_indegree",  # NEW in r7
     "q155_fts_synced_bm25",  # NEW in r7 (seek-shaped synced FTS)
+    "q156_qualified_usage_search",  # NEW in r7 (cross-doc refs)
     "q147_cdc_chunk_dedup",  # touched: shared CDC operator + 1-word fix
     "q137_quickstart_topk",  # touched: probe-pruned index scan
     "q144_session_search_indexed",  # touched: probe-pruned index scan

@@ -297,3 +297,12 @@ def test_typescript_elements():
         ("constructor", "Store", "Store"),
         ("method", "increment", "Store"),
     }
+
+
+def test_references_qualifier_chain():
+    src = (
+        "mod srv { pub fn api() -> u64 { 1 } }\n"
+        "fn use_it() -> u64 { srv::api() + helper() + deep::mod2::f(1) }\n"
+    )
+    refs = {r["name"]: r["qualifier"] for r in references(src, "rust")}
+    assert refs == {"api": "srv", "helper": "", "f": "deep.mod2"}
