@@ -498,7 +498,9 @@ def supports_definitions(language: str) -> bool:
     )
 
 
-def brace_definitions(text: str, language: str) -> list[dict] | None:
+def brace_definitions(
+    text: str, language: str, toks: list | None = None
+) -> list[dict] | None:
     """Named definition regions [{kind, name, start, end, depth}] from
     the comment/string-stripping token stream, or None when the
     language has no lexer-exact kind table (caller falls back to the
@@ -509,6 +511,10 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
       at ``pub``), else the keyword itself;
     - end: the matching ``}`` of the region's block, or the ``;`` of a
       bodyless declaration (``struct Foo;``, trait method signatures).
+
+    ``toks``: optionally pass the text's already-lexed token stream
+    (callers that tokenize anyway — element views — avoid a second
+    full lex; only consulted on the brace-family kind-table path).
     """
     if language in _KB_DEF_KINDS:
         return keyword_block_definitions(text, language)
@@ -535,7 +541,8 @@ def brace_definitions(text: str, language: str) -> list[dict] | None:
     kinds = _DEF_KINDS.get(language)
     if kinds is None:
         return None
-    toks = tokenize(text, language)
+    if toks is None:
+        toks = tokenize(text, language)
 
     line_starts = [0]
     for i, ch in enumerate(text):

@@ -467,15 +467,22 @@ def _rust_consts(toks) -> list[dict]:
     return out
 
 
-def _deep_defs(text: str, language: str, depth: int = 0) -> list[dict]:
+def _deep_defs(
+    text: str, language: str, depth: int = 0, toks: list | None = None
+) -> list[dict]:
     """brace_definitions without its depth cap: containers' bodies are
     re-scanned as standalone slices (the lexer is self-contained inside
     a balanced body), so methods of a class inside a namespace/module
-    still surface. Two extra levels cover the reference's view shapes."""
-    defs = brace_definitions(text, language) or []
+    still surface. Two extra levels cover the reference's view shapes.
+
+    ``toks``: the full text's token stream, if the caller already has
+    it — saves re-lexing at the top level (container-body slices still
+    lex their own bounded sub-texts)."""
+    if toks is None:
+        toks = tokenize(text, language)
+    defs = brace_definitions(text, language, toks=toks) or []
     if depth >= 2:
         return defs
-    toks = tokenize(text, language)
     out = list(defs)
     seen = {(d["start"], d["kind"], d["name"]) for d in defs}
     for d in defs:
@@ -524,7 +531,17 @@ def _kotlin_top_props(text: str, toks) -> list[dict]:
     return out
 
 
-def element_views(text: str, language: str) -> list[dict]:
+def _prep(text: str, language: str) -> tuple:
+    """ONE lex + ONE deep-definition walk + namespace scan, shared by
+    element and reference extraction (the reference builds both views
+    from a single parse tree; elements/mod.rs extract() walks once)."""
+    toks = tokenize(text, language)
+    defs = _deep_defs(text, language, toks=toks)
+    base, ns_regions = _base_namespace(toks, language)
+    return toks, defs, base, ns_regions
+
+
+def element_views(text: str, language: str, _prepped: tuple | None = None) -> list[dict]:
     """Full element view of a source: one row per declaration —
     {kind, name, namespace, start, end}. Kinds: the brace_definitions
     region kinds (class/struct/trait/impl/…) plus function
@@ -532,9 +549,9 @@ def element_views(text: str, language: str) -> list[dict]:
     direct-member field / constant / property rows. Namespace = file
     base (package/namespace) + enclosing container names (impl blocks
     attribute to the implemented type)."""
-    defs = _deep_defs(text, language)
-    toks = tokenize(text, language)
-    base, ns_regions = _base_namespace(toks, language)
+    toks, defs, base, ns_regions = _prepped if _prepped is not None else _prep(
+        text, language
+    )
 
     containers = [
         d for d in defs if d["kind"] in _CONTAINERS
@@ -719,7 +736,7 @@ def element_views(text: str, language: str) -> list[dict]:
     return rows
 
 
-def references(text: str, language: str) -> list[dict]:
+def references(text: str, language: str, _prepped: tuple | None = None) -> list[dict]:
     """Usage References (types.rs:142 Reference): call-site identifier
     references — an identifier token directly followed by `(` that is
     neither a keyword nor the name position of a definition header.
@@ -729,10 +746,10 @@ def references(text: str, language: str) -> list[dict]:
     a consumer resolve qualified cross-module usages against
     declaration namespaces. Rows: {name, qualifier, namespace,
     start}."""
-    toks = tokenize(text, language)
+    toks, defs, base, ns_regions = _prepped if _prepped is not None else _prep(
+        text, language
+    )
     kw = _LANG_KEYWORDS.get(language, set())
-    defs = _deep_defs(text, language)
-    base, ns_regions = _base_namespace(toks, language)
     containers = [
         d for d in defs if d["kind"] in _CONTAINERS
     ] + [{"kind": "namespace", "name": n, "start": s, "end": e}
@@ -833,4 +850,61 @@ def references_df(df, text_col: str, language: str):
         F.col("__r.qualifier").alias("ref_qualifier"),
         F.col("__r.namespace").alias("ref_namespace"),
         F.col("__r.start").alias("ref_start"),
+    )
+
+
+def code_views(text: str, language: str) -> list[dict]:
+    """Element declarations AND usage references from ONE extraction
+    pass — the document is lexed and definition-walked once, both row
+    families derive from the shared state (the reference extracts both
+    from a single parse tree walk; elements/mod.rs). Union rows:
+    {row_kind: element|reference, kind, name, namespace, qualifier,
+    start, end} — reference rows carry kind="" / end=start; element
+    rows carry qualifier=""."""
+    prepped = _prep(text, language)
+    rows = [
+        {"row_kind": "element", "kind": r["kind"], "name": r["name"],
+         "namespace": r["namespace"], "qualifier": "",
+         "start": r["start"], "end": r["end"]}
+        for r in element_views(text, language, _prepped=prepped)
+    ]
+    rows.extend(
+        {"row_kind": "reference", "kind": "", "name": r["name"],
+         "namespace": r["namespace"], "qualifier": r["qualifier"],
+         "start": r["start"], "end": r["start"]}
+        for r in references(text, language, _prepped=prepped)
+    )
+    return rows
+
+
+def code_views_df(df, text_col: str, language: str):
+    """One Arrow pass emitting BOTH element and reference rows —
+    replaces the elements_df + references_df pair when a consumer
+    needs both (the def⋈ref joins): the corpus is lexed once, not
+    twice. Columns (cv_row_kind, cv_kind, cv_name, cv_namespace,
+    cv_qualifier, cv_start, cv_end); split downstream with a filter
+    on cv_row_kind (and localCheckpoint the projected frame so the
+    two branches don't re-run the extraction)."""
+    from pyspark.sql import functions as F
+
+    schema = (
+        "array<struct<row_kind: string, kind: string, name: string, "
+        "namespace: string, qualifier: string, start: long, end: long>>"
+    )
+
+    def run(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [[] if t is None else code_views(t, language) for t in texts]
+        )
+
+    udf = F.pandas_udf(run, schema)
+    return df.withColumn("__v", F.explode(udf(F.col(text_col)))).select(
+        *df.columns,
+        F.col("__v.row_kind").alias("cv_row_kind"),
+        F.col("__v.kind").alias("cv_kind"),
+        F.col("__v.name").alias("cv_name"),
+        F.col("__v.namespace").alias("cv_namespace"),
+        F.col("__v.qualifier").alias("cv_qualifier"),
+        F.col("__v.start").alias("cv_start"),
+        F.col("__v.end").alias("cv_end"),
     )

@@ -1717,7 +1717,7 @@ GROUP BY defs.name
 """,
 )
 def q154_callsite_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cocoindex_spark.operators.code_elements import elements_df, references_df
+    from cocoindex_spark.operators.code_elements import code_views_df
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     a = (F.col("doc_id") % 5).cast("string")
@@ -1729,12 +1729,21 @@ def q154_callsite_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('const S: &str = "util8()";\n'),
     )
     src = d.withColumn("code", code)
-    defs = elements_df(src, "code", "rust").filter(
-        F.col("el_kind").isin("function", "method")
-    ).select("doc_id", F.col("el_name").alias("fn_name"))
+    # ONE Arrow extraction pass over the corpus (elements + references
+    # in the same lex); localCheckpoint the tiny projected metadata
+    # frame so the def/ref branches below don't re-run it.
+    views = (
+        code_views_df(src, "code", "rust")
+        .select("doc_id", "cv_row_kind", "cv_kind", "cv_name")
+        .localCheckpoint(eager=True)
+    )
+    defs = views.filter(
+        (F.col("cv_row_kind") == "element")
+        & F.col("cv_kind").isin("function", "method")
+    ).select("doc_id", F.col("cv_name").alias("fn_name"))
     refs = (
-        references_df(src, "code", "rust")
-        .groupBy("doc_id", F.col("ref_name").alias("fn_name"))
+        views.filter(F.col("cv_row_kind") == "reference")
+        .groupBy("doc_id", F.col("cv_name").alias("fn_name"))
         .agg(F.count(F.lit(1)).alias("calls"))
     )
     return (
@@ -1757,8 +1766,10 @@ def q154_callsite_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     equi-join of (qualifier, name) against (declaration namespace,
 #     name) across ALL documents — the real "who calls this module's
 #     function" question. Decoy calls in comments/strings never count
-#     (shared lexer). Scale shape: two Arrow extractions + two aggs +
-#     one equi-join on the bounded (namespace, fn) key space.
+#     (shared lexer). Scale shape: ONE Arrow extraction (elements and
+#     references share the lex; code_views_df), two aggs over the
+#     checkpointed metadata frame, one equi-join on the bounded
+#     (namespace, fn) key space.
 @register(
     "q156_qualified_usage_search",
     oracle="""
@@ -1785,7 +1796,7 @@ FROM ad LEFT JOIN ar ON ad.ns = ar.ns AND ad.fn = ar.fn
 """,
 )
 def q156_qualified_usage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cocoindex_spark.operators.code_elements import elements_df, references_df
+    from cocoindex_spark.operators.code_elements import code_views_df
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     b = (F.col("doc_id") % 3).cast("string")
@@ -1804,21 +1815,36 @@ def q156_qualified_usage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code",
         F.concat(F.when(F.col("doc_id") % 7 == 0, lib).otherwise(F.lit("")), caller),
     )
+    # ONE Arrow extraction pass (elements + references share the lex);
+    # the projected metadata frame is checkpointed so both aggregation
+    # branches read it instead of re-lexing the corpus.
+    views = (
+        code_views_df(docs, "code", "rust")
+        .select(
+            "doc_id", "cv_row_kind", "cv_kind", "cv_name",
+            "cv_namespace", "cv_qualifier",
+        )
+        .localCheckpoint(eager=True)
+    )
     defs = (
-        elements_df(docs, "code", "rust")
-        .filter((F.col("el_kind") == "function") & (F.col("el_namespace") != ""))
+        views.filter(
+            (F.col("cv_row_kind") == "element")
+            & (F.col("cv_kind") == "function")
+            & (F.col("cv_namespace") != "")
+        )
         .groupBy(
-            F.col("el_namespace").alias("namespace"),
-            F.col("el_name").alias("fn_name"),
+            F.col("cv_namespace").alias("namespace"),
+            F.col("cv_name").alias("fn_name"),
         )
         .agg(F.countDistinct("doc_id").cast("long").alias("n_defining_docs"))
     )
     refs = (
-        references_df(docs, "code", "rust")
-        .filter(F.col("ref_qualifier") != "")
+        views.filter(
+            (F.col("cv_row_kind") == "reference") & (F.col("cv_qualifier") != "")
+        )
         .groupBy(
-            F.col("ref_qualifier").alias("namespace"),
-            F.col("ref_name").alias("fn_name"),
+            F.col("cv_qualifier").alias("namespace"),
+            F.col("cv_name").alias("fn_name"),
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("total_calls"),

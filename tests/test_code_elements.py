@@ -306,3 +306,85 @@ def test_references_qualifier_chain():
     )
     refs = {r["name"]: r["qualifier"] for r in references(src, "rust")}
     assert refs == {"api": "srv", "helper": "", "f": "deep.mod2"}
+
+
+# --- single-pass extraction (code_views): elements + references from
+#     ONE lex + ONE definition walk (reference elements/mod.rs extracts
+#     both views in a single parse-tree walk)
+
+
+SINGLE_PASS_SAMPLES = [
+    ("rust", (
+        "mod srv0 { pub fn api1() -> u64 { 1 } }\n"
+        "fn main2() -> u64 { srv0::api1() + local() }\n"
+        '// srv9::api9()\nstatic S: &str = "srv8::api8()";\n'
+    )),
+    ("java", (
+        "package com.ex;\npublic class K {\n"
+        "    private long v;\n    public static final int MAX = 1;\n"
+        "    public K(long v) { helper(v); }\n"
+        "    public long get() { return util.calc(v); }\n}\n"
+    )),
+    ("go", (
+        "package main\n\ntype P struct { X, Y float64 }\n"
+        "func (p *P) Norm() float64 { return math.Sqrt(dot(p, p)) }\n"
+        "func dot(a, b *P) float64 { return a.X*b.X }\n"
+    )),
+    ("typescript", (
+        "const LIMIT = 10\nclass Store {\n  count = 0\n"
+        "  increment(): void { this.count += util.step() }\n}\n"
+    )),
+]
+
+
+@pytest.mark.parametrize("language,src", SINGLE_PASS_SAMPLES)
+def test_code_views_parity(language, src):
+    """code_views == element_views ∪ references, row for row."""
+    from cocoindex_spark.operators.code_elements import code_views
+
+    cv = code_views(src, language)
+    els = [r for r in cv if r["row_kind"] == "element"]
+    refs = [r for r in cv if r["row_kind"] == "reference"]
+    want_els = element_views(src, language)
+    want_refs = references(src, language)
+    assert [
+        {k: r[k] for k in ("kind", "name", "namespace", "start", "end")}
+        for r in els
+    ] == want_els
+    assert [
+        {k: r[k] for k in ("name", "qualifier", "namespace", "start")}
+        for r in refs
+    ] == want_refs
+    # reference rows carry the union-schema placeholders
+    assert all(r["qualifier"] == "" for r in els)
+    assert all(r["kind"] == "" and r["end"] == r["start"] for r in refs)
+
+
+def test_code_views_single_lex(monkeypatch):
+    """THE perf contract: code_views lexes the full document exactly
+    once (element_views + references separately lex it twice). The
+    probe counts tokenize calls that receive the full text, across
+    both modules that can lex (code_elements._prep and
+    code_boundaries.brace_definitions)."""
+    from cocoindex_spark.operators import code_boundaries as cb
+    from cocoindex_spark.operators import code_elements as ce
+    from cocoindex_spark.operators.code_match import tokenize as real_tokenize
+
+    src = SINGLE_PASS_SAMPLES[0][1]
+    calls = {"full": 0}
+
+    def counting(text, language="text"):
+        if text == src:
+            calls["full"] += 1
+        return real_tokenize(text, language)
+
+    monkeypatch.setattr(ce, "tokenize", counting)
+    monkeypatch.setattr(cb, "tokenize", counting)
+
+    ce.code_views(src, "rust")
+    assert calls["full"] == 1, f"single pass must lex once, got {calls['full']}"
+
+    calls["full"] = 0
+    ce.element_views(src, "rust")
+    ce.references(src, "rust")
+    assert calls["full"] == 2  # the two-pass shape code_views replaces
