@@ -1082,11 +1082,16 @@ class App:
         # marker that can never be confused with user data — a user
         # value that IS a dict with these keys gets wrapped like any
         # other value). The shape check below only matters for rows
-        # written by pre-envelope versions, which stored bare values.
+        # written by pre-envelope versions, which stored bare values:
+        # it requires the EXACT envelope key set (marker + v + only the
+        # optional ctx/states), so a legacy bare user dict that happens
+        # to carry the marker alongside other keys is returned intact
+        # rather than unwrapped (r7 advisor finding).
         envelope = (
             isinstance(stored, dict)
             and stored.get("__coco_memo__") == 1
             and "v" in stored
+            and set(stored) <= {"__coco_memo__", "v", "ctx", "states"}
         )
 
         # memo STATE validation (memoization_keys.mdx "Memo state

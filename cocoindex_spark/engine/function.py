@@ -41,6 +41,7 @@ import ast
 import functools
 import inspect
 import textwrap
+import threading
 from collections.abc import Callable
 from typing import Any
 
@@ -77,7 +78,11 @@ def _referenced_names(f: Callable) -> tuple[set[str], set[tuple[str, str]]]:
     return plain, dotted
 
 
-def _auto_dep_fps(f: Callable, _seen: set | None = None) -> tuple[str, ...]:
+def _auto_dep_fps(
+    f: Callable,
+    _seen: set | None = None,
+    _exclude: set | None = None,
+) -> tuple[str, ...]:
     """Transitive call-graph fingerprints, discovered from the
     function's own AST: every loaded name — plain or one-level dotted
     (``module.helper``) — that resolves (via closure or module globals)
@@ -88,7 +93,12 @@ def _auto_dep_fps(f: Callable, _seen: set | None = None) -> tuple[str, ...]:
     Cycle-guarded; deterministic (names sorted). Library functions
     (pyspark/numpy/stdlib …) are environment, not logic, and are
     skipped. ``self.method`` targets cannot resolve statically — list
-    them in ``deps=``."""
+    them in ``deps=``.
+
+    ``_exclude``: TrackedFns whose edges must NOT fold in — the members
+    of the SCC currently being jointly fingerprinted (their fps are
+    what's being computed; external callees still fold in, so editing
+    a tracked helper CALLED BY a cycle member invalidates the cycle)."""
     seen = _seen if _seen is not None else set()
     key = (getattr(f, "__module__", None), getattr(f, "__qualname__", None))
     if key in seen:
@@ -120,7 +130,7 @@ def _auto_dep_fps(f: Callable, _seen: set | None = None) -> tuple[str, ...]:
         if obj is None or obj is f:
             continue
         if isinstance(obj, TrackedFn):
-            if obj.fn is f:
+            if obj.fn is f or (_exclude is not None and obj in _exclude):
                 continue
             fps.append(f"{name}:{obj.logic_fp}")
             continue
@@ -132,7 +142,7 @@ def _auto_dep_fps(f: Callable, _seen: set | None = None) -> tuple[str, ...]:
             omod = (getattr(obj, "__module__", "") or "").split(".")[0]
             if omod and omod == top and omod not in _SKIP_TOPLEVEL:
                 fps.append(
-                    f"{name}:{fp_logic(obj, deps=_auto_dep_fps(obj, seen))}"
+                    f"{name}:{fp_logic(obj, deps=_auto_dep_fps(obj, seen, _exclude))}"
                 )
     return tuple(fps)
 
@@ -153,8 +163,20 @@ def _dep_fp(d: Any) -> str:
 # Logic-fp resolution stack: detects mutual recursion between tracked
 # fns so every member of a cycle gets a JOINTLY computed fingerprint
 # (order-independent) instead of whichever partial fp the traversal
-# order happened to produce first.
-_RESOLVE_STACK: list["TrackedFn"] = []
+# order happened to produce first. THREAD-LOCAL: two threads resolving
+# unrelated fns concurrently must never see each other's frames (a
+# shared stack could false-detect a cycle spanning both and
+# permanently contaminate _scc_peers). Fps are deterministic, so a
+# concurrent double-compute of the SAME fn is a benign idempotent
+# write, not a race.
+_RESOLVE = threading.local()
+
+
+def _resolve_stack() -> list["TrackedFn"]:
+    s = getattr(_RESOLVE, "stack", None)
+    if s is None:
+        s = _RESOLVE.stack = []
+    return s
 
 
 class TrackedFn:
@@ -220,14 +242,21 @@ class TrackedFn:
             return self
         return functools.partial(self.__call__, obj)
 
-    def _self_fp(self) -> str:
-        """This fn's OWN content fingerprint (AST + version + explicit
-        deps) — no call-graph walk, so it is always resolvable without
-        recursion. Used as each member's contribution to a cycle's
-        joint fingerprint."""
+    def _member_fp(self, scc: set["TrackedFn"]) -> str:
+        """This fn's contribution to its cycle's joint fingerprint:
+        own AST + version + explicit deps + auto call-graph deps
+        EXCLUDING the cycle members themselves (their fps are the
+        thing being computed). External tracked callees therefore
+        still fold in — editing a tracked helper called by a
+        mutually-recursive fn invalidates the whole cycle (the r7
+        advisor's finding: the old explicit-deps-only contribution
+        dropped those edges)."""
         if self._logic_tracking is None:
             return fp_value(["untracked", self.__module__, self.__qualname__])
-        return fp_logic(self.fn, version=self._version, deps=self._dep_fps)
+        deps = self._dep_fps
+        if self._logic_tracking == "full":
+            deps = deps + _auto_dep_fps(self.fn, _exclude=scc)
+        return fp_logic(self.fn, version=self._version, deps=deps)
 
     @property
     def logic_fp(self) -> str:
@@ -243,21 +272,22 @@ class TrackedFn:
         and the result is independent of which member's fp was asked
         for first (order-dependent partial fps were the r6 advisor's
         finding). External tracked callees of cycle members fold in
-        via each member's explicit ``deps=``; the automatic call-graph
-        walk stops at the cycle boundary."""
+        both via explicit ``deps=`` and the automatic call-graph walk
+        (which stops only at the cycle boundary itself)."""
         if self._logic_fp is None:
-            if any(m is self for m in _RESOLVE_STACK):
+            stack = _resolve_stack()
+            if any(m is self for m in stack):
                 # Cycle: everything from our first stack occurrence to
                 # the top is in the SCC. Record membership on each
                 # member and break the recursion — the marker is only
                 # ever folded into raw fps that the SCC branch below
                 # discards.
-                i = next(j for j, m in enumerate(_RESOLVE_STACK) if m is self)
-                scc = _RESOLVE_STACK[i:]
+                i = next(j for j, m in enumerate(stack) if m is self)
+                scc = stack[i:]
                 for m in scc:
                     m._scc_peers.update(scc)
                 return f"cycle:{self.__module__}.{self.__qualname__}"
-            _RESOLVE_STACK.append(self)
+            stack.append(self)
             try:
                 if self._logic_tracking is None:
                     # untracked: stable across any code edit
@@ -275,19 +305,20 @@ class TrackedFn:
                         deps=self._dep_fps + _auto_dep_fps(self.fn),
                     )
             finally:
-                _RESOLVE_STACK.pop()
+                stack.pop()
             if self._scc_peers:
                 # The raw fp embedded traversal-order-dependent cycle
                 # markers — discard it and assign every member its
                 # joint fp (deterministic: sorted by name, so any
                 # member reaching this branch computes the same value).
+                member_set = self._scc_peers | {self}
                 members = sorted(
-                    self._scc_peers | {self},
+                    member_set,
                     key=lambda m: (m.__module__, m.__qualname__),
                 )
                 joint = fp_value(
                     [
-                        [m.__module__, m.__qualname__, m._self_fp()]
+                        [m.__module__, m.__qualname__, m._member_fp(member_set)]
                         for m in members
                     ]
                 )

@@ -128,6 +128,19 @@ _LANG_KEYWORDS = {
         "private", "protected", "declare", "abstract", "implements",
         "string", "number", "boolean", "any", "unknown", "never",
     },
+    "swift": {
+        "func", "class", "struct", "enum", "protocol", "extension",
+        "var", "let", "if", "else", "for", "while", "repeat", "switch",
+        "case", "return", "import", "guard", "defer", "init", "deinit",
+        "self", "Self", "super", "throw", "throws", "rethrows", "try",
+        "catch", "in", "as", "is", "where", "break", "continue",
+        "default", "do", "public", "private", "internal", "fileprivate",
+        "open", "static", "final", "override", "mutating", "lazy",
+        "weak", "unowned", "typealias", "associatedtype", "nil", "true",
+        "false", "some", "any", "inout", "convenience", "required",
+        "subscript", "get", "set", "willSet", "didSet", "operator",
+        "indirect", "async", "await", "actor",
+    },
 }
 
 _MODS = {
@@ -136,6 +149,10 @@ _MODS = {
     "virtual", "volatile", "transient", "partial", "new", "unsafe",
     "open", "data", "lateinit", "companion", "crate", "constexpr",
     "inline", "mutable", "extern",
+    # Swift declaration modifiers (elements/lang/swift.rs): allowed
+    # before var/let/func in statement position
+    "fileprivate", "lazy", "weak", "unowned", "mutating", "required",
+    "convenience", "indirect",
 }
 
 
@@ -484,7 +501,12 @@ def _deep_defs(
     if depth >= 2:
         return defs
     out = list(defs)
-    seen = {(d["start"], d["kind"], d["name"]) for d in defs}
+    # Dedup on (kind, name, END): a def's end is its closing brace /
+    # terminator, identical between the outer pass and a body re-scan.
+    # Starts can differ by the re-scan slice's stripped first-line
+    # indentation (statement-start falls back to line start), which
+    # used to leak duplicate rows for a container's first member.
+    seen = {(d["kind"], d["name"], d["end"]) for d in defs}
     for d in defs:
         if d["kind"] not in _CONTAINERS:
             continue
@@ -497,7 +519,7 @@ def _deep_defs(
         for m in _deep_defs(inner_text, language, depth + 1):
             row = {**m, "start": m["start"] + off, "end": m["end"] + off,
                    "depth": d.get("depth", 0) + 1 + m.get("depth", 0)}
-            key = (row["start"], row["kind"], row["name"])
+            key = (row["kind"], row["name"], row["end"])
             if key not in seen:
                 seen.add(key)
                 out.append(row)
@@ -531,6 +553,151 @@ def _kotlin_top_props(text: str, toks) -> list[dict]:
     return out
 
 
+def _swift_props(text: str, toks, fn_spans: list[tuple[int, int]]) -> list[dict]:
+    """Swift property declarations (reference elements/lang/swift.rs:
+    property_declaration / protocol_property_declaration → Property):
+    statement-position ``var``/``let`` — first token on its line, or
+    preceded only by declaration modifiers — at file scope or directly
+    in a type body. Function-body locals (the span filter) and
+    ``if let`` / ``guard let`` conditional bindings (the line rule)
+    never surface."""
+    out = []
+    kw = _LANG_KEYWORDS["swift"]
+    for i, t in enumerate(toks):
+        if t.text not in ("var", "let"):
+            continue
+        if any(s < t.start < e for s, e in fn_spans):
+            continue
+        prev = toks[i - 1] if i else None
+        first = prev is None or "\n" in text[prev.end : t.start]
+        if not (first or (prev is not None and prev.text in _MODS)):
+            continue
+        if i + 1 < len(toks) and _ident(toks[i + 1].text) and toks[i + 1].text not in kw:
+            n = toks[i + 1]
+            out.append({"kind": "property", "name": n.text,
+                        "start": n.start, "end": n.end})
+    return out
+
+
+# --- Python: AST-exact element views (reference elements/lang/
+#     python.rs) — the stdlib ast is strictly better than the token
+#     walk for an indent-structured language, matching how pyast.py
+#     already powers Python chunking/definitions.
+
+# Built-in type names excluded from references (python.rs
+# exclude_reference_patterns: indistinguishable from user identifiers
+# at the AST level).
+_PY_EXCLUDE_REFS = {
+    "int", "str", "float", "bool", "list", "dict", "set", "tuple",
+    "bytes", "complex", "object", "None", "type",
+}
+
+
+def _py_path(node) -> tuple[str, str] | None:
+    """(full dotted path, base name) of a call/annotation target —
+    python.rs PythonHooks::extract_path: attribute chains join with
+    '.', subscripts (`Optional[int]`) strip to their base."""
+    import ast as _ast
+
+    if isinstance(node, _ast.Attribute):
+        left = _py_path(node.value)
+        base = node.attr
+        full = f"{left[0]}.{base}" if left and left[0] else base
+        return full, base
+    if isinstance(node, _ast.Subscript):
+        return _py_path(node.value)
+    if isinstance(node, _ast.Name):
+        return node.id, node.id
+    if isinstance(node, _ast.Call):
+        return _py_path(node.func)
+    return None
+
+
+def _py_walk(text: str, tree) -> tuple[list[dict], list[dict]]:
+    """One AST walk emitting (element rows, reference rows).
+
+    Elements (python.rs declaration_node_kinds): class_definition →
+    class, function_definition → function, promoted to method when it
+    sits DIRECTLY inside a class body (a def wrapped in `if:` inside a
+    class is not a direct member — tree-sitter sees block>if>block).
+    Namespace = enclosing class chain ('.'-joined; Python contributes
+    no file base — modules come from the path, not the source).
+
+    References (python.rs reference_node_kinds): call targets and
+    typed-parameter annotations, qualifier = the dotted path before
+    the base name; built-in type names excluded."""
+    import ast as _ast
+
+    from cocoindex_spark.operators.pyast import _line_starts, _offset
+
+    starts = _line_starts(text)
+    els: list[dict] = []
+    refs: list[dict] = []
+    class_spans: list[tuple[str, int, int]] = []
+
+    def pos(node) -> int:
+        return _offset(starts, node.lineno, node.col_offset)
+
+    def end_pos(node) -> int:
+        return _offset(starts, node.end_lineno, node.end_col_offset)
+
+    def walk(node, ns: list[str], direct_class: bool) -> None:
+        for child in _ast.iter_child_nodes(node):
+            if isinstance(child, _ast.ClassDef):
+                s, e = pos(child), end_pos(child)
+                els.append({"kind": "class", "name": child.name,
+                            "namespace": ".".join(ns), "start": s, "end": e})
+                class_spans.append((child.name, s, e))
+                walk(child, ns + [child.name], True)
+            elif isinstance(child, (_ast.FunctionDef, _ast.AsyncFunctionDef)):
+                els.append({
+                    "kind": "method" if direct_class else "function",
+                    "name": child.name, "namespace": ".".join(ns),
+                    "start": pos(child), "end": end_pos(child),
+                })
+                walk(child, ns, False)
+            else:
+                # compound statements (if/try/with/for/…) keep the
+                # namespace but break direct class membership
+                walk(child, ns, False)
+
+    walk(tree, [], False)
+
+    def ns_of(p: int) -> str:
+        return ".".join(n for n, s, e in class_spans if s < p <= e)
+
+    for node in _ast.walk(tree):
+        if isinstance(node, _ast.Call):
+            target = node.func
+        elif isinstance(node, _ast.arg) and node.annotation is not None:
+            target = node.annotation
+        else:
+            continue
+        p = _py_path(target)
+        if p is None or p[0] in _PY_EXCLUDE_REFS:
+            continue
+        full, base = p
+        start = pos(target)
+        refs.append({
+            "name": base,
+            "qualifier": full[: -len(base) - 1] if full != base else "",
+            "namespace": ns_of(start),
+            "start": start,
+        })
+    els.sort(key=lambda r: (r["start"], r["kind"], r["name"]))
+    refs.sort(key=lambda r: r["start"])
+    return els, refs
+
+
+def _py_prepped(text: str, _prepped):
+    """The python `_prepped` payload is the parsed module (or None)."""
+    if _prepped is not None:
+        return _prepped
+    from cocoindex_spark.operators.pyast import parse_python
+
+    return parse_python(text)
+
+
 def _prep(text: str, language: str) -> tuple:
     """ONE lex + ONE deep-definition walk + namespace scan, shared by
     element and reference extraction (the reference builds both views
@@ -548,7 +715,13 @@ def element_views(text: str, language: str, _prepped: tuple | None = None) -> li
     reclassification (function | method | constructor | extension) and
     direct-member field / constant / property rows. Namespace = file
     base (package/namespace) + enclosing container names (impl blocks
-    attribute to the implemented type)."""
+    attribute to the implemented type).
+
+    Python routes to the stdlib-ast extractor (`_prepped` is then the
+    parsed module); every other language shares the token-stream prep."""
+    if language == "python":
+        tree = _py_prepped(text, _prepped)
+        return [] if tree is None else _py_walk(text, tree)[0]
     toks, defs, base, ns_regions = _prepped if _prepped is not None else _prep(
         text, language
     )
@@ -710,6 +883,24 @@ def element_views(text: str, language: str, _prepped: tuple | None = None) -> li
                     rows.append({"kind": "constructor", "name": host["name"],
                                  "namespace": ns_of(t.start, t.end),
                                  "start": t.start, "end": t.end})
+    if language == "swift":
+        # property declarations at file scope or directly in a type
+        # body (swift.rs property_declaration → Property). Exclude
+        # function BODY ranges only — a bodyless protocol signature's
+        # sloppy def span must not hide the `var` on the next line.
+        fn_spans = []
+        for d in defs:
+            if d["kind"] != "function":
+                continue
+            lo, hi = _tok_range(toks, d["start"], d["end"])
+            body = _body_range(toks, lo, hi)
+            if body and body[0] < body[1]:
+                fn_spans.append(
+                    (toks[body[0] - 1].end, toks[body[1]].start)
+                )
+        for m in _swift_props(text, toks, fn_spans):
+            m["namespace"] = ns_of(m["start"], m["end"])
+            rows.append(m)
     if language in ("javascript", "typescript"):
         # top-level `const NAME` ⇒ constant, `let`/`var NAME` ⇒
         # variable (types.rs Variable); loop headers (`for (let i`)
@@ -745,7 +936,11 @@ def references(text: str, language: str, _prepped: tuple | None = None) -> list[
     ``srv``; ``obj.m(`` → ``obj``) — empty for bare calls — which lets
     a consumer resolve qualified cross-module usages against
     declaration namespaces. Rows: {name, qualifier, namespace,
-    start}."""
+    start}. Python routes to the stdlib-ast extractor (call targets +
+    typed-parameter annotations, python.rs reference_node_kinds)."""
+    if language == "python":
+        tree = _py_prepped(text, _prepped)
+        return [] if tree is None else _py_walk(text, tree)[1]
     toks, defs, base, ns_regions = _prepped if _prepped is not None else _prep(
         text, language
     )
@@ -771,6 +966,12 @@ def references(text: str, language: str, _prepped: tuple | None = None) -> list[
             if toks[i].text == d["name"]:
                 def_name_offsets.add(toks[i].start)
                 break
+    # Member declarations (class methods in js/ts, constructors, …)
+    # come from the element member scans, not from `defs` — their rows
+    # start AT the name token, so their header `name(` must not count
+    # as a call reference either.
+    for r in element_views(text, language, _prepped=(toks, defs, base, ns_regions)):
+        def_name_offsets.add(r["start"])
 
     out = []
     intro = {"fn", "def", "func", "fun", "function", "macro_rules"}
@@ -861,18 +1062,24 @@ def code_views(text: str, language: str) -> list[dict]:
     {row_kind: element|reference, kind, name, namespace, qualifier,
     start, end} — reference rows carry kind="" / end=start; element
     rows carry qualifier=""."""
-    prepped = _prep(text, language)
+    if language == "python":
+        tree = _py_prepped(text, None)
+        els, refs = ([], []) if tree is None else _py_walk(text, tree)
+    else:
+        prepped = _prep(text, language)
+        els = element_views(text, language, _prepped=prepped)
+        refs = references(text, language, _prepped=prepped)
     rows = [
         {"row_kind": "element", "kind": r["kind"], "name": r["name"],
          "namespace": r["namespace"], "qualifier": "",
          "start": r["start"], "end": r["end"]}
-        for r in element_views(text, language, _prepped=prepped)
+        for r in els
     ]
     rows.extend(
         {"row_kind": "reference", "kind": "", "name": r["name"],
          "namespace": r["namespace"], "qualifier": r["qualifier"],
          "start": r["start"], "end": r["start"]}
-        for r in references(text, language, _prepped=prepped)
+        for r in refs
     )
     return rows
 

@@ -191,11 +191,12 @@ def cm_cells_from_counts(
     )
 
 
-def cm_lookup(sketch: DataFrame, probes: DataFrame, token_col: str) -> DataFrame:
-    """Estimate each probe token's count: min over the d rows of its
-    cell counts. The probe side is tiny (d·|probes| cells) — broadcast
-    onto the bounded sketch table; the corpus is never rescanned."""
-    cells = probes.select(
+def cm_probe_cells(probes: DataFrame, token_col: str) -> DataFrame:
+    """The (token, row, cell) coordinates each probe token reads — the
+    same per-row hash the sketch was built with. Exposed separately so
+    a cell-probed synced sketch (q136) can turn the bounded cell list
+    into partition-pruned file I/O before the lookup join."""
+    return probes.select(
         token_col,
         F.explode(
             F.array(
@@ -217,6 +218,13 @@ def cm_lookup(sketch: DataFrame, probes: DataFrame, token_col: str) -> DataFrame
             )
         ).alias("rc"),
     ).select(token_col, F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+
+
+def cm_lookup(sketch: DataFrame, probes: DataFrame, token_col: str) -> DataFrame:
+    """Estimate each probe token's count: min over the d rows of its
+    cell counts. The probe side is tiny (d·|probes| cells) — broadcast
+    onto the bounded sketch table; the corpus is never rescanned."""
+    cells = cm_probe_cells(probes, token_col)
     return (
         sketch.join(F.broadcast(cells), ["row", "cell"])
         .groupBy(token_col)

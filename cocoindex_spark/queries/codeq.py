@@ -1858,3 +1858,201 @@ def q156_qualified_usage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("total_calls"), F.lit(0)).cast("long").alias("total_calls"),
         F.coalesce(F.col("n_calling_docs"), F.lit(0)).cast("long").alias("n_calling_docs"),
     )
+
+
+# --- q157: Python + Swift element views — the two reference language
+#     configs the pack didn't cover (elements/lang/python.rs: stdlib-
+#     ast-exact class/function + method promotion; elements/lang/
+#     swift.rs: struct/protocol/extension via declaration_kind,
+#     property_declaration → Property, extension members attribute to
+#     the extended type). Scale shape: one Arrow extraction per
+#     language partition (per-doc bounded, no shuffle), one union.
+@register(
+    "q157_python_swift_elements",
+    oracle="""
+WITH d AS (SELECT doc_id,
+                  CAST(doc_id % 5 AS VARCHAR) AS a,
+                  CAST(doc_id % 3 AS VARCHAR) AS b,
+                  CAST(doc_id % 4 AS VARCHAR) AS c
+           FROM documents),
+py AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+sw AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+rows_ AS (
+  SELECT doc_id, 'python' AS lang, 'class' AS el_kind,
+         'Svc' || b AS el_name, '' AS el_namespace FROM py
+  UNION ALL SELECT doc_id, 'python', 'class', 'In' || c, 'Svc' || b FROM py
+  UNION ALL SELECT doc_id, 'python', 'method', 'm' || c,
+                   'Svc' || b || '.In' || c FROM py
+  UNION ALL SELECT doc_id, 'python', 'method', 'run' || c, 'Svc' || b FROM py
+  UNION ALL SELECT doc_id, 'python', 'function', 'free' || a, '' FROM py
+  UNION ALL SELECT doc_id, 'swift', 'struct', 'Pt' || b, '' FROM sw
+  UNION ALL SELECT doc_id, 'swift', 'property', 'x' || c, 'Pt' || b FROM sw
+  UNION ALL SELECT doc_id, 'swift', 'method', 'norm' || c, 'Pt' || b FROM sw
+  UNION ALL SELECT doc_id, 'swift', 'extension', 'Pt' || b, '' FROM sw
+  UNION ALL SELECT doc_id, 'swift', 'method', 'dbl' || c, 'Pt' || b FROM sw
+  UNION ALL SELECT doc_id, 'swift', 'property', 'MAX' || a, '' FROM sw
+)
+SELECT doc_id, lang, el_kind, el_name, el_namespace FROM rows_
+""",
+)
+def q157_python_swift_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_elements import elements_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    a = (F.col("doc_id") % 5).cast("string")
+    b = (F.col("doc_id") % 3).cast("string")
+    c = (F.col("doc_id") % 4).cast("string")
+    py = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "code",
+        F.concat(
+            F.lit("class Svc"), b, F.lit(":\n    class In"), c,
+            F.lit(":\n        def m"), c,
+            F.lit("(self):\n            return 1\n\n    def run"), c,
+            F.lit("(self):\n        if True:\n            pass\n        return 2\n\ndef free"),
+            a, F.lit('(x):\n    """def fake(): pass"""\n    return Svc'), b,
+            F.lit("()\n"),
+        ),
+    )
+    sw = d.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "code",
+        F.concat(
+            F.lit("struct Pt"), b, F.lit(" {\n    var x"), c,
+            F.lit(": Double\n    func norm"), c,
+            F.lit('() -> Double { let t = "var fake2 = 1"; return 1.0 }\n}\n\nextension Pt'),
+            b, F.lit(" {\n    func dbl"), c, F.lit("() -> Double { return helper"),
+            a, F.lit("() }\n}\n\nlet MAX"), a,
+            F.lit(" = 10\n// var fake = 1\n"),
+        ),
+    )
+    cols = ["doc_id", "lang", "el_kind", "el_name", "el_namespace"]
+    out = None
+    for lang, df in (("python", py), ("swift", sw)):
+        part = elements_df(df, "code", lang).select(
+            "doc_id", F.lit(lang).alias("lang"), "el_kind", "el_name", "el_namespace"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select(*cols)
+
+
+# --- q158: multi-language qualified usage resolution — q156's
+#     (qualifier, name) ⋈ (namespace, name) equi-join generalized
+#     across FOUR language families' qualifier syntaxes: Rust `::`
+#     paths, Java static-class `.` chains, Go package selectors,
+#     TypeScript class statics (reference types.rs:119-142
+#     Declaration.namespace + Reference; per-language separators in
+#     elements/lang/*.rs `separator()`). ONE Arrow extraction per
+#     language partition, union, then two bounded-key aggs + one
+#     equi-join on (lang, namespace, fn).
+@register(
+    "q158_multilang_usage_resolution",
+    oracle="""
+WITH d AS (SELECT doc_id,
+                  CAST(doc_id % 5 AS VARCHAR) AS a,
+                  CAST(doc_id % 3 AS VARCHAR) AS b,
+                  CAST(doc_id % 4 AS VARCHAR) AS c
+           FROM documents),
+defs AS (
+  SELECT 'rust' AS lang, 'srv' || b AS ns, 'api' || c AS fn, doc_id
+  FROM d WHERE doc_id % 4 = 0
+  UNION ALL SELECT 'java', 'Svc' || b, 'api' || c, doc_id FROM d WHERE doc_id % 4 = 1
+  UNION ALL SELECT 'java', 'Svc' || b, 'go' || a, doc_id FROM d WHERE doc_id % 4 = 1
+  UNION ALL SELECT 'go', 'svc' || b, 'api' || c, doc_id FROM d WHERE doc_id % 4 = 2
+  UNION ALL SELECT 'go', 'svc' || b, 'call' || a, doc_id FROM d WHERE doc_id % 4 = 2
+  UNION ALL SELECT 'typescript', 'Svc' || b, 'api' || c, doc_id FROM d WHERE doc_id % 4 = 3
+),
+refs AS (
+  SELECT 'rust' AS lang, 'srv' || b AS ns, 'api' || c AS fn, doc_id
+  FROM d WHERE doc_id % 4 = 0
+  UNION ALL SELECT 'java', 'Svc' || b, 'api' || c, doc_id FROM d WHERE doc_id % 4 = 1
+  UNION ALL SELECT 'go', 'svc' || b, 'api' || c, doc_id FROM d WHERE doc_id % 4 = 2
+  UNION ALL SELECT 'typescript', 'Svc' || b, 'api' || c, doc_id FROM d WHERE doc_id % 4 = 3
+),
+ad AS (SELECT lang, ns, fn, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_defining_docs
+       FROM defs GROUP BY lang, ns, fn),
+ar AS (SELECT lang, ns, fn, CAST(COUNT(*) AS BIGINT) AS total_calls,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_calling_docs
+       FROM refs GROUP BY lang, ns, fn)
+SELECT ad.lang, ad.ns AS namespace, ad.fn AS fn_name, ad.n_defining_docs,
+       CAST(COALESCE(ar.total_calls, 0) AS BIGINT) AS total_calls,
+       CAST(COALESCE(ar.n_calling_docs, 0) AS BIGINT) AS n_calling_docs
+FROM ad LEFT JOIN ar ON ad.lang = ar.lang AND ad.ns = ar.ns AND ad.fn = ar.fn
+""",
+)
+def q158_multilang_usage_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_elements import code_views_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    a = (F.col("doc_id") % 5).cast("string")
+    b = (F.col("doc_id") % 3).cast("string")
+    c = (F.col("doc_id") % 4).cast("string")
+    templates = {
+        "rust": F.concat(
+            F.lit("mod srv"), b, F.lit(" { pub fn api"), c,
+            F.lit("() -> u64 { 1 } }\nfn call"), a, F.lit("() -> u64 { srv"),
+            b, F.lit("::api"), c, F.lit("() }\n// srv9::api9()\n"),
+        ),
+        "java": F.concat(
+            F.lit("public class Svc"), b, F.lit(" {\n    public static int api"),
+            c, F.lit("() { return 1; }\n    public int go"), a,
+            F.lit("() { return Svc"), b, F.lit(".api"), c,
+            F.lit('(); }\n}\n// Svc9.api9()\n'),
+        ),
+        "go": F.concat(
+            F.lit("package svc"), b, F.lit("\n\nfunc api"), c,
+            F.lit("() int { return 1 }\nfunc call"), a,
+            F.lit("() int { return svc"), b, F.lit(".api"), c,
+            F.lit('() }\n// svc9.api9()\n'),
+        ),
+        "typescript": F.concat(
+            F.lit("class Svc"), b, F.lit(" {\n  static api"), c,
+            F.lit("(): number { return 1 }\n}\nconst r"), a,
+            F.lit(" = Svc"), b, F.lit(".api"), c,
+            F.lit('()\n// Svc9.api9()\nconst s = "Svc8.api8()"\n'),
+        ),
+    }
+    views = None
+    for k, (lang, code) in enumerate(templates.items()):
+        part = code_views_df(
+            d.filter(F.col("doc_id") % 4 == k).withColumn("code", code),
+            "code", lang,
+        ).select(
+            "doc_id", F.lit(lang).alias("lang"), "cv_row_kind", "cv_kind",
+            "cv_name", "cv_namespace", "cv_qualifier",
+        )
+        views = part if views is None else views.unionByName(part)
+    views = views.localCheckpoint(eager=True)
+    defs = (
+        views.filter(
+            (F.col("cv_row_kind") == "element")
+            & F.col("cv_kind").isin("function", "method")
+            & (F.col("cv_namespace") != "")
+        )
+        .groupBy(
+            "lang",
+            F.col("cv_namespace").alias("namespace"),
+            F.col("cv_name").alias("fn_name"),
+        )
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_defining_docs"))
+    )
+    refs = (
+        views.filter(
+            (F.col("cv_row_kind") == "reference") & (F.col("cv_qualifier") != "")
+        )
+        .groupBy(
+            "lang",
+            F.col("cv_qualifier").alias("namespace"),
+            F.col("cv_name").alias("fn_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_calls"),
+            F.countDistinct("doc_id").cast("long").alias("n_calling_docs"),
+        )
+    )
+    return defs.join(refs, ["lang", "namespace", "fn_name"], "left").select(
+        "lang",
+        "namespace",
+        "fn_name",
+        "n_defining_docs",
+        F.coalesce(F.col("total_calls"), F.lit(0)).cast("long").alias("total_calls"),
+        F.coalesce(F.col("n_calling_docs"), F.lit(0)).cast("long").alias("n_calling_docs"),
+    )

@@ -27,67 +27,24 @@ def register(name: str, oracle: str | None = None):
 # must come first. This list is refreshed each round from the previous
 # CORRECTNESS_r{N}.json: never-checked first, then stalest-checked.
 _PRIORITY: list[str] = [
-    # r7 rotation (the driver checks ~the first 50 rows). Window:
-    # (a) queries NEW this round (q153/q154 — element namespaces,
-    # call-site indegree), (b) queries whose CODE changed since their
-    # r6 verdict (q147 chunker extracted to operators/cdc.py; q137/q144
-    # probe plans now partition-pruned via the __probe storage layout;
-    # q145 gained the provide-time state phases p6-p8), then (c) the
-    # stalest set — the r3-checked q93-q96 and the r4-checked batch
-    # q05-q27/q30-q49/q56/q60-q65/q97-q101. Everything else stays
-    # registered and locally value-verified; it rotates back next round.
-    "q153_element_namespaces",  # NEW in r7
-    "q154_callsite_indegree",  # NEW in r7
-    "q155_fts_synced_bm25",  # NEW in r7 (seek-shaped synced FTS)
-    "q156_qualified_usage_search",  # NEW in r7 (cross-doc refs)
-    "q147_cdc_chunk_dedup",  # touched: shared CDC operator + 1-word fix
-    "q137_quickstart_topk",  # touched: probe-pruned index scan
-    "q144_session_search_indexed",  # touched: probe-pruned index scan
-    "q145_context_memo_invalidation",  # touched: provide-time states
-    # stalest: last driver-checked in round 3
-    "q93_region_share",
-    "q94_weekday_type_pivot",
-    "q95_cube_revenue",
-    "q96_shared_sql_topspenders",
+    # r8 rotation (the driver checks ~the first 50 rows). Window:
+    # (a) queries NEW this round (q157 python/swift element views,
+    # q158 multi-language qualified usage), (b) queries whose CODE
+    # changed since their last verdict — the element-view machinery
+    # gained single-pass extraction, an end-keyed dedup in _deep_defs,
+    # and member-header reference exclusion (q152/q153/q154/q156) —
+    # then (c) the stalest set: the whole r4-checked batch (q60-q65,
+    # q97-q101) and the r5-checked q102-q136 block. Everything else
+    # stays registered and locally value-verified; it rotates back
+    # next round (remaining r5: q138-q143, q29, q46-q49, q76, q80,
+    # q89).
+    "q157_python_swift_elements",  # NEW in r8
+    "q158_multilang_usage_resolution",  # NEW in r8
+    "q152_element_kinds",  # touched: _deep_defs dedup key
+    "q153_element_namespaces",  # touched: _deep_defs dedup key
+    "q154_callsite_indegree",  # touched: single-pass code_views_df
+    "q156_qualified_usage_search",  # touched: single-pass code_views_df
     # stalest: last driver-checked in round 4
-    "q05_top3_orders_per_customer",
-    "q06_groupby_scoring",
-    "q07_customers_without_orders",
-    "q08_unreferenced_parts",
-    "q09_last_wins_per_key",
-    "q10_ownership_latest_supplier",
-    "q11_stats_rollup",
-    "q12_selective_scan",
-    "q13_json_props",
-    "q14_rollup_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_banded_revenue",
-    "q20_vector_topk",
-    "q21_knn_batch",
-    "q22_similarity_join_blocked",
-    "q23_lsh_bucket_join",
-    "q24_label_centroids",
-    "q25_ivf_topk",
-    "q26_hash_embed_knn",
-    "q27_multivector_maxsim",
-    "q30_exact_dedup",
-    "q32_minhash_lsh_pairs",
-    "q33_simhash_pairs",
-    "q34_embedding_neardup",
-    "q35_repetition_ngrams",
-    "q36_pii_scrub",
-    "q37_normalized_dedup",
-    "q38_bpe_token_estimate",
-    "q40_token_stats",
-    "q41_quality_score",
-    "q42_langid_confusion",
-    "q43_doc_fingerprint",
-    "q44_chunk_documents",
-    "q45_deterministic_ids",
-    "q56_stemmed_vocab",
     "q60_reconcile_actions",
     "q61_memo_miss_join",
     "q62_connected_components",
@@ -99,6 +56,40 @@ _PRIORITY: list[str] = [
     "q99_pair_relation_read",
     "q100_brace_chunks",
     "q101_tfidf_top_terms",
+    # stalest: last driver-checked in round 5
+    "q102_hll_distinct",
+    "q103_countmin_heavy_hitters",
+    "q104_bfs_reachability",
+    "q105_bloom_prefilter_join",
+    "q106_hll_overlap_matrix",
+    "q107_hist_quantiles",
+    "q108_template_literal_chunks",
+    "q109_int8_quantized_topk",
+    "q110_c_preproc_definitions",
+    "q111_ruby_definitions",
+    "q112_lua_definitions",
+    "q113_kmeans_clusters",
+    "q114_semdedup",
+    "q115_dup_spans",
+    "q116_leakage_safe_split",
+    "q117_mmr_rerank",
+    "q118_ivf_kmeans_topk",
+    "q119_importance_weights",
+    "q120_decontaminated_corpus",
+    "q121_rate_anomaly",
+    "q122_julia_definitions",
+    "q123_r_definitions",
+    "q124_sql_definitions",
+    "q125_markdown_sections",
+    "q127_quantization_recall",
+    "q128_html_regions",
+    "q129_config_sections",
+    "q130_css_regions",
+    "q131_fortran_json_regions",
+    "q132_pascal_definitions",
+    "q133_markdown_chunks",
+    "q135_hll_sketch_read",
+    "q136_cm_sketch_read",
 ]
 
 

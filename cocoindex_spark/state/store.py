@@ -197,12 +197,21 @@ class ManagedTable:
             df = df.unionByName(f)
         return df
 
-    def _write_version(self, df: DataFrame, n_buckets: int) -> tuple[str, list[int]]:
+    def _write_version(
+        self,
+        df: DataFrame,
+        n_buckets: int,
+        probe: dict | None | str = "current",
+    ) -> tuple[str, list[int]]:
         """Write df (bucketed) into a new version dir; returns (version
-        name, buckets actually written — empty buckets produce no dir)."""
+        name, buckets actually written — empty buckets produce no dir).
+        ``probe``: the layout to write under — default "current" (the
+        pointer's live layout); pass an explicit dict/None when the
+        caller is atomically changing layouts (set_probe_layout)."""
         version_name = f"v_{int(time.time() * 1e6)}_{os.getpid()}"
         out = os.path.join(self.path, version_name)
-        _, _, probe = self._meta3()
+        if probe == "current":
+            _, _, probe = self._meta3()
         part_cols = [_BUCKET_COL]
         bdf = df
         if probe:
@@ -229,10 +238,23 @@ class ManagedTable:
         ]
         return version_name, written
 
-    def overwrite(self, df: DataFrame, n_buckets: int | None = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        n_buckets: int | None = None,
+        probe: dict | None | str = "keep",
+    ) -> None:
+        """Full-table rewrite into one fresh version + one pointer
+        swap. ``probe``: "keep" preserves the live layout; an explicit
+        dict/None rewrites the data under the NEW layout and publishes
+        it in the SAME swap — data and layout change atomically (a
+        crash anywhere leaves the old pointer over old-layout data)."""
         n = n_buckets if n_buckets is not None else self._meta()[0]
-        version_name, written = self._write_version(df, n)
-        self._swap_pointer({str(b): version_name for b in written}, n_buckets=n)
+        write_probe = self._meta3()[2] if probe == "keep" else probe
+        version_name, written = self._write_version(df, n, probe=write_probe)
+        self._swap_pointer(
+            {str(b): version_name for b in written}, n_buckets=n, probe=probe
+        )
         self._gc()
 
     def _merge_into_buckets(self, touched: list[int], replacement: DataFrame) -> None:
@@ -336,11 +358,15 @@ class ManagedTable:
         if not mapping:
             self._swap_pointer({}, n_buckets=cur_n, probe=want)
             return False
-        # pin current rows before the layout swap so the re-layout
-        # write cannot race version GC
+        # Pin current rows (localCheckpoint: the rewrite cannot race
+        # version GC), rewrite under the NEW layout, and publish
+        # mapping + layout in ONE pointer swap — a crash (or a
+        # concurrent reader) at any point sees either the old layout
+        # over old-layout dirs or the new layout over new-layout dirs,
+        # never a probe pointer over dirs lacking __probe= partitions
+        # (the r7 advisor's finding on the swap-before-write order).
         df = self.read(spark).localCheckpoint(eager=True)
-        self._swap_pointer(mapping, n_buckets=cur_n, probe=want)
-        self.overwrite(df, n_buckets=cur_n)
+        self.overwrite(df, n_buckets=cur_n, probe=want)
         return True
 
     def touched_buckets(self, keys: DataFrame) -> list[int]:

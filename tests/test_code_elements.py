@@ -388,3 +388,124 @@ def test_code_views_single_lex(monkeypatch):
     ce.element_views(src, "rust")
     ce.references(src, "rust")
     assert calls["full"] == 2  # the two-pass shape code_views replaces
+
+
+# --- Python element views (reference elements/lang/python.rs: class /
+#     function declarations, method promotion directly inside a class
+#     body, call + typed-parameter references, builtin-type exclusion)
+
+
+PY = '''import os
+
+class Outer:
+    """class Fake: pass"""
+
+    class Inner:
+        def m(self) -> DataRow:
+            return helper.calc(self)
+
+    def run(self, x: int, row: custom.Row = None):
+        if True:
+            def guarded():
+                pass
+        return srv.api(x) + free(x)
+
+def free(x: Optional[Config]):
+    # def fake2(): pass
+    return Outer()
+'''
+
+
+def test_python_elements():
+    got = {(r["kind"], r["name"], r["namespace"]) for r in element_views(PY, "python")}
+    assert got == {
+        ("class", "Outer", ""),
+        ("class", "Inner", "Outer"),
+        ("method", "m", "Outer.Inner"),
+        ("method", "run", "Outer"),
+        # if-wrapped def is NOT a direct class member (tree-sitter
+        # sees block>if>block>function) but keeps the namespace
+        ("function", "guarded", "Outer"),
+        ("function", "free", ""),
+    }
+
+
+def test_python_references():
+    refs = {(r["name"], r["qualifier"], r["namespace"]) for r in references(PY, "python")}
+    assert refs == {
+        ("calc", "helper", "Outer.Inner"),
+        ("api", "srv", "Outer"),
+        ("free", "", "Outer"),
+        ("Outer", "", ""),
+        # typed parameters are references (python.rs typed_parameter /
+        # typed_default_parameter); subscripts strip to the BASE type
+        # (`Optional[Config]` → Optional); `x: int` is excluded
+        # (builtin); return annotations are NOT reference nodes
+        ("Row", "custom", "Outer"),
+        ("Optional", "", ""),
+    }
+
+
+def test_python_unparsable_source_degrades():
+    assert element_views("def broken(:", "python") == []
+    assert references("def broken(:", "python") == []
+
+
+# --- Swift element views (reference elements/lang/swift.rs:
+#     class/struct/enum/extension via declaration_kind, protocol →
+#     interface-like, property declarations → Property, method
+#     promotion inside type scopes)
+
+
+SWIFT = '''import Foundation
+
+let MAX = 10
+
+struct Point {
+    var x: Double
+    let y: Double
+    func norm() -> Double { let t = x * x; return t }
+}
+
+protocol Shape {
+    func area() -> Double
+    var name: String { get }
+}
+
+extension Point {
+    func dbl() -> Double { return 2 * x }
+}
+
+func free(p: Point) -> Double {
+    if let q = maybe() { return q }
+    return p.norm() + helper()
+}
+// var fake = 1
+let s = "let fake2 = 1"
+'''
+
+
+def test_swift_elements():
+    got = {(r["kind"], r["name"], r["namespace"]) for r in element_views(SWIFT, "swift")}
+    assert got == {
+        ("property", "MAX", ""),
+        ("struct", "Point", ""),
+        ("property", "x", "Point"),
+        ("property", "y", "Point"),
+        ("method", "norm", "Point"),
+        ("protocol", "Shape", ""),
+        ("method", "area", "Shape"),
+        ("property", "name", "Shape"),
+        # extension members attribute to the extended type
+        ("extension", "Point", ""),
+        ("method", "dbl", "Point"),
+        ("function", "free", ""),
+        ("property", "s", ""),
+        # NOT here: `let t` (function-body local), `let q` (conditional
+        # binding), the decoys in comment/string
+    }
+
+
+def test_swift_references():
+    refs = {(r["name"], r["qualifier"]) for r in references(SWIFT, "swift")}
+    assert refs == {("maybe", ""), ("norm", "p"), ("helper", "")}
