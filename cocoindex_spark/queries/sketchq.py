@@ -515,14 +515,77 @@ FROM top t JOIN est e ON t.tok = e.tok
 """,
 )
 def q136_cm_sketch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sketch = _synced_sketch(spark, sf_dir, "cm")
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="cm_sketch_idx_")
+    try:
+        return _q136_probe(spark, sf_dir, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@_coco_fn(memo=True)
+def _cm_contrib_rows(df: DataFrame) -> DataFrame:
+    """One row per (doc, row, cell) CM contribution — the exploded twin
+    of _cm_contrib, keyed for the cell-probed storage layout (same-cell
+    token collisions within a doc pre-sum here, so the target pk is
+    unique)."""
+    c = _cm_contrib(df)
+    return (
+        c.select(
+            "__args_fp", "__component_path", "doc_id",
+            F.explode("cells").alias("c"),
+        )
+        .groupBy(
+            "__args_fp", "__component_path", "doc_id",
+            F.col("c.row").alias("row"), F.col("c.cell").alias("cell"),
+        )
+        .agg(F.sum("c.n").cast("long").alias("n"))
+    )
+
+
+def _q136_probe(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    """Seek-shaped CM point lookup over an engine-synced, CELL-probed
+    contribution table (the q155-FTS treatment applied to sketch
+    reads): the target is one row per (doc, row, cell) with a
+    __probe=hash(cell)%64 partition level, so estimating k tokens
+    reads ONLY the ≤ 4k probed cells' directories — planning-time file
+    pruning — then sums exactly those cells and takes the per-token
+    MIN. Cell-identical to the full-rollup path (every contribution to
+    a probed cell lives in that cell's directories), so the oracle is
+    unchanged."""
+    from cocoindex_spark.engine.app import App
+    from cocoindex_spark.operators.sketch import cm_probe_cells
+    from cocoindex_spark.state.store import _PROBE_COL
+
+    app = App("cm_idx", state_dir=root, spark=spark)
     d = table(spark, sf_dir, "documents")
+    t = app.target(
+        f"{root}/cmidx",
+        ["doc_id", "row", "cell"],
+        "doc_id LONG, row INT, cell BIGINT, n LONG",
+    )
+    t.declare_index("cm", "text", probe_col="cell", probe_buckets=64)
+    app.sync_table(d.select("doc_id", "text"), ["doc_id"], _cm_contrib_rows, t)
     toks = d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
     top = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .orderBy(F.col("exact_n").desc(), F.col("tok"))
         .limit(20)
+        .localCheckpoint(eager=True)  # bounded: 20 rows, feeds 3 consumers
     )
-    est = cm_lookup(sketch, top.select("tok"), "tok")
+    cell_vals = [
+        r["cell"]
+        for r in cm_probe_cells(top, "tok").select("cell").distinct().collect()
+    ]  # bounded: ≤ 20 tokens × CM_DEPTH rows
+    pids = t.probe_partitions(spark, cell_vals)
+    pruned = (
+        t.read_indexed(spark)
+        .filter(F.col(_PROBE_COL).isin(pids))
+        .groupBy("row", "cell")
+        .agg(F.sum("n").alias("n"))
+    )
+    est = cm_lookup(pruned, top.select("tok"), "tok")
     return top.join(est, "tok").select("tok", "exact_n", "cm_estimate")

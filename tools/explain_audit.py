@@ -527,6 +527,25 @@ CHECKS = {
             r"ArrowEvalPython",
         ],
     ),
+    "q136_cm_sketch_read": (
+        # seek-shaped CM point lookup (the q155 treatment for sketch
+        # reads): the candidate scan of the SYNCED per-(doc,row,cell)
+        # contribution table is partition-pruned to the probed cells'
+        # __probe dirs; the probe-cell list is a broadcast side. (q135
+        # and q99 stay full reads BY DESIGN — a global HLL rollup and a
+        # full pair relation consume every row, so no seek key exists;
+        # their read is bounded by the sketch/index table size, not the
+        # corpus.)
+        [
+            r"PartitionFilters: \[.*__probe.*(IN|=)",
+            r"BroadcastHashJoin",
+        ],
+        [
+            r"CartesianProduct",
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+        ],
+    ),
     "q146_shingle_containment": (
         # containment candidates prefix-filtered on the contained side
         # (rank window present), every join an equi hash/sort join
@@ -696,6 +715,11 @@ def main() -> None:
 
     _q155_root = tempfile.mkdtemp(prefix="audit_ftsidx_")
     queries["q155_fts_synced_bm25"] = lambda s, d: _q155_probe(s, d, _q155_root)
+
+    from cocoindex_spark.queries.sketchq import _q136_probe
+
+    _q136_root = tempfile.mkdtemp(prefix="audit_cmidx_")
+    queries["q136_cm_sketch_read"] = lambda s, d: _q136_probe(s, d, _q136_root)
 
     failures = 0
     for name, (must, must_not) in CHECKS.items():
