@@ -138,3 +138,112 @@ def test_term_keyed_postings_probe_pruned(app, spark, tmp_state):
     )
     assert {r["doc_id"] for r in probed.collect()} == {1}
     assert files_read(probed) < files_read(target.read(spark))
+
+
+def test_fts_live_maintenance(app, spark, tmp_state):
+    """The synced FTS index maintained through the LIVE path
+    (streaming/live.py): a watched-file edit re-syncs EXACTLY the
+    edited document's term rows (blast radius 1), the probe layout
+    stays live across micro-batches, and the probe answer matches a
+    from-scratch BM25 over the current corpus (q155's oracle shape).
+    Reference: live_mode.mdx 'write once, choose at run time' — the
+    same tokenize_postings transform drives batch sync_fts_index and
+    this stream."""
+    import os
+
+    from cocoindex_spark.operators.fts import bm25_join
+    from cocoindex_spark.queries.ftsq import tokenize_postings
+    from cocoindex_spark.state.store import _PROBE_COL
+    from cocoindex_spark.streaming.live import LiveSync
+
+    target = app.target(
+        f"{tmp_state}/postings",
+        ["doc_id", "term"],
+        "doc_id LONG, term STRING, tf LONG, dl LONG",
+    )
+    target.declare_index("fts", "text", probe_col="term")
+
+    src_dir = os.path.join(tmp_state, "docs_src")
+    ckpt = os.path.join(tmp_state, "fts_ckpt")
+    os.makedirs(src_dir)
+    schema = "doc_id LONG, text STRING, offset LONG"
+    spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster", 1),
+            (2, "spark broadcasts small tables", 2),
+            (3, "ducks swim in the pond", 3),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(os.path.join(src_dir, "b1"))
+
+    sync = LiveSync(app, ["doc_id"], tokenize_postings, target, order_cols=["offset"])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    q = sync.start(stream, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert sync.batch_stats[-1].memo_misses == 3
+
+    # watched-file edit: doc 2 swaps spark -> flink
+    spark.createDataFrame(
+        [(2, "flink broadcasts small tables", 4)], schema
+    ).write.mode("overwrite").parquet(os.path.join(src_dir, "b2"))
+    q2 = sync.start(stream, ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    # blast radius 1: only the edited doc recomputed, siblings untouched
+    edit = sync.batch_stats[-1]
+    assert edit.memo_misses == 1
+    terms2 = {
+        r["term"] for r in target.read(spark).filter(F.col("doc_id") == 2).collect()
+    }
+    assert "flink" in terms2 and "spark" not in terms2
+
+    # probe-answer parity with a from-scratch BM25 over the CURRENT
+    # corpus: the probe reads only the query terms' __probe dirs
+    current = _docs(
+        spark,
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "flink broadcasts small tables"),
+            (3, "ducks swim in the pond"),
+        ],
+    )
+    qt = spark.createDataFrame([("spark",), ("tables",)], "term STRING")
+    fresh_postings = current.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(array_distinct({_TOKS}), t -> struct("
+                f"t AS term, CAST(size(filter({_TOKS}, x -> x = t)) AS BIGINT) AS tf))"
+            )
+        ).alias("p"),
+    ).select(F.col("p.term").alias("term"), "doc_id", F.col("p.tf").alias("tf"))
+    fresh_dl = current.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("dl")
+    )
+    want = {
+        (r["doc_id"], r["bm25_int"])
+        for r in bm25_join(fresh_postings, fresh_dl, qt, "doc_id").collect()
+    }
+
+    pids = target.probe_partitions(spark, ["spark", "tables"])
+    probed = (
+        target.read_indexed(spark)
+        .filter(F.col(_PROBE_COL).isin(pids))
+        .filter(F.col("term").isin("spark", "tables"))
+    )
+    live_postings = probed.select("term", "doc_id", "tf")
+    live_dl = target.read(spark).select("doc_id", "dl").distinct()
+    got = {
+        (r["doc_id"], r["bm25_int"])
+        for r in bm25_join(live_postings, live_dl, qt, "doc_id").collect()
+    }
+    assert got == want
+
+    # the probe still prunes file I/O after live micro-batches
+    from test_probe_layout import files_read
+
+    assert files_read(probed) < files_read(target.read(spark))
