@@ -178,6 +178,10 @@ HEADLINE = [
     "q153_element_namespaces",
     "q154_callsite_indegree",
     "q156_qualified_usage_search",
+    # round-8 additions: plain extraction pipelines (python/swift
+    # element views; 4-language qualified-usage resolution)
+    "q157_python_swift_elements",
+    "q158_multilang_usage_resolution",
 ]
 
 

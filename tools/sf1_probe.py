@@ -34,7 +34,9 @@ DST = "/tmp/sf1_synth"
 REPLICAS = 10
 STRIDE = 10_000_000_000
 
-# the 10 heaviest bench entries (round-6 verdict's plan-audit list)
+# the heaviest bench entries (round-6 verdict's plan-audit list) plus
+# the round-7/8 code-view queries (r7 verdict item 7: include the new
+# heavy extraction queries, q156 especially post-single-pass)
 PROBE_QUERIES = [
     "q82_pagerank",
     "q67_motif_cosupplier",
@@ -46,6 +48,11 @@ PROBE_QUERIES = [
     "q117_mmr_rerank",
     "q31_ngram_jaccard_pairs",
     "q104_bfs_reachability",
+    "q153_element_namespaces",
+    "q154_callsite_indegree",
+    "q156_qualified_usage_search",
+    "q157_python_swift_elements",
+    "q158_multilang_usage_resolution",
 ]
 
 _SHIFTS = {
