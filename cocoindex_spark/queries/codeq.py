@@ -1795,9 +1795,10 @@ SELECT ad.ns AS namespace, ad.fn AS fn_name, ad.n_defining_docs,
 FROM ad LEFT JOIN ar ON ad.ns = ar.ns AND ad.fn = ar.fn
 """,
 )
-def q156_qualified_usage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cocoindex_spark.operators.code_elements import code_views_df
-
+def _q156_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q156/q159 corpus: every doc carries a qualified caller; docs
+    with doc_id % 7 == 0 additionally define `mod srv{b} { fn api{c} }`
+    (b = doc_id % 3, c = doc_id % 4)."""
     d = table(spark, sf_dir, "documents").select("doc_id")
     b = (F.col("doc_id") % 3).cast("string")
     c = (F.col("doc_id") % 4).cast("string")
@@ -1811,10 +1812,16 @@ def q156_qualified_usage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("::api"), c, F.lit("() + local() }\n"),
         F.lit('// srv9::api9()\nstatic S: &str = "srv8::api8()";\n'),
     )
-    docs = d.withColumn(
+    return d.withColumn(
         "code",
         F.concat(F.when(F.col("doc_id") % 7 == 0, lib).otherwise(F.lit("")), caller),
     )
+
+
+def q156_qualified_usage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_elements import code_views_df
+
+    docs = _q156_docs(spark, sf_dir)
     # ONE Arrow extraction pass (elements + references share the lex);
     # the projected metadata frame is checkpointed so both aggregation
     # branches read it instead of re-lexing the corpus.
@@ -2056,3 +2063,117 @@ def q158_multilang_usage_resolution(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce(F.col("total_calls"), F.lit(0)).cast("long").alias("total_calls"),
         F.coalesce(F.col("n_calling_docs"), F.lit(0)).cast("long").alias("n_calling_docs"),
     )
+
+
+# --- q159: engine-synced USAGE INDEX with a name-probe layout — the
+#     q155-FTS seek shape applied to code usage search (reference
+#     types.rs:119-142 Declaration/Reference as the indexed rows; the
+#     reconcile machinery as the index maintainer). The corpus's
+#     element + reference rows are a sync target keyed per document
+#     with __probe=hash(name)%64 partition dirs, so "find usages of
+#     srv1::api2" reads ONLY api2's partition directories (planning-
+#     time file pruning) instead of re-extracting or scanning the
+#     whole index — and a document edit re-syncs exactly its rows
+#     (blast radius 1, pinned in tests/test_usage_index_sync.py).
+#     Value-identical to q156's from-scratch extraction filtered to
+#     the probe target.
+
+from cocoindex_spark.engine.function import fn as _coco_fn  # noqa: E402
+
+
+@_coco_fn(memo=True)
+def extract_usage_rows(df: DataFrame) -> DataFrame:
+    """Per-doc element+reference rows in index shape: (row_kind, kind,
+    name, owner, start) where owner is the declaration's namespace for
+    elements and the call site's qualifier chain for references — the
+    two sides of the usage-resolution equi-join share one column."""
+    from cocoindex_spark.operators.code_elements import code_views_df
+
+    v = code_views_df(df, "code", "rust")
+    return v.select(
+        "__args_fp",
+        "__component_path",
+        "doc_id",
+        F.col("cv_row_kind").alias("row_kind"),
+        F.col("cv_kind").alias("kind"),
+        F.col("cv_name").alias("name"),
+        F.when(F.col("cv_row_kind") == "element", F.col("cv_namespace"))
+        .otherwise(F.col("cv_qualifier"))
+        .alias("owner"),
+        F.col("cv_start").alias("start"),
+    )
+
+
+def sync_usage_index(app, docs: DataFrame):
+    """Sync docs (doc_id, code) into the name-probed usage index;
+    returns (target, stats)."""
+    import os as _os
+
+    target = app.target(
+        _os.path.join(app.state.root, "targets", "usage_idx"),
+        ["doc_id", "row_kind", "kind", "name", "start"],
+        "doc_id LONG, row_kind STRING, kind STRING, name STRING,"
+        " owner STRING, start LONG",
+    )
+    target.declare_index("usage", "code", probe_col="name", probe_buckets=64)
+    stats = app.sync_table(docs, ["doc_id"], extract_usage_rows, target)
+    return target, stats
+
+
+def _q159_probe(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    from cocoindex_spark.engine.app import App
+    from cocoindex_spark.state.store import _PROBE_COL
+
+    app = App("usageidx", state_dir=root, spark=spark)
+    target, _ = sync_usage_index(app, _q156_docs(spark, sf_dir))
+    # seek-shaped usage lookup: only the probed name's __probe dirs
+    pids = target.probe_partitions(spark, ["api2"])
+    rows = (
+        target.read_indexed(spark)
+        .filter(F.col(_PROBE_COL).isin(pids))
+        .filter((F.col("name") == "api2") & (F.col("owner") == "srv1"))
+    )
+    return rows.agg(
+        F.countDistinct(
+            F.when(
+                (F.col("row_kind") == "element") & (F.col("kind") == "function"),
+                F.col("doc_id"),
+            )
+        ).cast("long").alias("n_defining_docs"),
+        F.sum(
+            F.when(F.col("row_kind") == "reference", F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("total_calls"),
+        F.countDistinct(
+            F.when(F.col("row_kind") == "reference", F.col("doc_id"))
+        ).cast("long").alias("n_calling_docs"),
+    ).select(
+        F.lit("srv1").alias("namespace"),
+        F.lit("api2").alias("fn_name"),
+        "n_defining_docs",
+        "total_calls",
+        "n_calling_docs",
+    )
+
+
+@register(
+    "q159_usage_index_probe",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+defs AS (SELECT doc_id FROM d
+         WHERE doc_id % 7 = 0 AND doc_id % 3 = 1 AND doc_id % 4 = 2),
+refs AS (SELECT doc_id FROM d WHERE doc_id % 3 = 1 AND doc_id % 4 = 2)
+SELECT 'srv1' AS namespace, 'api2' AS fn_name,
+       CAST((SELECT COUNT(DISTINCT doc_id) FROM defs) AS BIGINT) AS n_defining_docs,
+       CAST((SELECT COUNT(*) FROM refs) AS BIGINT) AS total_calls,
+       CAST((SELECT COUNT(DISTINCT doc_id) FROM refs) AS BIGINT) AS n_calling_docs
+""",
+)
+def q159_usage_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="usage_idx_")
+    try:
+        return _q159_probe(spark, sf_dir, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -546,6 +546,21 @@ CHECKS = {
             r"ArrowEvalPython",
         ],
     ),
+    "q159_usage_index_probe": (
+        # seek-shaped usage search over the engine-synced element/
+        # reference index: the scan is partition-pruned to the probed
+        # NAME's __probe dirs; the result is one conditional aggregate
+        [
+            r"PartitionFilters: \[.*__probe.*(IN|=)",
+            r"HashAggregate",
+        ],
+        [
+            r"CartesianProduct",
+            r"SortMergeJoin",
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+        ],
+    ),
     "q146_shingle_containment": (
         # containment candidates prefix-filtered on the contained side
         # (rank window present), every join an equi hash/sort join
@@ -720,6 +735,11 @@ def main() -> None:
 
     _q136_root = tempfile.mkdtemp(prefix="audit_cmidx_")
     queries["q136_cm_sketch_read"] = lambda s, d: _q136_probe(s, d, _q136_root)
+
+    from cocoindex_spark.queries.codeq import _q159_probe
+
+    _q159_root = tempfile.mkdtemp(prefix="audit_usageidx_")
+    queries["q159_usage_index_probe"] = lambda s, d: _q159_probe(s, d, _q159_root)
 
     failures = 0
     for name, (must, must_not) in CHECKS.items():
