@@ -182,6 +182,7 @@ HEADLINE = [
     # element views; 4-language qualified-usage resolution)
     "q157_python_swift_elements",
     "q158_multilang_usage_resolution",
+    "q160_elements_on_corpus_text",
 ]
 
 

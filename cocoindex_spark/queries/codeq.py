@@ -2177,3 +2177,55 @@ def q159_usage_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _q159_probe(spark, sf_dir, root).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- q160: element extraction with REAL corpus text in the decoy
+#     positions — answers the standing nit that the code queries only
+#     lex doc_id-templated text: here each document's actual prose
+#     rides inside a string literal AND a line comment (sanitized only
+#     enough to keep the literal terminated: backslashes/quotes
+#     stripped, newlines collapsed). The lexer must drop every `fn` /
+#     `struct` / `mod` the prose happens to contain — exactly the
+#     comment/string-exactness guarantee, now exercised on
+#     variable-length real data. Elements stay deterministic, so the
+#     oracle is exact.
+@register(
+    "q160_elements_on_corpus_text",
+    oracle="""
+WITH d AS (SELECT doc_id,
+                  CAST(doc_id % 5 AS VARCHAR) AS a,
+                  CAST(doc_id % 3 AS VARCHAR) AS b,
+                  CAST(doc_id % 4 AS VARCHAR) AS c
+           FROM documents),
+rows_ AS (
+  SELECT doc_id, 'module' AS el_kind, 'm' || a AS el_name, '' AS el_namespace FROM d
+  UNION ALL SELECT doc_id, 'function', 'f' || b, 'm' || a FROM d
+  UNION ALL SELECT doc_id, 'constant', 'CORPUS' || c, '' FROM d
+  UNION ALL SELECT doc_id, 'function', 'tail' || a, '' FROM d
+)
+SELECT doc_id, el_kind, el_name, el_namespace FROM rows_
+""",
+)
+def q160_elements_on_corpus_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_spark.operators.code_elements import elements_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = (F.col("doc_id") % 5).cast("string")
+    b = (F.col("doc_id") % 3).cast("string")
+    c = (F.col("doc_id") % 4).cast("string")
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r'[\\"]', ""), r"[\r\n]+", " "
+    )
+    src = d.withColumn(
+        "code",
+        F.concat(
+            F.lit("mod m"), a, F.lit(" {\n    pub fn f"), b,
+            F.lit("() -> u64 { 1 }\n}\nstatic CORPUS"), c,
+            F.lit(': &str = "'), clean, F.lit('";\n// '), clean,
+            F.lit("\nfn tail"), a, F.lit("() -> u64 { m"), a,
+            F.lit("::f"), b, F.lit("() }\n"),
+        ),
+    )
+    return elements_df(src, "code", "rust").select(
+        "doc_id", "el_kind", "el_name", "el_namespace"
+    )

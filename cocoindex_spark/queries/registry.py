@@ -41,6 +41,7 @@ _PRIORITY: list[str] = [
     "q157_python_swift_elements",  # NEW in r8
     "q158_multilang_usage_resolution",  # NEW in r8
     "q159_usage_index_probe",  # NEW in r8 (synced usage index, name probe)
+    "q160_elements_on_corpus_text",  # NEW in r8 (real corpus text as decoys)
     "q152_element_kinds",  # touched: _deep_defs dedup key
     "q153_element_namespaces",  # touched: _deep_defs dedup key
     "q154_callsite_indegree",  # touched: single-pass code_views_df
@@ -88,7 +89,6 @@ _PRIORITY: list[str] = [
     "q130_css_regions",
     "q131_fortran_json_regions",
     "q132_pascal_definitions",
-    "q133_markdown_chunks",
     "q136_cm_sketch_read",
 ]
 
