@@ -34,7 +34,7 @@ import bisect
 import pandas as pd
 
 from cocoindex_spark.operators.code_boundaries import brace_definitions
-from cocoindex_spark.operators.code_match import tokenize
+from cocoindex_spark.operators.code_match import Tok, tokenize
 
 # Container kinds that contribute a namespace segment to members.
 _CONTAINERS = {
@@ -493,8 +493,9 @@ def _deep_defs(
     still surface. Two extra levels cover the reference's view shapes.
 
     ``toks``: the full text's token stream, if the caller already has
-    it — saves re-lexing at the top level (container-body slices still
-    lex their own bounded sub-texts)."""
+    it — saves re-lexing at the top level; recursion passes each body's
+    offset-rebased token span down, so the whole walk lexes the
+    document exactly once."""
     if toks is None:
         toks = tokenize(text, language)
     defs = brace_definitions(text, language, toks=toks) or []
@@ -516,7 +517,15 @@ def _deep_defs(
             continue
         off = toks[body[0]].start
         inner_text = text[off : toks[body[1]].start]
-        for m in _deep_defs(inner_text, language, depth + 1):
+        # Re-base the body's ALREADY-LEXED tokens instead of re-lexing
+        # the slice: lexing (regex scan) dominates extraction cost;
+        # shifting offsets is O(body tokens) and exact because the
+        # lexer is self-contained inside a balanced body.
+        sub_toks = [
+            Tok(t.text, t.start - off, t.end - off)
+            for t in toks[body[0] : body[1]]
+        ]
+        for m in _deep_defs(inner_text, language, depth + 1, toks=sub_toks):
             row = {**m, "start": m["start"] + off, "end": m["end"] + off,
                    "depth": d.get("depth", 0) + 1 + m.get("depth", 0)}
             key = (row["kind"], row["name"], row["end"])

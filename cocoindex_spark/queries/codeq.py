@@ -1758,6 +1758,29 @@ def q154_callsite_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q156_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q156/q159 corpus: every doc carries a qualified caller; docs
+    with doc_id % 7 == 0 additionally define `mod srv{b} { fn api{c} }`
+    (b = doc_id % 3, c = doc_id % 4)."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    b = (F.col("doc_id") % 3).cast("string")
+    c = (F.col("doc_id") % 4).cast("string")
+    m5 = (F.col("doc_id") % 5).cast("string")
+    lib = F.concat(
+        F.lit("mod srv"), b, F.lit(" { pub fn api"), c,
+        F.lit("() -> u64 { 1 } }\n"),
+    )
+    caller = F.concat(
+        F.lit("fn main"), m5, F.lit("() -> u64 { srv"), b,
+        F.lit("::api"), c, F.lit("() + local() }\n"),
+        F.lit('// srv9::api9()\nstatic S: &str = "srv8::api8()";\n'),
+    )
+    return d.withColumn(
+        "code",
+        F.concat(F.when(F.col("doc_id") % 7 == 0, lib).otherwise(F.lit("")), caller),
+    )
+
+
 # --- q156: cross-document qualified usage search — "find usages of
 #     srv::api across the codebase" (reference types.rs:119-142:
 #     Declaration.namespace + Reference; the namespace-RESOLVED join
@@ -1795,29 +1818,6 @@ SELECT ad.ns AS namespace, ad.fn AS fn_name, ad.n_defining_docs,
 FROM ad LEFT JOIN ar ON ad.ns = ar.ns AND ad.fn = ar.fn
 """,
 )
-def _q156_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The q156/q159 corpus: every doc carries a qualified caller; docs
-    with doc_id % 7 == 0 additionally define `mod srv{b} { fn api{c} }`
-    (b = doc_id % 3, c = doc_id % 4)."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
-    b = (F.col("doc_id") % 3).cast("string")
-    c = (F.col("doc_id") % 4).cast("string")
-    m5 = (F.col("doc_id") % 5).cast("string")
-    lib = F.concat(
-        F.lit("mod srv"), b, F.lit(" { pub fn api"), c,
-        F.lit("() -> u64 { 1 } }\n"),
-    )
-    caller = F.concat(
-        F.lit("fn main"), m5, F.lit("() -> u64 { srv"), b,
-        F.lit("::api"), c, F.lit("() + local() }\n"),
-        F.lit('// srv9::api9()\nstatic S: &str = "srv8::api8()";\n'),
-    )
-    return d.withColumn(
-        "code",
-        F.concat(F.when(F.col("doc_id") % 7 == 0, lib).otherwise(F.lit("")), caller),
-    )
-
-
 def q156_qualified_usage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cocoindex_spark.operators.code_elements import code_views_df
 
