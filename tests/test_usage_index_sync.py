@@ -78,3 +78,69 @@ def test_usage_index_blast_radius_and_probe(app, spark):
     )
     assert refs2.count() == 2
     assert {r["doc_id"] for r in refs2.collect()} == {2, 3}
+
+
+def test_usage_index_live_maintenance(app, spark, tmp_state):
+    """The usage index maintained through the LIVE path: a watched-file
+    edit re-syncs exactly the edited document's element/reference rows
+    across micro-batches, and the name probe keeps pruning file I/O —
+    the same generalization test_fts_live_maintenance pins for the FTS
+    postings target."""
+    import os
+
+    from cocoindex_spark.queries.codeq import extract_usage_rows
+    from cocoindex_spark.streaming.live import LiveSync
+    from test_probe_layout import files_read
+
+    target = app.target(
+        f"{tmp_state}/usage_live",
+        ["doc_id", "row_kind", "kind", "name", "start"],
+        "doc_id LONG, row_kind STRING, kind STRING, name STRING,"
+        " owner STRING, start LONG",
+    )
+    target.declare_index("usage", "code", probe_col="name", probe_buckets=64)
+
+    src_dir = os.path.join(tmp_state, "code_src")
+    ckpt = os.path.join(tmp_state, "usage_ckpt")
+    os.makedirs(src_dir)
+    schema = "doc_id LONG, code STRING, offset LONG"
+    spark.createDataFrame(
+        [
+            (1, "mod srv { pub fn api() -> u64 { 1 } }\n", 1),
+            (2, "fn go2() -> u64 { srv::api() + srv::api() }\n", 2),
+            (3, "fn go3() -> u64 { srv::api() }\n", 3),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(os.path.join(src_dir, "b1"))
+
+    sync = LiveSync(app, ["doc_id"], extract_usage_rows, target, order_cols=["offset"])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    q = sync.start(stream, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert sync.batch_stats[-1].memo_misses == 3
+
+    # watched edit: doc 2 drops one call site
+    spark.createDataFrame(
+        [(2, "fn go2() -> u64 { srv::api() }\n", 4)], schema
+    ).write.mode("overwrite").parquet(os.path.join(src_dir, "b2"))
+    q2 = sync.start(stream, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert sync.batch_stats[-1].memo_misses == 1  # blast radius 1
+
+    pids = target.probe_partitions(spark, ["api"])
+    probed = (
+        target.read_indexed(spark)
+        .filter(F.col(_PROBE_COL).isin(pids))
+        .filter(
+            (F.col("name") == "api")
+            & (F.col("owner") == "srv")
+            & (F.col("row_kind") == "reference")
+        )
+    )
+    assert {(r["doc_id"]) for r in probed.collect()} == {2, 3}
+    assert probed.count() == 2
+    assert files_read(probed) < files_read(target.read(spark))
