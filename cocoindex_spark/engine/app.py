@@ -49,6 +49,16 @@ from cocoindex_spark.sinks.table import TableTarget
 from cocoindex_spark.state.store import StateStore
 
 
+# pk types whose string cast round-trips exactly through the path
+# encoding (concat_ws writes the cast, _keys_from_paths casts back).
+# Floats/decimals/binary/timestamps are excluded: their string reprs
+# are not guaranteed bit-exact back-casts — those targets keep the
+# read-based delete mapping.
+_SAFE_PK_PARSE_TYPES = {
+    "string", "bigint", "int", "smallint", "tinyint", "boolean", "date",
+}
+
+
 def _keys_from_paths(
     paths: DataFrame, target_name: str, pk: list[str], pk_types: list[str]
 ) -> DataFrame:
@@ -872,30 +882,40 @@ class App:
                     .select(F.col("target_path").alias("__tp"))
                     .join(claimed, "__tp", "left_anti")
                 )
-                if hasattr(target, "read"):
+                # Recover pk values from the dead target paths whenever
+                # the parse round-trips exactly (the path encoding IS
+                # name/pk1/pk2/... — any value that would make the parse
+                # ambiguous would already collide in tracking, so this
+                # adds no new constraint). No sink scan at all: the
+                # pre-r9 shape read back the WHOLE target table to map
+                # one dead path to its pk — a full corpus-sized scan per
+                # delete-bearing sync at 100 TB. The read-based mapping
+                # survives only as the fallback for pk types whose
+                # string cast is not an exact round-trip.
+                pk_types = (
+                    [target.schema[c].dataType.simpleString() for c in target.pk]
+                    if hasattr(target, "schema")
+                    else None
+                )
+                # Exactness condition: every pk type round-trips its
+                # string cast, AND no column BEFORE the last is a
+                # string (a '/' inside a non-final string value would
+                # shift the split; the final column absorbs the
+                # remainder, so a trailing string pk is always exact).
+                parse_ok = (
+                    pk_types is not None
+                    and all(t in _SAFE_PK_PARSE_TYPES for t in pk_types)
+                    and all(t != "string" for t in pk_types[:-1])
+                )
+                if parse_ok or not hasattr(target, "read"):
+                    target.delete(
+                        _keys_from_paths(dead, target.name, target.pk, pk_types)
+                    )
+                else:
                     current = target.read(spark).withColumn(
                         "__tp", self._path_col(target.name, target.pk)
                     )
                     target.delete(current.join(dead, "__tp").select(*target.pk))
-                else:
-                    # APPLY-ONLY wire sinks can't be read back: recover
-                    # the pk values from the dead target paths (the
-                    # path encoding IS name/pk1/pk2/... — any value
-                    # that would make the parse ambiguous would already
-                    # collide in tracking, so this adds no new
-                    # constraint). No sink scan at all — at scale this
-                    # is strictly cheaper than the read-based mapping.
-                    target.delete(
-                        _keys_from_paths(
-                            dead,
-                            target.name,
-                            target.pk,
-                            [
-                                target.schema[c].dataType.simpleString()
-                                for c in target.pk
-                            ],
-                        )
-                    )
             _phase("sink_apply")
 
             # ---- Phase 4 commit: tracking + memo flush ----

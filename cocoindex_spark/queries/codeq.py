@@ -2229,3 +2229,246 @@ def q160_elements_on_corpus_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return elements_df(src, "code", "rust").select(
         "doc_id", "el_kind", "el_name", "el_namespace"
     )
+
+
+# --- q161: THE corpus code-views index — q159's engine-synced,
+#     name-probed usage index generalized to the full multi-language
+#     corpus (reference types.rs:119-142 Declaration/Reference rows;
+#     per-language namespace/qualifier syntaxes in elements/lang/*.rs;
+#     the reconcile machinery of execution.rs as the maintainer).
+#     Extract ONCE at sync time, serve every usage query via probe
+#     reads: five languages (rust `::` paths, java static-class `.`
+#     chains, go package selectors, typescript class statics, python
+#     dotted attribute chains incl. the deep `Pkg.Class.method` shape)
+#     land in ONE target partitioned by __probe=hash(name)%64, so
+#     "find usages of api2 anywhere, in any language" reads ONLY
+#     api2's partition dirs (planning-time file pruning, asserted in
+#     tools/explain_audit.py) instead of re-extracting the corpus.
+#     Each document's REAL corpus prose rides inside a string literal
+#     and a line comment (q160's decoy discipline, now in all five
+#     grammars) — the lexers/ast must drop every call-shaped token the
+#     prose contains. A document edit re-syncs exactly its rows
+#     (blast radius 1, pinned in tests/test_usage_index_sync.py).
+
+_CV_LANGS = ("rust", "java", "go", "typescript", "python")
+
+
+def _q161_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-language corpus: doc_id %% 5 picks the language; every doc
+    CALLS its namespace's api{c} (qualified); docs with doc_id %% 7 == 0
+    also DEFINE it (7 is coprime to the language/name selectors, so
+    defining docs spread over every group). Python docs additionally
+    exercise the deep dotted chain `Svc{b}.In{c}.m{c}()`. Real corpus
+    prose (quote/backslash-stripped, newline-collapsed) rides in a
+    comment AND a string literal in every document."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = (F.col("doc_id") % 5).cast("string")
+    b = (F.col("doc_id") % 3).cast("string")
+    c = (F.col("doc_id") % 4).cast("string")
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r'[\\"]', ""), r"[\r\n]+", " "
+    )
+    isdef = F.col("doc_id") % 7 == 0
+    empty = F.lit("")
+
+    def when_def(expr):
+        return F.when(isdef, expr).otherwise(empty)
+
+    templates = {
+        "rust": F.concat(
+            when_def(F.concat(
+                F.lit("mod srv"), b, F.lit(" { pub fn api"), c,
+                F.lit("() -> u64 { 1 } }\n"),
+            )),
+            F.lit("fn call"), a, F.lit("() -> u64 { srv"), b,
+            F.lit("::api"), c, F.lit("() }\n// "), clean,
+            F.lit('\nstatic S: &str = "'), clean, F.lit('";\n'),
+        ),
+        "java": F.concat(
+            when_def(F.concat(
+                F.lit("public class Svc"), b,
+                F.lit(" {\n    public static int api"), c,
+                F.lit("() { return 1; }\n}\n"),
+            )),
+            F.lit("public class Use"), a, F.lit(" {\n    public int go"),
+            a, F.lit('() { String t = "'), clean,
+            F.lit('"; return Svc'), b, F.lit(".api"), c,
+            F.lit("(); }\n}\n// "), clean, F.lit("\n"),
+        ),
+        "go": F.concat(
+            F.when(isdef, F.concat(F.lit("package svc"), b))
+            .otherwise(F.concat(F.lit("package use"), b)),
+            F.lit("\n\n"),
+            when_def(F.concat(
+                F.lit("func api"), c, F.lit("() int { return 1 }\n"),
+            )),
+            F.lit("func call"), a, F.lit("() int { return svc"), b,
+            F.lit(".api"), c, F.lit("() }\n// "), clean,
+            F.lit('\nconst s = "'), clean, F.lit('"\n'),
+        ),
+        "typescript": F.concat(
+            when_def(F.concat(
+                F.lit("class Svc"), b, F.lit(" {\n  static api"), c,
+                F.lit("(): number { return 1 }\n}\n"),
+            )),
+            F.lit("const r"), a, F.lit(" = Svc"), b, F.lit(".api"), c,
+            F.lit("()\n// "), clean, F.lit('\nconst s = "'), clean,
+            F.lit('"\n'),
+        ),
+        "python": F.concat(
+            when_def(F.concat(
+                F.lit("class Svc"), b, F.lit(":\n    class In"), c,
+                F.lit(":\n        def m"), c,
+                F.lit("(self):\n            return 1\n    def api"), c,
+                F.lit("(self):\n        return 1\n"),
+            )),
+            F.lit("r = Svc"), b, F.lit(".api"), c, F.lit("()\nt = Svc"),
+            b, F.lit(".In"), c, F.lit(".m"), c, F.lit("()\n# "), clean,
+            F.lit('\ns = "'), clean, F.lit('"\n'),
+        ),
+    }
+    code = None
+    for k, lang in enumerate(_CV_LANGS):
+        branch = F.when(F.col("doc_id") % 5 == k, templates[lang])
+        code = branch if code is None else code.when(
+            F.col("doc_id") % 5 == k, templates[lang]
+        )
+    lang_col = None
+    for k, lang in enumerate(_CV_LANGS):
+        branch = F.when(F.col("doc_id") % 5 == k, F.lit(lang))
+        lang_col = branch if lang_col is None else lang_col.when(
+            F.col("doc_id") % 5 == k, F.lit(lang)
+        )
+    return d.select(
+        "doc_id", lang_col.alias("lang"), code.alias("code")
+    )
+
+
+@_coco_fn(memo=True)
+def extract_code_view_rows(df: DataFrame) -> DataFrame:
+    """Per-doc element+reference rows for a MULTI-LANGUAGE corpus
+    (`lang` column routes each partition through its language's
+    extractor; one Arrow pass per language, union). Index shape:
+    (lang, row_kind, kind, name, owner, start) where owner is the
+    declaration's namespace for elements and the call site's
+    qualifier chain for references — the two sides of the
+    usage-resolution equi-join share one column (reference
+    types.rs:119-142)."""
+    from cocoindex_spark.operators.code_elements import code_views_df
+
+    out = None
+    for lang in _CV_LANGS:
+        v = code_views_df(df.filter(F.col("lang") == lang), "code", lang)
+        part = v.select(
+            "__args_fp",
+            "__component_path",
+            "doc_id",
+            F.lit(lang).alias("lang"),
+            F.col("cv_row_kind").alias("row_kind"),
+            F.col("cv_kind").alias("kind"),
+            F.col("cv_name").alias("name"),
+            F.when(F.col("cv_row_kind") == "element", F.col("cv_namespace"))
+            .otherwise(F.col("cv_qualifier"))
+            .alias("owner"),
+            F.col("cv_start").alias("start"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def sync_code_views_index(app, docs: DataFrame):
+    """Sync a multi-language (doc_id, lang, code) corpus into the
+    name-probed code-views index; returns (target, stats)."""
+    import os as _os
+
+    target = app.target(
+        _os.path.join(app.state.root, "targets", "code_views_idx"),
+        ["doc_id", "row_kind", "kind", "name", "start"],
+        "doc_id LONG, lang STRING, row_kind STRING, kind STRING,"
+        " name STRING, owner STRING, start LONG",
+    )
+    target.declare_index("usage", "code", probe_col="name", probe_buckets=64)
+    stats = app.sync_table(docs, ["doc_id"], extract_code_view_rows, target)
+    return target, stats
+
+
+def _q161_probe(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    from cocoindex_spark.engine.app import App
+    from cocoindex_spark.state.store import _PROBE_COL
+
+    app = App("cvidx", state_dir=root, spark=spark)
+    target, _ = sync_code_views_index(app, _q161_docs(spark, sf_dir))
+    # seek-shaped usage lookup across ALL five languages from ONE
+    # probe: only the probed names' __probe dirs are read
+    names = ["api2", "m1"]
+    pids = target.probe_partitions(spark, names)
+    rows = (
+        target.read_indexed(spark)
+        .filter(F.col(_PROBE_COL).isin(pids))
+        .filter(F.col("name").isin(names) & (F.col("owner") != ""))
+    )
+    return (
+        rows.groupBy(
+            "lang",
+            F.col("owner").alias("namespace"),
+            F.col("name").alias("fn_name"),
+        )
+        .agg(
+            F.countDistinct(
+                F.when(
+                    (F.col("row_kind") == "element")
+                    & F.col("kind").isin("function", "method"),
+                    F.col("doc_id"),
+                )
+            ).cast("long").alias("n_defining_docs"),
+            F.sum(
+                F.when(F.col("row_kind") == "reference", F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("total_calls"),
+            F.countDistinct(
+                F.when(F.col("row_kind") == "reference", F.col("doc_id"))
+            ).cast("long").alias("n_calling_docs"),
+        )
+    )
+
+
+@register(
+    "q161_code_views_index_probe",
+    oracle="""
+WITH d AS (SELECT doc_id,
+                  doc_id % 5 AS l,
+                  doc_id % 7 = 0 AS isdef,
+                  CAST(doc_id % 3 AS VARCHAR) AS b,
+                  CAST(doc_id % 4 AS VARCHAR) AS c
+           FROM documents),
+langs(l, lang, pre) AS (
+  VALUES (0, 'rust', 'srv'), (1, 'java', 'Svc'), (2, 'go', 'svc'),
+         (3, 'typescript', 'Svc'), (4, 'python', 'Svc')),
+api AS (
+  SELECT d.doc_id, langs.lang, pre || b AS namespace,
+         'api' || c AS fn, d.isdef
+  FROM d JOIN langs ON d.l = langs.l
+  WHERE 'api' || c = 'api2'
+),
+m AS (
+  SELECT d.doc_id, 'python' AS lang,
+         'Svc' || b || '.In' || c AS namespace, 'm' || c AS fn, d.isdef
+  FROM d WHERE d.l = 4 AND 'm' || c = 'm1'
+),
+allr AS (SELECT * FROM api UNION ALL SELECT * FROM m)
+SELECT lang, namespace, fn AS fn_name,
+       CAST(COUNT(DISTINCT CASE WHEN isdef THEN doc_id END) AS BIGINT)
+         AS n_defining_docs,
+       CAST(COUNT(*) AS BIGINT) AS total_calls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_calling_docs
+FROM allr GROUP BY lang, namespace, fn
+""",
+)
+def q161_code_views_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="cv_idx_")
+    try:
+        return _q161_probe(spark, sf_dir, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

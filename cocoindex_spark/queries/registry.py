@@ -40,70 +40,66 @@ def register(name: str, oracle: str | None = None):
 # must come first. This list is refreshed each round from the previous
 # CORRECTNESS_r{N}.json: never-checked first, then stalest-checked.
 _PRIORITY: list[str] = [
-    # r8 rotation (the driver checks ~the first 50 rows). Window:
-    # (a) queries NEW this round (q157 python/swift element views,
-    # q158 multi-language qualified usage), (b) queries whose CODE
-    # changed since their last verdict — the element-view machinery
-    # gained single-pass extraction, an end-keyed dedup in _deep_defs,
-    # and member-header reference exclusion (q152/q153/q154/q156) —
-    # then (c) the stalest set: the whole r4-checked batch (q60-q65,
-    # q97-q101) and the r5-checked q102-q136 block. Everything else
-    # stays registered and locally value-verified; it rotates back
-    # next round (remaining r5: q138-q143, q29, q46-q49, q76, q80,
-    # q89).
-    "q157_python_swift_elements",  # NEW in r8
-    "q158_multilang_usage_resolution",  # NEW in r8
-    "q159_usage_index_probe",  # NEW in r8 (synced usage index, name probe)
-    "q160_elements_on_corpus_text",  # NEW in r8 (real corpus text as decoys)
-    "q152_element_kinds",  # touched: _deep_defs dedup key
-    "q153_element_namespaces",  # touched: _deep_defs dedup key
-    "q154_callsite_indegree",  # touched: single-pass code_views_df
-    "q156_qualified_usage_search",  # touched: single-pass code_views_df
-    # stalest: last driver-checked in round 4
-    "q60_reconcile_actions",
-    "q61_memo_miss_join",
-    "q62_connected_components",
-    "q63_rrf_hybrid",
-    "q64_child_existence_diff",
-    "q65_entity_resolution",
-    "q97_shared_sql_doc_quality",
-    "q98_brace_definitions",
-    "q99_pair_relation_read",
-    "q100_brace_chunks",
-    "q101_tfidf_top_terms",
-    # stalest: last driver-checked in round 5
-    "q102_hll_distinct",
-    "q103_countmin_heavy_hitters",
-    "q104_bfs_reachability",
-    "q105_bloom_prefilter_join",
-    "q106_hll_overlap_matrix",
-    "q107_hist_quantiles",
-    "q108_template_literal_chunks",
-    "q109_int8_quantized_topk",
-    "q110_c_preproc_definitions",
-    "q111_ruby_definitions",
-    "q112_lua_definitions",
-    "q113_kmeans_clusters",
-    "q114_semdedup",
-    "q115_dup_spans",
-    "q116_leakage_safe_split",
-    "q117_mmr_rerank",
-    "q118_ivf_kmeans_topk",
-    "q119_importance_weights",
-    "q120_decontaminated_corpus",
-    "q121_rate_anomaly",
-    "q122_julia_definitions",
-    "q123_r_definitions",
-    "q124_sql_definitions",
-    "q125_markdown_sections",
-    "q127_quantization_recall",
-    "q128_html_regions",
-    "q129_config_sections",
-    "q130_css_regions",
-    "q131_fortran_json_regions",
-    "q132_pascal_definitions",
-    "q136_cm_sketch_read",
+    # r9 rotation (the driver checks ~the first 50 rows). Window:
+    # (a) NEW this round: q161 (the corpus code-views index — q159
+    # generalized to five languages incl. python dotted chains),
+    # (b) the stalest set: the whole r5-checked batch (q29, q46-q49,
+    # q76, q80, q89, q133-q143 remainder), then the r6-checked block
+    # in numeric order up to the ~50-row window. The 13 remaining
+    # r6-checked queries (q85-q92 tail, q126, q142, q146-q151 tail)
+    # roll to r10. Everything else stays registered and locally
+    # value-verified.
+    "q161_code_views_index_probe",  # NEW in r9
+    "q29_ast_chunks",
+    "q46_code_language",
+    "q47_code_pattern",
+    "q48_structural_captures",
+    "q49_definition_views",
+    "q76_simhash_wide_pairs",
+    "q80_dup_retention",
+    "q89_source_overlap",
+    "q133_markdown_chunks",
+    "q134_rust_captures",
+    "q135_hll_sketch_read",
+    "q138_containment_match",
+    "q139_gopher_rules",
+    "q140_unigram_surprisal",
+    "q141_copurchase_recs",
+    "q143_balanced_epoch_sample",
+    "q01_pricing_summary",
+    "q02_topk_orders",
+    "q03_revenue_by_nation",
+    "q04_priority_semijoin",
+    "q28_pq_topk",
+    "q31_ngram_jaccard_pairs",
+    "q39_filter_pipeline",
+    "q50_tumbling_daily",
+    "q51_sessionization",
+    "q52_hourly_uniques",
+    "q53_event_transitions",
+    "q54_asof_attribution",
+    "q55_range_click_burst",
+    "q57_source_quantiles",
+    "q58_deterministic_sample",
+    "q59_split_assignment",
+    "q66_graph_degree",
+    "q67_motif_cosupplier",
+    "q68_supplier_triangles",
+    "q70_multimodal_decode",
+    "q71_multimodal_stats",
+    "q72_multimodal_frames",
+    "q73_transcribe",
+    "q74_frame_near_dup",
+    "q75_fts_bm25",
+    "q77_token_packing",
+    "q78_contamination",
+    "q79_ast_definitions",
+    "q81_mixture_weights",
+    "q82_pagerank",
+    "q83_multiprobe_topk",
+    "q84_event_dedup_windowed",
 ]
+
 
 
 def _ordered(d: dict) -> dict:

@@ -561,6 +561,23 @@ CHECKS = {
             r"ArrowEvalPython",
         ],
     ),
+    "q161_code_views_index_probe": (
+        # THE corpus code-views index (q159 generalized to 5 languages):
+        # one name-probe serves cross-language usage resolution; the
+        # scan is partition-pruned to the probed names' __probe dirs
+        # and NO extraction (Python eval) appears in the read plan —
+        # extract-once-at-sync-time is the point
+        [
+            r"PartitionFilters: \[.*__probe.*(IN|=)",
+            r"HashAggregate",
+        ],
+        [
+            r"CartesianProduct",
+            r"SortMergeJoin",
+            r"BatchEvalPython",
+            r"ArrowEvalPython",
+        ],
+    ),
     "q146_shingle_containment": (
         # containment candidates prefix-filtered on the contained side
         # (rank window present), every join an equi hash/sort join
@@ -698,6 +715,14 @@ def _grep_sf_scaling_hints() -> list[str]:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Optional name filter: audit only the named checks (fast iteration
+    # on a single query's plan; the per-round full audit passes no names).
+    only = set(sys.argv[2:])
+    if only:
+        for d in (CHECKS, COUNT_CHECKS):
+            for k in [k for k in d if k not in only]:
+                del d[k]
+        NO_BROADCAST_HINT[:] = [n for n in NO_BROADCAST_HINT if n in only]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(all_queries())
@@ -740,6 +765,11 @@ def main() -> None:
 
     _q159_root = tempfile.mkdtemp(prefix="audit_usageidx_")
     queries["q159_usage_index_probe"] = lambda s, d: _q159_probe(s, d, _q159_root)
+
+    from cocoindex_spark.queries.codeq import _q161_probe
+
+    _q161_root = tempfile.mkdtemp(prefix="audit_cvidx_")
+    queries["q161_code_views_index_probe"] = lambda s, d: _q161_probe(s, d, _q161_root)
 
     failures = 0
     for name, (must, must_not) in CHECKS.items():
