@@ -864,8 +864,10 @@ class App:
                     payload_miss.unionByName(replay_payload),
                     ["__args_fp", "target_path"],
                     "inner",
-                )
-                target.upsert(upsert_rows.select(*out_cols))
+                ).select(*out_cols)
+            else:
+                upsert_rows = None
+            dead_keys = None
             if stats.deletes:
                 # Map deleted target_paths back to pk values via the sink.
                 # Ownership preemption (execution.rs:948-995): a path
@@ -908,21 +910,37 @@ class App:
                     and all(t != "string" for t in pk_types[:-1])
                 )
                 if parse_ok or not hasattr(target, "read"):
-                    target.delete(
-                        _keys_from_paths(dead, target.name, target.pk, pk_types)
-                    )
+                    dead_keys = _keys_from_paths(dead, target.name, target.pk, pk_types)
                 else:
                     current = target.read(spark).withColumn(
                         "__tp", self._path_col(target.name, target.pk)
                     )
-                    target.delete(current.join(dead, "__tp").select(*target.pk))
+                    dead_keys = current.join(dead, "__tp").select(*target.pk)
+            # Mixed syncs (a rename is add + cascade delete) apply both
+            # channels in ONE bucket-scoped rewrite when the sink
+            # supports it — buckets touched by both would otherwise be
+            # version-written and pointer-swapped twice.
+            if (
+                upsert_rows is not None
+                and dead_keys is not None
+                and hasattr(target, "merge_apply")
+            ):
+                target.merge_apply(upsert_rows, dead_keys)
+            else:
+                if upsert_rows is not None:
+                    target.upsert(upsert_rows)
+                if dead_keys is not None:
+                    target.delete(dead_keys)
             _phase("sink_apply")
 
             # ---- Phase 4 commit: tracking + memo flush ----
             applied, deleted = tracking_updates(plan, version)
-            self.state.tracking.merge_upsert(applied, touched=bks)
-            if stats.deletes:  # skip the delete merge job on pure upsert runs
-                self.state.tracking.delete_keys(deleted)
+            if stats.deletes:
+                # one combined rewrite: upserted AND deleted tracking
+                # rows land in a single version write + pointer swap
+                self.state.tracking.merge_apply(applied, deleted, touched=bks)
+            else:  # skip the delete merge job on pure upsert runs
+                self.state.tracking.merge_upsert(applied, touched=bks)
             _phase("tracking_commit")
 
         # ---- source_fp map maintenance (two-level change detection) ----

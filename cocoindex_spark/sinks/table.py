@@ -67,6 +67,14 @@ class TableTarget:
     def delete(self, keys: DataFrame) -> None:
         self._table.delete_keys(keys)
 
+    def merge_apply(self, rows: DataFrame, delete_keys: DataFrame) -> None:
+        """Upserts + deletions in one bucket-scoped rewrite (one
+        version write, one pointer swap) — the engine uses this on
+        mixed syncs instead of upsert-then-delete."""
+        self._table.merge_apply(
+            rows.select(*[f.name for f in self.schema.fields]), delete_keys
+        )
+
     # -- schema contract (target_state.mdx:140-144 schema evolution) ----
     def stored_contract(self) -> dict | None:
         """The (pk, schema) contract recorded at last sync; None before

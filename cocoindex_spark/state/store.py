@@ -413,6 +413,41 @@ class ManagedTable:
         finally:
             keys.unpersist()
 
+    def merge_apply(
+        self,
+        updates: DataFrame,
+        deletes: DataFrame,
+        touched: list[int] | None = None,
+    ) -> None:
+        """Upserts AND key deletions in ONE bucket-scoped rewrite +
+        ONE pointer swap. Semantics = merge_upsert(updates) followed
+        by delete_keys(deletes) (a key in both channels ends deleted),
+        but buckets touched by both channels are rewritten once, not
+        twice — a mixed sync (rename = add + cascade delete) otherwise
+        pays two version writes and two swaps per table. ``touched``
+        optionally carries precomputed bucket ids for the UPDATE keys
+        (the delete keys' buckets are always discovered here)."""
+        updates = updates.select(*[f.name for f in self.schema.fields]).cache()
+        deletes = deletes.select(self.key_cols).distinct().cache()
+        try:
+            t_up = self._touched_buckets(updates) if touched is None else touched
+            t_del = self._touched_buckets(deletes)
+            all_touched = sorted(set(t_up) | set(t_del))
+            if not all_touched:
+                return
+            current = self.read(updates.sparkSession, all_touched)
+            gone = (
+                updates.select(self.key_cols)
+                .unionByName(deletes)
+                .distinct()
+            )
+            kept = current.join(gone, self.key_cols, "left_anti")
+            live_updates = updates.join(deletes, self.key_cols, "left_anti")
+            self._merge_into_buckets(all_touched, kept.unionByName(live_updates))
+        finally:
+            updates.unpersist()
+            deletes.unpersist()
+
 
 def _schema(*fields: tuple) -> StructType:
     # Built without fromDDL: that needs an active SparkContext at

@@ -127,3 +127,45 @@ def test_legacy_pointer_format(spark, tmp_state):
     t2 = ManagedTable(os.path.join(tmp_state, "t"), ["k"], _schema(), n_buckets=4)
     assert t2._meta()[0] == 4
     assert _rows(t2, spark) == {("a", 1), ("b", 2)}
+
+
+def test_merge_apply_combined_upsert_delete(spark, tmp_state):
+    """merge_apply = merge_upsert + delete_keys in ONE bucket rewrite
+    (the mixed-sync path): upserts land, deleted keys vanish, a key in
+    BOTH channels ends deleted (sequential semantics), untouched keys
+    survive — and only one new version is published."""
+    t = ManagedTable(os.path.join(tmp_state, "t"), ["k"], _schema())
+    t.merge_upsert(
+        spark.createDataFrame([("a", 1), ("b", 2), ("c", 3), ("d", 4)], _schema())
+    )
+    versions_before = set(t._pointer().values())
+
+    t.merge_apply(
+        spark.createDataFrame([("b", 20), ("e", 5), ("x", 9)], _schema()),
+        spark.createDataFrame([("a", 0), ("x", 0)], _schema()).select("k"),
+    )
+    # b updated, e inserted, a deleted, x (both channels) deleted,
+    # c/d untouched
+    assert _rows(t, spark) == {("b", 20), ("c", 3), ("d", 4), ("e", 5)}
+    # exactly one new version name across all rewritten buckets
+    assert len(set(t._pointer().values()) - versions_before) == 1
+
+    # idempotent re-application converges
+    t.merge_apply(
+        spark.createDataFrame([("b", 20), ("e", 5), ("x", 9)], _schema()),
+        spark.createDataFrame([("a", 0), ("x", 0)], _schema()).select("k"),
+    )
+    assert _rows(t, spark) == {("b", 20), ("c", 3), ("d", 4), ("e", 5)}
+
+    # degenerate channels: empty updates = delete_keys; empty deletes =
+    # merge_upsert
+    t.merge_apply(
+        spark.createDataFrame([], _schema()),
+        spark.createDataFrame([("e", 0)], _schema()).select("k"),
+    )
+    assert _rows(t, spark) == {("b", 20), ("c", 3), ("d", 4)}
+    t.merge_apply(
+        spark.createDataFrame([("f", 6)], _schema()),
+        spark.createDataFrame([], "k STRING"),
+    )
+    assert _rows(t, spark) == {("b", 20), ("c", 3), ("d", 4), ("f", 6)}
