@@ -53,6 +53,9 @@ PROBE_QUERIES = [
     "q156_qualified_usage_search",
     "q157_python_swift_elements",
     "q158_multilang_usage_resolution",
+    # r9: the corpus code-views index — sync (extraction + probe-layout
+    # write) dominates; the probe read itself is file-pruned
+    "q161_code_views_index_probe",
 ]
 
 _SHIFTS = {
