@@ -350,6 +350,35 @@ def bench_incremental(spark, sf_dir: str, timings: dict, phases: dict | None = N
         shutil.rmtree(root, ignore_errors=True)
 
 
+def code_hash() -> str:
+    """Content hash of everything that can change a bench number:
+    the engine/query source, the tools, this file, and the entry
+    module. Two runs with equal code_hash ran IDENTICAL code even if
+    the git tree was dirty — tools/bench_estimate.py refuses to pool
+    per-query mins across differing hashes."""
+    import hashlib
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    paths: list[str] = [
+        os.path.join(repo, "bench.py"),
+        os.path.join(repo, "__spark_entry__.py"),
+    ]
+    for root in ("cocoindex_spark", "tools"):
+        for dirpath, dirnames, filenames in os.walk(os.path.join(repo, root)):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            paths.extend(
+                os.path.join(dirpath, f) for f in filenames if f.endswith(".py")
+            )
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, repo).encode())
+        h.update(b"\x00")
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -420,7 +449,12 @@ def main() -> None:
     # Stamp the run with the exact code state (r8 judge finding #1: a
     # min-of-N estimate took one query's min from runs of a broken
     # mid-session build; per-query mins must only span runs whose SHA
-    # matches the code being graded).
+    # matches the code being graded). The dirty flag is scoped to
+    # TRACKED SOURCE paths (r9 judge finding #3: untracked
+    # bench_results/*.json made every run read dirty, so the flag
+    # carried no signal); code_hash is a content hash of the source
+    # tree itself, so same-code min-pooling is machine-checkable even
+    # between commits.
     try:
         import subprocess
 
@@ -430,7 +464,8 @@ def main() -> None:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout.strip()
         _dirty = bool(subprocess.run(
-            ["git", "status", "--porcelain"],
+            ["git", "status", "--porcelain", "--untracked-files=no", "--",
+             "cocoindex_spark", "tools", "bench.py", "__spark_entry__.py"],
             capture_output=True, text=True, timeout=10,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout.strip())
@@ -446,6 +481,7 @@ def main() -> None:
         "cpus": CPUS,
         "git_sha": _sha,
         "git_dirty": _dirty,
+        "code_hash": code_hash(),
     }
     # Persist the FULL result set: the driver's BENCH_r{N}.json keeps
     # only a truncated tail of stdout, which loses the early queries

@@ -69,9 +69,12 @@ def _keys_from_paths(
     containing '/' would already collide in tracking)."""
     rest = F.expr(f"substring(__tp, {len(target_name) + 2})")
     parts = F.split(rest, "/", len(pk))
+    # try_cast, not cast: a NULL pk component encodes as an EMPTY
+    # segment (see App._path_col), and '' must parse back to NULL
+    # rather than throw under ANSI mode.
     return paths.select(
         *[
-            parts.getItem(i).cast(pk_types[i]).alias(col)
+            parts.getItem(i).try_cast(pk_types[i]).alias(col)
             for i, col in enumerate(pk)
         ]
     )
@@ -213,7 +216,18 @@ class App:
     # -- helpers ----------------------------------------------------------
     @staticmethod
     def _path_col(prefix: str, cols: list[str]) -> F.Column:
-        return F.concat_ws("/", F.lit(prefix), *[F.col(c).cast("string") for c in cols])
+        # NULL pk components encode as an EMPTY segment (concat_ws
+        # would silently DROP them, shifting every later segment so
+        # _keys_from_paths would parse — and delete — the wrong key).
+        # With the explicit encoding a NULL non-final component still
+        # round-trips for non-string safe types ('' casts back to
+        # NULL); NULL strings collide with '' exactly as they already
+        # do in tracking.
+        parts: list[F.Column] = [F.lit(prefix)]
+        for c in cols:
+            parts.append(F.lit("/"))
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        return F.concat(*parts)
 
     def target(self, path: str, pk: list[str], schema) -> TableTarget:
         from pyspark.sql.types import StructType
@@ -909,6 +923,13 @@ class App:
                     and all(t in _SAFE_PK_PARSE_TYPES for t in pk_types)
                     and all(t != "string" for t in pk_types[:-1])
                 )
+                if pk_types is None and not hasattr(target, "read"):
+                    raise TypeError(
+                        f"target {target.name!r} bears deletes but exposes "
+                        "neither `schema` (to parse pk values from the "
+                        "path encoding) nor `read` (to map them back from "
+                        "the sink) — apply-only sinks must declare a schema"
+                    )
                 if parse_ok or not hasattr(target, "read"):
                     dead_keys = _keys_from_paths(dead, target.name, target.pk, pk_types)
                 else:
@@ -920,8 +941,13 @@ class App:
             # channels in ONE bucket-scoped rewrite when the sink
             # supports it — buckets touched by both would otherwise be
             # version-written and pointer-swapped twice.
+            # COCO_FUSE_MERGE_APPLY=0 restores the two-pass
+            # upsert-then-delete shape — the A/B lever for measuring
+            # the fusion (r9 verdict finding #1), not a user knob.
+            fuse = os.environ.get("COCO_FUSE_MERGE_APPLY", "1") != "0"
             if (
-                upsert_rows is not None
+                fuse
+                and upsert_rows is not None
                 and dead_keys is not None
                 and hasattr(target, "merge_apply")
             ):
@@ -935,10 +961,13 @@ class App:
 
             # ---- Phase 4 commit: tracking + memo flush ----
             applied, deleted = tracking_updates(plan, version)
-            if stats.deletes:
+            if stats.deletes and fuse:
                 # one combined rewrite: upserted AND deleted tracking
                 # rows land in a single version write + pointer swap
                 self.state.tracking.merge_apply(applied, deleted, touched=bks)
+            elif stats.deletes:
+                self.state.tracking.merge_upsert(applied, touched=bks)
+                self.state.tracking.delete_keys(deleted)
             else:  # skip the delete merge job on pure upsert runs
                 self.state.tracking.merge_upsert(applied, touched=bks)
             _phase("tracking_commit")
@@ -1311,6 +1340,13 @@ class App:
           state is written through on the next reconcile even when its
           fingerprint matches (lossy backfill).
         """
+        if not hasattr(target, "schema"):
+            raise TypeError(
+                f"target {target.name!r} declares no `schema` — every sink "
+                "needs one for the stored (pk, columns) contract, and "
+                "apply-only sinks (no `read`) additionally need it to parse "
+                "pk values back from the path encoding on deletes"
+            )
         declared = {
             "pk": target.pk,
             "columns": [[f.name, f.dataType.simpleString()] for f in target.schema.fields],

@@ -40,64 +40,65 @@ def register(name: str, oracle: str | None = None):
 # must come first. This list is refreshed each round from the previous
 # CORRECTNESS_r{N}.json: never-checked first, then stalest-checked.
 _PRIORITY: list[str] = [
-    # r9 rotation (the driver checks ~the first 50 rows). Window:
-    # (a) NEW this round: q161 (the corpus code-views index — q159
-    # generalized to five languages incl. python dotted chains),
-    # (b) the stalest set: the whole r5-checked batch (q29, q46-q49,
-    # q76, q80, q89, q133-q143 remainder), then the r6-checked block
-    # in numeric order up to the ~50-row window. The 13 remaining
-    # r6-checked queries (q85-q92 tail, q126, q142, q146-q151 tail)
-    # roll to r10. Everything else stays registered and locally
-    # value-verified.
-    "q161_code_views_index_probe",  # NEW in r9
-    "q29_ast_chunks",
-    "q46_code_language",
-    "q47_code_pattern",
-    "q48_structural_captures",
-    "q49_definition_views",
-    "q76_simhash_wide_pairs",
-    "q80_dup_retention",
-    "q89_source_overlap",
-    "q133_markdown_chunks",
-    "q134_rust_captures",
-    "q135_hll_sketch_read",
-    "q138_containment_match",
-    "q139_gopher_rules",
-    "q140_unigram_surprisal",
-    "q141_copurchase_recs",
-    "q143_balanced_epoch_sample",
-    "q01_pricing_summary",
-    "q02_topk_orders",
-    "q03_revenue_by_nation",
-    "q04_priority_semijoin",
-    "q28_pq_topk",
-    "q31_ngram_jaccard_pairs",
-    "q39_filter_pipeline",
-    "q50_tumbling_daily",
-    "q51_sessionization",
-    "q52_hourly_uniques",
-    "q53_event_transitions",
-    "q54_asof_attribution",
-    "q55_range_click_burst",
-    "q57_source_quantiles",
-    "q58_deterministic_sample",
-    "q59_split_assignment",
-    "q66_graph_degree",
-    "q67_motif_cosupplier",
-    "q68_supplier_triangles",
-    "q70_multimodal_decode",
-    "q71_multimodal_stats",
-    "q72_multimodal_frames",
-    "q73_transcribe",
-    "q74_frame_near_dup",
-    "q75_fts_bm25",
-    "q77_token_packing",
-    "q78_contamination",
-    "q79_ast_definitions",
-    "q81_mixture_weights",
-    "q82_pagerank",
-    "q83_multiprobe_topk",
-    "q84_event_dedup_windowed",
+    # r10 rotation (the driver checks ~the first 50 rows). Window:
+    # (a) CODE-TOUCHED this round: q154/q156/q158, re-pointed to serve
+    # from the engine-synced code-views index (extract-once-serve-many
+    # — same oracles, new read path), (b) the whole r6-stale cohort
+    # (14 queries, the oldest driver verdicts left), (c) the r7-checked
+    # block in numeric order up to the ~50-row window. The 14 remaining
+    # r7-checked queries (q42-q45, q56, q93-q96, q137, q144, q145,
+    # q147, q155) roll to r11. Everything else stays registered and
+    # locally value-verified.
+    "q154_callsite_indegree",  # re-pointed at the code-views index
+    "q156_qualified_usage_search",  # re-pointed at the code-views index
+    "q162_usage_probe_served",  # NEW: seek probe SERVED from q156's index
+    "q158_multilang_usage_resolution",  # re-pointed at the code-views index
+    "q126_detector_eval",
+    "q142_session_search",
+    "q146_shingle_containment",
+    "q148_bigram_surprisal",
+    "q149_hamming_topk",
+    "q150_oov_rate",
+    "q151_import_indegree",
+    "q85_funnel",
+    "q86_retention_weekly",
+    "q87_outlier_trim",
+    "q88_length_bucketed_batches",
+    "q90_phrase_search",
+    "q91_sliding_revenue",
+    "q92_decayed_user_value",
+    "q06_groupby_scoring",
+    "q07_customers_without_orders",
+    "q08_unreferenced_parts",
+    "q09_last_wins_per_key",
+    "q10_ownership_latest_supplier",
+    "q11_stats_rollup",
+    "q12_selective_scan",
+    "q13_json_props",
+    "q14_rollup_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_banded_revenue",
+    "q20_vector_topk",
+    "q21_knn_batch",
+    "q22_similarity_join_blocked",
+    "q23_lsh_bucket_join",
+    "q24_label_centroids",
+    "q25_ivf_topk",
+    "q26_hash_embed_knn",
+    "q27_multivector_maxsim",
+    "q30_exact_dedup",
+    "q32_minhash_lsh_pairs",
+    "q33_simhash_pairs",
+    "q34_embedding_neardup",
+    "q35_repetition_ngrams",
+    "q36_pii_scrub",
+    "q37_normalized_dedup",
+    "q38_bpe_token_estimate",
+    "q40_token_stats",
+    "q41_quality_score",
 ]
 
 
