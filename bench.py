@@ -183,6 +183,11 @@ HEADLINE = [
     "q157_python_swift_elements",
     "q158_multilang_usage_resolution",
     "q160_elements_on_corpus_text",
+    # round-10: the seek probe served from q156's code-views index
+    # (q156 runs earlier in this list and builds the shared index, so
+    # both of q162's iterations measure the pruned read path — the
+    # extract-once-serve-many payoff the pipe_* phases' sync costs buy)
+    "q162_usage_probe_served",
 ]
 
 
