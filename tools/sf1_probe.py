@@ -51,6 +51,9 @@ PROBE_QUERIES = [
     "q153_element_namespaces",
     "q154_callsite_indegree",
     "q156_qualified_usage_search",
+    # r10: the seek probe served from q156's index — q156 just built it
+    # in this process, so this times the pruned READ path at each scale
+    "q162_usage_probe_served",
     "q157_python_swift_elements",
     "q158_multilang_usage_resolution",
     # r9: the corpus code-views index — sync (extraction + probe-layout
