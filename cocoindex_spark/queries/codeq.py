@@ -1540,48 +1540,34 @@ SELECT doc_id, 'function', 'free' || CAST(doc_id % 3 AS VARCHAR) FROM d
 """,
 )
 def q152_element_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cocoindex_spark.operators.code_match import definitions_df
-
-    d = table(spark, sf_dir, "documents").select("doc_id")
-    a = (F.col("doc_id") % 4).cast("string")
-    b = (F.col("doc_id") % 5).cast("string")
-    c = (F.col("doc_id") % 3).cast("string")
-    code = F.concat(
-        F.lit("struct S"), a, F.lit(";\nimpl S"), a,
-        F.lit(" {\n    fn m"), b, F.lit("(&self) -> u64 { 1 }\n}\nfn free"),
-        c, F.lit("() -> u64 { 2 }\n// fn fake() {}\n"),
-        F.lit('const X: &str = "fn fake2() {}";\n'),
-    )
-    defs = definitions_df(d.withColumn("code", code), "code", "rust").select(
-        "doc_id", "def_kind", "def_name", "def_start", "def_end"
-    )
-    impls = defs.filter(F.col("def_kind") == "impl").select(
-        "doc_id",
-        F.col("def_start").alias("i_start"),
-        F.col("def_end").alias("i_end"),
-    )
-    fns = defs.filter(F.col("def_kind") == "function")
-    classified_fns = (
-        fns.join(impls, "doc_id", "left")
-        .withColumn(
-            "element_kind",
-            F.when(
-                F.col("i_start").isNotNull()
-                & (F.col("def_start") >= F.col("i_start"))
-                & (F.col("def_end") <= F.col("i_end")),
-                F.lit("method"),
-            ).otherwise(F.lit("function")),
+    # Served from the engine-synced code-views index (see q154): the
+    # extractor's element classifier already promotes a fn whose span
+    # sits inside an impl region to `method` (the same containment rule
+    # the pre-r10 definitions_df join computed at query time), so THIS
+    # read plan is a pure parquet scan + filter — zero extraction, no
+    # join, no window.
+    def docs(spark, sf_dir):
+        d = table(spark, sf_dir, "documents").select("doc_id")
+        a = (F.col("doc_id") % 4).cast("string")
+        b = (F.col("doc_id") % 5).cast("string")
+        c = (F.col("doc_id") % 3).cast("string")
+        code = F.concat(
+            F.lit("struct S"), a, F.lit(";\nimpl S"), a,
+            F.lit(" {\n    fn m"), b, F.lit("(&self) -> u64 { 1 }\n}\nfn free"),
+            c, F.lit("() -> u64 { 2 }\n// fn fake() {}\n"),
+            F.lit('const X: &str = "fn fake2() {}";\n'),
         )
-        # a fn matching several impl rows would duplicate; keep the
-        # strongest classification per definition (method wins)
-        .groupBy("doc_id", "def_name", "def_start")
-        .agg(F.max("element_kind").alias("element_kind"))
-        .select("doc_id", F.col("element_kind"), F.col("def_name").alias("name"))
+        return d.select("doc_id", F.lit("rust").alias("lang"), code.alias("code"))
+
+    views = _served_cv_index(spark, sf_dir, "q152", docs, langs=("rust",)).read(spark)
+    return views.filter(
+        (F.col("row_kind") == "element")
+        & F.col("kind").isin("struct", "impl", "method", "function")
+    ).select(
+        "doc_id",
+        F.col("kind").alias("element_kind"),
+        F.col("name").alias("name"),
     )
-    others = defs.filter(~F.col("def_kind").isin("function")).select(
-        "doc_id", F.col("def_kind").alias("element_kind"), F.col("def_name").alias("name")
-    )
-    return classified_fns.unionByName(others)
 
 
 # --- q153: full element views — kind classification (field / constant
@@ -1640,35 +1626,30 @@ SELECT doc_id, 'c_sharp', el_kind, el_name, el_namespace FROM (
 """,
 )
 def q153_element_namespaces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cocoindex_spark.operators.code_elements import elements_df
-
-    d = table(spark, sf_dir, "documents").select("doc_id")
-    a = (F.col("doc_id") % 5).cast("string")
-    b = (F.col("doc_id") % 4).cast("string")
-    c = (F.col("doc_id") % 7).cast("string")
-    rust = d.filter(F.col("doc_id") % 3 == 0).withColumn(
-        "code",
-        F.concat(
+    # Served from the engine-synced code-views index (see q154): the
+    # index's element rows ARE elements_df's output (same extractor,
+    # namespace stored as `owner`), so the full 3-language element view
+    # is a pure parquet scan + filter — zero query-time extraction.
+    def docs(spark, sf_dir):
+        d = table(spark, sf_dir, "documents").select("doc_id")
+        a = (F.col("doc_id") % 5).cast("string")
+        b = (F.col("doc_id") % 4).cast("string")
+        c = (F.col("doc_id") % 7).cast("string")
+        rust = F.concat(
             F.lit("mod m"), a, F.lit(" {\n    pub struct S"), b,
             F.lit(" { pub f"), c, F.lit(": u64 }\n    impl S"), b,
             F.lit(" {\n        const C"), c, F.lit(": u64 = 1;\n        pub fn get"),
             c, F.lit("(&self) -> u64 { self.f"), c, F.lit(" }\n    }\n}\nconst TOP"),
             a, F.lit(": u64 = 2;\n// const FAKE: u64 = 3; fn fake() {}\n"),
-        ),
-    )
-    java = d.filter(F.col("doc_id") % 3 == 1).withColumn(
-        "code",
-        F.concat(
+        )
+        java = F.concat(
             F.lit("package com.ex.p"), a, F.lit(";\npublic class K"), b,
             F.lit(" {\n    private long v"), c,
             F.lit(";\n    public static final int MAX"), a,
             F.lit(" = 1;\n    public K"), b, F.lit("(long v) { }\n    public long get"),
             c, F.lit("() { return v"), c, F.lit("; }\n}\n// class Fake { int x; }\n"),
-        ),
-    )
-    cs = d.filter(F.col("doc_id") % 3 == 2).withColumn(
-        "code",
-        F.concat(
+        )
+        cs = F.concat(
             F.lit("namespace Ex.N"), a, F.lit(";\npublic class C"), b,
             F.lit(" {\n    private int n"), c,
             F.lit(";\n    public const string TAG"), a,
@@ -1676,16 +1657,26 @@ def q153_element_namespaces(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" { get; set; }\n    public C"), b,
             F.lit("(int n) { }\n    public int Get"), c,
             F.lit("() { return n"), c, F.lit("; }\n}\n"),
-        ),
-    )
-    cols = ["doc_id", "lang", "el_kind", "el_name", "el_namespace"]
-    out = None
-    for lang, df in (("rust", rust), ("java", java), ("c_sharp", cs)):
-        part = elements_df(df, "code", lang).select(
-            "doc_id", F.lit(lang).alias("lang"), "el_kind", "el_name", "el_namespace"
         )
-        out = part if out is None else out.unionByName(part)
-    return out.select(*cols)
+        m3 = F.col("doc_id") % 3
+        code = F.when(m3 == 0, rust).when(m3 == 1, java).otherwise(cs)
+        lang = (
+            F.when(m3 == 0, F.lit("rust"))
+            .when(m3 == 1, F.lit("java"))
+            .otherwise(F.lit("c_sharp"))
+        )
+        return d.select("doc_id", lang.alias("lang"), code.alias("code"))
+
+    views = _served_cv_index(
+        spark, sf_dir, "q153", docs, langs=("rust", "java", "c_sharp")
+    ).read(spark)
+    return views.filter(F.col("row_kind") == "element").select(
+        "doc_id",
+        "lang",
+        F.col("kind").alias("el_kind"),
+        F.col("name").alias("el_name"),
+        F.col("owner").alias("el_namespace"),
+    )
 
 
 # --- q154: call-site indegree per definition — the def⋈ref join over
@@ -1734,7 +1725,7 @@ def q154_callsite_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return d.select("doc_id", F.lit("rust").alias("lang"), code.alias("code"))
 
-    views = _served_cv_index(spark, sf_dir, "q154", docs).read(spark)
+    views = _served_cv_index(spark, sf_dir, "q154", docs, langs=("rust",)).read(spark)
     defs = views.filter(
         (F.col("row_kind") == "element")
         & F.col("kind").isin("function", "method")
@@ -1827,7 +1818,9 @@ def q156_qualified_usage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.lit("rust").alias("lang"), "code"
         )
 
-    views = _served_cv_index(spark, sf_dir, "q156", docs).read(spark)
+    views = _served_cv_index(
+        spark, sf_dir, "q156", docs, langs=("rust",), probe=True
+    ).read(spark)
     defs = (
         views.filter(
             (F.col("row_kind") == "element")
@@ -1898,42 +1891,48 @@ SELECT doc_id, lang, el_kind, el_name, el_namespace FROM rows_
 """,
 )
 def q157_python_swift_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cocoindex_spark.operators.code_elements import elements_df
-
-    d = table(spark, sf_dir, "documents").select("doc_id")
-    a = (F.col("doc_id") % 5).cast("string")
-    b = (F.col("doc_id") % 3).cast("string")
-    c = (F.col("doc_id") % 4).cast("string")
-    py = d.filter(F.col("doc_id") % 2 == 0).withColumn(
-        "code",
-        F.concat(
+    # Served from the engine-synced code-views index (see q154): the
+    # python rows come from the same stdlib-ast walk, the swift rows
+    # from the same token-stream extractor — a pure index scan + filter
+    # replaces both query-time Arrow passes.
+    def docs(spark, sf_dir):
+        d = table(spark, sf_dir, "documents").select("doc_id")
+        a = (F.col("doc_id") % 5).cast("string")
+        b = (F.col("doc_id") % 3).cast("string")
+        c = (F.col("doc_id") % 4).cast("string")
+        py = F.concat(
             F.lit("class Svc"), b, F.lit(":\n    class In"), c,
             F.lit(":\n        def m"), c,
             F.lit("(self):\n            return 1\n\n    def run"), c,
             F.lit("(self):\n        if True:\n            pass\n        return 2\n\ndef free"),
             a, F.lit('(x):\n    """def fake(): pass"""\n    return Svc'), b,
             F.lit("()\n"),
-        ),
-    )
-    sw = d.filter(F.col("doc_id") % 2 == 1).withColumn(
-        "code",
-        F.concat(
+        )
+        sw = F.concat(
             F.lit("struct Pt"), b, F.lit(" {\n    var x"), c,
             F.lit(": Double\n    func norm"), c,
             F.lit('() -> Double { let t = "var fake2 = 1"; return 1.0 }\n}\n\nextension Pt'),
             b, F.lit(" {\n    func dbl"), c, F.lit("() -> Double { return helper"),
             a, F.lit("() }\n}\n\nlet MAX"), a,
             F.lit(" = 10\n// var fake = 1\n"),
-        ),
-    )
-    cols = ["doc_id", "lang", "el_kind", "el_name", "el_namespace"]
-    out = None
-    for lang, df in (("python", py), ("swift", sw)):
-        part = elements_df(df, "code", lang).select(
-            "doc_id", F.lit(lang).alias("lang"), "el_kind", "el_name", "el_namespace"
         )
-        out = part if out is None else out.unionByName(part)
-    return out.select(*cols)
+        even = F.col("doc_id") % 2 == 0
+        return d.select(
+            "doc_id",
+            F.when(even, F.lit("python")).otherwise(F.lit("swift")).alias("lang"),
+            F.when(even, py).otherwise(sw).alias("code"),
+        )
+
+    views = _served_cv_index(
+        spark, sf_dir, "q157", docs, langs=("python", "swift")
+    ).read(spark)
+    return views.filter(F.col("row_kind") == "element").select(
+        "doc_id",
+        "lang",
+        F.col("kind").alias("el_kind"),
+        F.col("name").alias("el_name"),
+        F.col("owner").alias("el_namespace"),
+    )
 
 
 # --- q158: multi-language qualified usage resolution — q156's
@@ -1988,7 +1987,9 @@ def q158_multilang_usage_resolution(spark: SparkSession, sf_dir: str) -> DataFra
     # maintained parquet table holds all four languages' element +
     # reference rows; the cross-language resolution is joins/aggs over
     # that scan — no query-time extraction.
-    views = _served_cv_index(spark, sf_dir, "q158", docs).read(spark)
+    views = _served_cv_index(
+        spark, sf_dir, "q158", docs, langs=("rust", "java", "go", "typescript")
+    ).read(spark)
     defs = (
         views.filter(
             (F.col("row_kind") == "element")
@@ -2214,27 +2215,32 @@ SELECT doc_id, el_kind, el_name, el_namespace FROM rows_
 """,
 )
 def q160_elements_on_corpus_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cocoindex_spark.operators.code_elements import elements_df
-
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    a = (F.col("doc_id") % 5).cast("string")
-    b = (F.col("doc_id") % 3).cast("string")
-    c = (F.col("doc_id") % 4).cast("string")
-    clean = F.regexp_replace(
-        F.regexp_replace(F.col("text"), r'[\\"]', ""), r"[\r\n]+", " "
-    )
-    src = d.withColumn(
-        "code",
-        F.concat(
+    # Served from the engine-synced code-views index (see q154): the
+    # lexer's comment/string-exactness work on real corpus prose runs
+    # ONCE at sync time; this read plan is a pure index scan + filter.
+    def docs(spark, sf_dir):
+        d = table(spark, sf_dir, "documents").select("doc_id", "text")
+        a = (F.col("doc_id") % 5).cast("string")
+        b = (F.col("doc_id") % 3).cast("string")
+        c = (F.col("doc_id") % 4).cast("string")
+        clean = F.regexp_replace(
+            F.regexp_replace(F.col("text"), r'[\\"]', ""), r"[\r\n]+", " "
+        )
+        code = F.concat(
             F.lit("mod m"), a, F.lit(" {\n    pub fn f"), b,
             F.lit("() -> u64 { 1 }\n}\nstatic CORPUS"), c,
             F.lit(': &str = "'), clean, F.lit('";\n// '), clean,
             F.lit("\nfn tail"), a, F.lit("() -> u64 { m"), a,
             F.lit("::f"), b, F.lit("() }\n"),
-        ),
-    )
-    return elements_df(src, "code", "rust").select(
-        "doc_id", "el_kind", "el_name", "el_namespace"
+        )
+        return d.select("doc_id", F.lit("rust").alias("lang"), code.alias("code"))
+
+    views = _served_cv_index(spark, sf_dir, "q160", docs, langs=("rust",)).read(spark)
+    return views.filter(F.col("row_kind") == "element").select(
+        "doc_id",
+        F.col("kind").alias("el_kind"),
+        F.col("name").alias("el_name"),
+        F.col("owner").alias("el_namespace"),
     )
 
 
@@ -2351,6 +2357,34 @@ def _q161_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cv_rows_for_langs(df: DataFrame, langs: tuple) -> DataFrame:
+    """The extraction body shared by every code-views index: ONE Arrow
+    pass with per-row language dispatch (the pre-r10 shape ran one
+    filtered pass + one source scan + one union branch PER language —
+    pure plan overhead, since the per-row extraction work is identical),
+    projected into the (lang, row_kind, kind, name, owner, start) index
+    shape. ``langs`` bounds the dispatch: rows of other languages are
+    dropped, matching the old per-language filter loop."""
+    from cocoindex_spark.operators.code_elements import code_views_multilang_df
+
+    v = code_views_multilang_df(
+        df.filter(F.col("lang").isin(*langs)), "code", "lang"
+    )
+    return v.select(
+        "__args_fp",
+        "__component_path",
+        "doc_id",
+        "lang",
+        F.col("cv_row_kind").alias("row_kind"),
+        F.col("cv_kind").alias("kind"),
+        F.col("cv_name").alias("name"),
+        F.when(F.col("cv_row_kind") == "element", F.col("cv_namespace"))
+        .otherwise(F.col("cv_qualifier"))
+        .alias("owner"),
+        F.col("cv_start").alias("start"),
+    )
+
+
 @_coco_fn(memo=True)
 def extract_code_view_rows(df: DataFrame) -> DataFrame:
     """Per-doc element+reference rows for a MULTI-LANGUAGE corpus
@@ -2361,31 +2395,44 @@ def extract_code_view_rows(df: DataFrame) -> DataFrame:
     qualifier chain for references — the two sides of the
     usage-resolution equi-join share one column (reference
     types.rs:119-142)."""
-    from cocoindex_spark.operators.code_elements import code_views_df
-
-    out = None
-    for lang in _CV_LANGS:
-        v = code_views_df(df.filter(F.col("lang") == lang), "code", lang)
-        part = v.select(
-            "__args_fp",
-            "__component_path",
-            "doc_id",
-            F.lit(lang).alias("lang"),
-            F.col("cv_row_kind").alias("row_kind"),
-            F.col("cv_kind").alias("kind"),
-            F.col("cv_name").alias("name"),
-            F.when(F.col("cv_row_kind") == "element", F.col("cv_namespace"))
-            .otherwise(F.col("cv_qualifier"))
-            .alias("owner"),
-            F.col("cv_start").alias("start"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    return _cv_rows_for_langs(df, _CV_LANGS)
 
 
-def sync_code_views_index(app, docs: DataFrame):
+def cv_extractor(langs: tuple):
+    """``extract_code_view_rows`` restricted to ``langs`` — the same
+    row contract over a corpus that only contains those languages (the
+    full 5-language loop would pay |_CV_LANGS| empty extraction plans
+    per sync). logic_fp folds the language tuple into the shared
+    body's fingerprint, so each corpus's memo rows are keyed by the
+    exact extraction logic that produced them."""
+    langs = tuple(langs)
+    if langs == _CV_LANGS:
+        return extract_code_view_rows
+
+    def extract(df: DataFrame) -> DataFrame:
+        return _cv_rows_for_langs(df, langs)
+
+    from cocoindex_spark.fingerprint import fp_logic, fp_value
+
+    extract.logic_fp = fp_value(
+        ["cv_extract", fp_logic(_cv_rows_for_langs), list(langs)]
+    )
+    return extract
+
+
+def sync_code_views_index(
+    app, docs: DataFrame, langs: tuple | None = None, probe: bool = True
+):
     """Sync a multi-language (doc_id, lang, code) corpus into the
-    name-probed code-views index; returns (target, stats)."""
+    name-probed code-views index; returns (target, stats). ``langs``
+    restricts extraction to the languages actually present in the
+    corpus (default: the full _CV_LANGS loop). ``probe=False`` skips
+    the name-probe layout: an index consumed ONLY by full-table
+    aggregation reads (q152/q153/q157/q158-style element views) pays
+    |probe_buckets|× the file count for dirs no query ever prunes —
+    at bench scale that was ~1000 tiny files vs 16, a multi-second
+    listing/footer tax on every read AND a write fan-out tax on every
+    sync. Seek-shaped consumers (q162's name probe) keep the layout."""
     import os as _os
 
     target = app.target(
@@ -2394,8 +2441,12 @@ def sync_code_views_index(app, docs: DataFrame):
         "doc_id LONG, lang STRING, row_kind STRING, kind STRING,"
         " name STRING, owner STRING, start LONG",
     )
-    target.declare_index("usage", "code", probe_col="name", probe_buckets=64)
-    stats = app.sync_table(docs, ["doc_id"], extract_code_view_rows, target)
+    if probe:
+        target.declare_index("usage", "code", probe_col="name", probe_buckets=64)
+    transform = (
+        extract_code_view_rows if langs is None else cv_extractor(tuple(langs))
+    )
+    stats = app.sync_table(docs, ["doc_id"], transform, target)
     return target, stats
 
 
@@ -2403,7 +2454,14 @@ _CV_SERVE_CACHE: dict = {}
 _CV_SERVE_LOCK = None  # created lazily (threading import kept off the hot path)
 
 
-def _served_cv_index(spark: SparkSession, sf_dir: str, tag: str, docs_fn):
+def _served_cv_index(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    docs_fn,
+    langs: tuple | None = None,
+    probe: bool = False,
+):
     """Build-once-serve-many: sync `docs_fn`'s (doc_id, lang, code)
     corpus into a probed code-views index the FIRST time a (session,
     sf_dir, tag) asks for it; every later call in the process serves
@@ -2432,7 +2490,9 @@ def _served_cv_index(spark: SparkSession, sf_dir: str, tag: str, docs_fn):
             root = tempfile.mkdtemp(prefix=f"cv_serve_{tag}_")
             atexit.register(shutil.rmtree, root, ignore_errors=True)
             app = App(f"cv_{tag}", state_dir=root, spark=spark)
-            target, _ = sync_code_views_index(app, docs_fn(spark, sf_dir))
+            target, _ = sync_code_views_index(
+                app, docs_fn(spark, sf_dir), langs=langs, probe=probe
+            )
             _CV_SERVE_CACHE[key] = target
     return target
 
@@ -2548,7 +2608,9 @@ def q162_usage_probe_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.lit("rust").alias("lang"), "code"
         )
 
-    target = _served_cv_index(spark, sf_dir, "q156", docs)
+    target = _served_cv_index(
+        spark, sf_dir, "q156", docs, langs=("rust",), probe=True
+    )
     pids = target.probe_partitions(spark, ["api2"])
     rows = (
         target.read_indexed(spark)

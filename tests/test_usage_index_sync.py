@@ -280,3 +280,44 @@ def test_code_views_index_live_maintenance(app, spark, tmp_state):
                probed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert by_lang == {"rust": 1, "java": 1, "go": 1, "typescript": 1, "python": 1}
     assert files_read(probed) < files_read(target.read(spark))
+
+
+def test_cv_extractor_lang_restriction(app, spark):
+    """r10: cv_extractor(langs) — the language-restricted extractor the
+    served code-view indexes sync with — must produce exactly the full
+    extractor's rows for those languages (same row contract, fewer
+    extraction plans), and its logic_fp must differ per language tuple
+    (memo rows from one restriction can never be replayed by another)."""
+    from cocoindex_spark.queries.codeq import (
+        _CV_LANGS,
+        cv_extractor,
+        extract_code_view_rows,
+        sync_code_views_index,
+    )
+
+    two = cv_extractor(("rust", "java"))
+    assert two.logic_fp != extract_code_view_rows.logic_fp
+    assert cv_extractor(("rust",)).logic_fp != two.logic_fp
+    # the full tuple resolves to THE tracked extractor (shared memo key)
+    assert cv_extractor(_CV_LANGS) is extract_code_view_rows
+
+    docs = _mdocs(spark, [r for r in _M_ROWS if r[1] in ("rust", "java")])
+    target, cold = sync_code_views_index(app, docs, langs=("rust", "java"))
+    assert cold.memo_misses == 2
+    got = {
+        (r["lang"], r["row_kind"], r["kind"], r["name"], r["owner"])
+        for r in target.read(spark).collect()
+    }
+    # full-loop extraction over the same two-language corpus (built on
+    # a literal frame, outside any sync) must agree row-for-row
+    from cocoindex_spark.queries.codeq import _cv_rows_for_langs
+
+    ref = _mdocs(spark, [r for r in _M_ROWS if r[1] in ("rust", "java")])
+    ref = ref.withColumn("__args_fp", F.lit("x")).withColumn(
+        "__component_path", F.lit("y")
+    )
+    want = {
+        (r["lang"], r["row_kind"], r["kind"], r["name"], r["owner"])
+        for r in _cv_rows_for_langs(ref, _CV_LANGS).collect()
+    }
+    assert got == want and got

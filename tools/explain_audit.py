@@ -658,11 +658,35 @@ CHECKS = {
         [r"CartesianProduct", r"SortMergeJoin", r"BroadcastHashJoin", r"Window"],
     ),
     "q152_element_kinds": (
-        # Arrow extraction + explode; containment = ONE doc_id-keyed
-        # equi-join (range test as a post-join filter, bounded per doc)
-        [r"ArrowEvalPython", r"Generate",
-         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
-        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window"],
+        # r10: served from the build-once code-views index — the read
+        # plan is a pure index scan + filter: zero extraction, zero
+        # joins (the pre-r10 containment join ran at sync time inside
+        # the extractor's element classifier)
+        [r"code_views_idx"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
+         r"BatchEvalPython", r"ArrowEvalPython", r"SortMergeJoin",
+         r"ShuffledHashJoin", r"BroadcastHashJoin"],
+    ),
+    "q153_element_namespaces": (
+        # r10: served from the build-once code-views index — pure scan
+        # + filter, no extraction, no join, no shuffle before the sort
+        [r"code_views_idx"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython",
+         r"SortMergeJoin", r"ShuffledHashJoin", r"BroadcastHashJoin"],
+    ),
+    "q157_python_swift_elements": (
+        # r10: served from the build-once code-views index (python ast
+        # + swift token extraction both ran at sync time)
+        [r"code_views_idx"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython",
+         r"SortMergeJoin", r"ShuffledHashJoin", r"BroadcastHashJoin"],
+    ),
+    "q160_elements_on_corpus_text": (
+        # r10: served from the build-once code-views index (the real-
+        # prose comment/string lexing ran at sync time)
+        [r"code_views_idx"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython",
+         r"SortMergeJoin", r"ShuffledHashJoin", r"BroadcastHashJoin"],
     ),
     "q127_quantization_recall": (
         # both rankings ride ONE broadcast of the 10-query panel; the
