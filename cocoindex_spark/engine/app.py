@@ -512,8 +512,25 @@ class App:
         keyed = keyed.observe(obs_keyed, F.count(F.lit(1)).alias("n"))
         keyed = keyed.cache()
 
+        # ---- cold-start detection (r10 verdict item #3) ----
+        # A freshly-created state store (first sync of a served index,
+        # pipe_cold, any new App) provably holds nothing: the pointer
+        # files are empty — a driver-side read, no job. Everything is
+        # then a memo miss and every desired row an insert, so the memo
+        # lookup joins AND the reconcile full-outer join are pure plan
+        # overhead (two shuffles + their job latency) and are skipped
+        # outright. Guarded on BOTH tables: a non-empty memo with empty
+        # tracking (e.g. a prior run crashed after the memo flush) still
+        # takes the full path, whose replay/reconcile semantics that
+        # recovery depends on.
+        cold_start = (
+            not full_reprocess
+            and self.state.tracking.is_empty()
+            and self.state.memo.is_empty()
+        )
+
         # ---- memo lookup join (§3.2: anti-join against _state/memo) ----
-        if memo and not full_reprocess:
+        if memo and not full_reprocess and not cold_start:
             hits_keys = keyed.join(
                 memo_df.select(
                     F.col("args_fp").alias("__args_fp"), "decl_json"
@@ -636,28 +653,50 @@ class App:
                 )
 
         # ---- reconcile (§2.5) ----
-        tracked = self.state.tracking.read(spark).filter(
-            F.col("component_path").startswith(component_prefix + "/")
-        )
-        if partial or tombstone_col is not None:
-            # Live mode: reconcile only this batch's components; keys not
-            # in the batch keep their tracked state untouched.
-            tracked = tracked.join(F.broadcast(scope_paths), "component_path", "left_semi")
-        if failed_paths is not None and stats.extra.get("errors"):
-            # Failed components leave the reconcile scope entirely:
-            # absent from desired AND masked from tracked, so their
-            # previous target rows are neither deleted nor rewritten
-            # (the reference keeps a failed child's prior state).
-            tracked = tracked.join(
-                F.broadcast(
-                    failed_paths.select(
-                        F.col("__component_path").alias("component_path")
-                    )
-                ),
-                "component_path",
-                "left_anti",
+        if cold_start:
+            # Empty tracking ⇒ every desired state is an INSERT; the
+            # full-outer join (a shuffle of the whole desired frame
+            # against an empty scan) classifies nothing the literal
+            # can't. Failed components are simply absent from desired
+            # (masked above) and have no prior state to protect.
+            from cocoindex_spark.engine.reconcile import (
+                ACTION_INSERT,
+                ReconcilePlan,
             )
-        plan = reconcile(desired, tracked, full_reprocess=full_reprocess)
+
+            plan = ReconcilePlan(
+                actions=desired.select(
+                    "component_path",
+                    "target_path",
+                    F.lit(ACTION_INSERT).alias("action"),
+                    "fp",
+                    "__args_fp",
+                    "__is_replay",
+                )
+            )
+        else:
+            tracked = self.state.tracking.read(spark).filter(
+                F.col("component_path").startswith(component_prefix + "/")
+            )
+            if partial or tombstone_col is not None:
+                # Live mode: reconcile only this batch's components; keys
+                # not in the batch keep their tracked state untouched.
+                tracked = tracked.join(F.broadcast(scope_paths), "component_path", "left_semi")
+            if failed_paths is not None and stats.extra.get("errors"):
+                # Failed components leave the reconcile scope entirely:
+                # absent from desired AND masked from tracked, so their
+                # previous target rows are neither deleted nor rewritten
+                # (the reference keeps a failed child's prior state).
+                tracked = tracked.join(
+                    F.broadcast(
+                        failed_paths.select(
+                            F.col("__component_path").alias("component_path")
+                        )
+                    ),
+                    "component_path",
+                    "left_anti",
+                )
+            plan = reconcile(desired, tracked, full_reprocess=full_reprocess)
         plan.actions = plan.actions.cache()
         counts = plan.counts()
         _phase("transform_reconcile")

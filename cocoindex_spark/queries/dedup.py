@@ -98,10 +98,28 @@ def prefix_filtered_jaccard_pairs(sh: DataFrame, t: float) -> DataFrame:
     prefix = ranked.join(sizes, "doc_id").filter(
         F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
     )
-    pa = prefix.select(F.col("doc_id").alias("a_id"), "g")
-    pb = prefix.select(F.col("doc_id").alias("b_id"), "g")
+    # Length filter (r11, §3 join-side reduction — the classic PPJoin
+    # size bound): J(A,B) ≥ t forces |A∩B| ≤ min(n_a,n_b) and
+    # union ≥ max(n_a,n_b), so min ≥ t·max — candidate pairs with very
+    # different shingle counts can be dropped AT the prefix equi-join,
+    # before the distinct and the two candidate-scoped intersection
+    # joins ever see them. Conservative-only (a 1e-6 slack absorbs the
+    # double rounding of t·max at equality), so the exact verify below
+    # still decides membership and the result set is unchanged — which
+    # the unchanged naive oracles of q31/q126 keep proving.
+    pa = prefix.select(F.col("doc_id").alias("a_id"), "g", F.col("n").alias("na"))
+    pb = prefix.select(F.col("doc_id").alias("b_id"), "g", F.col("n").alias("nb"))
     cand = (
-        pa.join(pb, ["g"]).filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
+        pa.join(pb, ["g"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (
+                F.least("na", "nb").cast("double")
+                >= F.lit(t) * F.greatest("na", "nb") - F.lit(1e-6)
+            )
+        )
+        .select("a_id", "b_id")
+        .distinct()
     )
     sa = sh.select(F.col("doc_id").alias("a_id"), "g")
     sb = sh.select(F.col("doc_id").alias("bb_id"), F.col("g").alias("gb"))

@@ -40,65 +40,68 @@ def register(name: str, oracle: str | None = None):
 # must come first. This list is refreshed each round from the previous
 # CORRECTNESS_r{N}.json: never-checked first, then stalest-checked.
 _PRIORITY: list[str] = [
-    # r10 rotation (the driver checks ~the first 50 rows). Window:
-    # (a) CODE-TOUCHED this round: q154/q156/q158, re-pointed to serve
-    # from the engine-synced code-views index (extract-once-serve-many
-    # — same oracles, new read path), (b) the whole r6-stale cohort
-    # (14 queries, the oldest driver verdicts left), (c) the r7-checked
-    # block in numeric order up to the ~50-row window. The 14 remaining
-    # r7-checked queries (q42-q45, q56, q93-q96, q137, q144, q145,
-    # q147, q155) roll to r11. Everything else stays registered and
-    # locally value-verified.
-    "q154_callsite_indegree",  # re-pointed at the code-views index
-    "q156_qualified_usage_search",  # re-pointed at the code-views index
-    "q162_usage_probe_served",  # NEW: seek probe SERVED from q156's index
-    "q158_multilang_usage_resolution",  # re-pointed at the code-views index
-    "q126_detector_eval",
-    "q142_session_search",
-    "q146_shingle_containment",
-    "q148_bigram_surprisal",
-    "q149_hamming_topk",
-    "q150_oov_rate",
+    # r11 rotation (the driver checks ~the first 50 rows). Window:
+    # (a) CODE-TOUCHED this round: the 23 extraction queries re-pointed
+    # to serve from the build-once family indexes (defs/chunks/caps/
+    # imports — same oracles, new read path), plus q31/q126 whose
+    # PPJoin candidate generator gained the length filter and q146
+    # (shares _shingle_df lineage; its own generator unchanged),
+    # (b) the r7-stale cohort that rolled over from r10 (q42-q45, q56,
+    # q93-q96, q137, q144, q145, q147, q155), (c) fill to the ~50-row
+    # window with the next-stalest r7-checked block (q50-q60).
+    # Everything else stays registered and locally value-verified
+    # (161/161 at sf0.001 AND sf0.01, committed as
+    # bench_results/oracle_r11.json).
+    "q29_ast_chunks",
+    "q48_structural_captures",
+    "q49_definition_views",
+    "q79_ast_definitions",
+    "q98_brace_definitions",
+    "q100_brace_chunks",
+    "q108_template_literal_chunks",
+    "q110_c_preproc_definitions",
+    "q111_ruby_definitions",
+    "q112_lua_definitions",
+    "q122_julia_definitions",
+    "q123_r_definitions",
+    "q124_sql_definitions",
+    "q125_markdown_sections",
+    "q128_html_regions",
+    "q129_config_sections",
+    "q130_css_regions",
+    "q131_fortran_json_regions",
+    "q132_pascal_definitions",
+    "q133_markdown_chunks",
+    "q134_rust_captures",
+    "q138_containment_match",
     "q151_import_indegree",
-    "q85_funnel",
-    "q86_retention_weekly",
-    "q87_outlier_trim",
-    "q88_length_bucketed_batches",
-    "q90_phrase_search",
-    "q91_sliding_revenue",
-    "q92_decayed_user_value",
-    "q06_groupby_scoring",
-    "q07_customers_without_orders",
-    "q08_unreferenced_parts",
-    "q09_last_wins_per_key",
-    "q10_ownership_latest_supplier",
-    "q11_stats_rollup",
-    "q12_selective_scan",
-    "q13_json_props",
-    "q14_rollup_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_banded_revenue",
-    "q20_vector_topk",
-    "q21_knn_batch",
-    "q22_similarity_join_blocked",
-    "q23_lsh_bucket_join",
-    "q24_label_centroids",
-    "q25_ivf_topk",
-    "q26_hash_embed_knn",
-    "q27_multivector_maxsim",
-    "q30_exact_dedup",
-    "q32_minhash_lsh_pairs",
-    "q33_simhash_pairs",
-    "q34_embedding_neardup",
-    "q35_repetition_ngrams",
-    "q36_pii_scrub",
-    "q37_normalized_dedup",
-    "q38_bpe_token_estimate",
-    "q40_token_stats",
-    "q41_quality_score",
+    "q31_ngram_jaccard_pairs",
+    "q126_detector_eval",
+    "q146_shingle_containment",
+    "q42_langid_confusion",
+    "q43_doc_fingerprint",
+    "q44_chunk_documents",
+    "q45_deterministic_ids",
+    "q56_stemmed_vocab",
+    "q93_region_share",
+    "q94_weekday_type_pivot",
+    "q95_cube_revenue",
+    "q96_shared_sql_topspenders",
+    "q137_quickstart_topk",
+    "q144_session_search_indexed",
+    "q145_context_memo_invalidation",
+    "q147_cdc_chunk_dedup",
+    "q155_fts_synced_bm25",
+    "q50_tumbling_daily",
+    "q51_sessionization",
+    "q52_hourly_uniques",
+    "q53_event_transitions",
+    "q54_asof_attribution",
+    "q55_range_click_burst",
+    "q57_source_quantiles",
+    "q58_deterministic_sample",
+    "q59_split_assignment",
+    "q60_reconcile_actions",
 ]
 
 

@@ -155,6 +155,14 @@ class ManagedTable:
             F.lit(n),
         )
 
+    def is_empty(self) -> bool:
+        """True iff the table has NO live data files — a driver-side
+        pointer read (one tiny local json), no Spark job. Used by the
+        engine's cold-start fast path: a freshly-created state store
+        provably holds nothing, so lookups against it can be skipped
+        outright instead of planned as joins against empty scans."""
+        return not self._pointer()
+
     def read(
         self,
         spark: SparkSession,
