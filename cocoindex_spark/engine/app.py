@@ -822,12 +822,20 @@ class App:
             # prior-state join inside mark_pending reads only those
             # buckets — on a 100 TB run the precommit cost is ∝ delta,
             # not ∝ tracked-state size.
-            upsert_keys = (
-                plan.changes()
-                .filter(F.col("action") != "delete")
-                .select("component_path", "target_path")
-            )
-            bks = self.state.tracking.touched_buckets(upsert_keys)
+            if cold_start:
+                # Tracking is empty and stays empty until Phase 4 (the
+                # pending merge below is update-only and cold syncs have
+                # none), so the Phase-4 merge takes the empty-table
+                # overwrite path and never consults bucket ids — the
+                # discovery job would be pure overhead.
+                bks = None
+            else:
+                upsert_keys = (
+                    plan.changes()
+                    .filter(F.col("action") != "delete")
+                    .select("component_path", "target_path")
+                )
+                bks = self.state.tracking.touched_buckets(upsert_keys)
             _phase("precommit_buckets")
             if stats.updates:
                 pending = mark_pending(

@@ -51,7 +51,7 @@ _PRIORITY: list[str] = [
     # window with the next-stalest r7-checked block (q50-q60).
     # Everything else stays registered and locally value-verified
     # (161/161 at sf0.001 AND sf0.01, committed as
-    # bench_results/oracle_r11.json).
+    # bench_results/oracle_r11_sf0.001.json / oracle_r11_sf0.01.json).
     "q29_ast_chunks",
     "q48_structural_captures",
     "q49_definition_views",

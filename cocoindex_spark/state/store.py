@@ -396,7 +396,18 @@ class ManagedTable:
         evaluated twice (bucket discovery + version write) and may read
         this very table's current version — caching pins the pre-swap
         snapshot."""
-        updates = updates.select(*[f.name for f in self.schema.fields]).cache()
+        updates = updates.select(*[f.name for f in self.schema.fields])
+        if self.is_empty():
+            # Empty table: the MERGE degenerates to a plain write — no
+            # current rows to keep, so the bucket-discovery job, the
+            # cache materialization (lineage is evaluated once, by the
+            # write) and the anti-join are pure overhead. One version
+            # write + one full-mapping pointer swap is the identical
+            # result. This is the cold-sync path's per-table floor
+            # (sink target + tracking + first memo flush all hit it).
+            self.overwrite(updates, n_buckets=self._meta()[0])
+            return
+        updates = updates.cache()
         try:
             if touched is None:
                 touched = self._touched_buckets(updates)
@@ -435,7 +446,21 @@ class ManagedTable:
         pays two version writes and two swaps per table. ``touched``
         optionally carries precomputed bucket ids for the UPDATE keys
         (the delete keys' buckets are always discovered here)."""
-        updates = updates.select(*[f.name for f in self.schema.fields]).cache()
+        updates = updates.select(*[f.name for f in self.schema.fields])
+        if self.is_empty():
+            # Empty table (see merge_upsert): apply the delete channel
+            # to the updates alone — "a key in both channels ends
+            # deleted" — and write once.
+            self.overwrite(
+                updates.join(
+                    deletes.select(self.key_cols).distinct(),
+                    self.key_cols,
+                    "left_anti",
+                ),
+                n_buckets=self._meta()[0],
+            )
+            return
+        updates = updates.cache()
         deletes = deletes.select(self.key_cols).distinct().cache()
         try:
             t_up = self._touched_buckets(updates) if touched is None else touched

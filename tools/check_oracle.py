@@ -50,8 +50,14 @@ def norm_rows(cols, rows):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
-    vanilla = "--vanilla" in sys.argv[1:]
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--vanilla"]
+    vanilla = "--vanilla" in argv
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = [a for a in args if not os.path.isdir(a)]
     queries = all_queries()
@@ -82,6 +88,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, fn in sorted(queries.items()):
         try:
             sdf = fn(spark, sf_dir)
@@ -91,10 +98,12 @@ def main():
             print(f"FAIL {name}: spark error")
             traceback.print_exc()
             n_fail += 1
+            results[name] = {"status": "fail", "why": "spark error"}
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
             n_rows_only += 1
+            results[name] = {"status": "rows_only", "rows": len(srows)}
             continue
         try:
             # HUGEINT preflight: DuckDB widens uncast SUM(BIGINT) to
@@ -107,6 +116,7 @@ def main():
             if huge:
                 print(f"FAIL {name}: HUGEINT oracle columns {huge} — add CAST(... AS BIGINT)")
                 n_fail += 1
+                results[name] = {"status": "fail", "why": "hugeint"}
                 continue
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
@@ -115,16 +125,20 @@ def main():
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc()
             n_fail += 1
+            results[name] = {"status": "fail", "why": "duckdb error"}
             continue
         sc, sr = norm_rows(scols, [tuple(r) for r in srows])
         dc, dr = norm_rows(dcols, drows)
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
             n_fail += 1
+            results[name] = {"status": "fail", "why": "columns"}
             continue
         if len(sr) != len(dr):
             print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}")
             n_fail += 1
+            results[name] = {"status": "fail", "why": "rowcount",
+                             "spark_rows": len(sr), "oracle_rows": len(dr)}
             continue
         bad = None
         for a, b in zip(sr, dr):
@@ -145,11 +159,23 @@ def main():
         if bad:
             print(f"FAIL {name}: first diff\n  spark={bad[0]}\n  duck ={bad[1]}")
             n_fail += 1
+            results[name] = {"status": "fail", "why": "value diff"}
         else:
             exact = sr == dr
             print(f"PASS {name}: {len(sr)} rows" + ("" if exact else " (float-tol)"))
             n_pass += 1
+            results[name] = {"status": "pass", "rows": len(sr), "exact": exact}
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                 "n_rows_only": n_rows_only, "results": results},
+                f, indent=1, sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 

@@ -18,6 +18,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cocoindex_spark.queries import all_queries
 from cocoindex_spark.session import get_spark
 
+# The r11 served-read shape: a family-index parquet scan with the qtag
+# filter pushed to the scan — zero extraction (no Python eval nodes),
+# zero joins, zero explodes (the Generate ran at sync time). The plain
+# reads are additionally shuffle-free; q151 aggregates on top (keeps
+# its Exchanges) and is asserted separately.
+_SERVED_FORBID = [
+    r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
+    r"BatchEvalPython", r"ArrowEvalPython", r"Generate",
+    r"SortMergeJoin", r"ShuffledHashJoin", r"BroadcastHashJoin",
+]
+_SERVED_READ_FORBID = _SERVED_FORBID + [r"Exchange"]
+
+
+def _served(idx: str, qtag: str):
+    """Audit entry for a pure served family-index read."""
+    return (
+        [rf"{idx}_idx", rf"PushedFilters: \[.*EqualTo\(qtag,{qtag}\)"],
+        _SERVED_READ_FORBID,
+    )
+
+
 CHECKS = {
     # name: (must_contain regexes, must_NOT_contain regexes)
     "q12_selective_scan": (
@@ -108,24 +129,13 @@ CHECKS = {
         [r"rangepartitioning", r"hashpartitioning\(__pid"],
         [],
     ),
-    "q48_structural_captures": (
-        # structural matcher: JVM contains-prefilter BEFORE the Arrow
-        # eval, explode of the matches array, no shuffle
-        [r"ArrowEvalPython", r"Contains", r"Generate"],
-        [r"Exchange", r"CartesianProduct"],
-    ),
-    "q49_definition_views": (
-        [r"ArrowEvalPython", r"Generate"],
-        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
-    ),
-    "q134_rust_captures": (
-        # Rust structural captures: Arrow-batched matcher + explode,
-        # shuffle-free per-row plan (the pattern's literal tokens are
-        # all < min_len, so no contains-prefilter exists to assert —
-        # q48 covers that plan shape)
-        [r"ArrowEvalPython", r"Generate"],
-        [r"Exchange", r"CartesianProduct"],
-    ),
+    # r11: the single-language extraction cohort is served from
+    # build-once family indexes (defs/chunks/caps/imports) — the
+    # matcher/walker/splitter runs once at sync time; every read plan
+    # is a pure index scan with the qtag filter pushed to parquet.
+    "q48_structural_captures": _served("caps", "q48"),
+    "q49_definition_views": _served("defs", "q49"),
+    "q134_rust_captures": _served("caps", "q134"),
     "q13_json_props": (
         # JVM-side JSON extraction + partial agg, no Python UDF
         [r"HashAggregate"],
@@ -180,11 +190,7 @@ CHECKS = {
         [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
         [r"CartesianProduct"],
     ),
-    "q29_ast_chunks": (
-        # AST chunking: Arrow-batched split + explode, shuffle-free
-        [r"ArrowEvalPython", r"Generate"],
-        [r"Exchange", r"CartesianProduct"],
-    ),
+    "q29_ast_chunks": _served("chunks", "q29"),  # r11: served read
     "q75_fts_bm25": (
         # BM25 from the postings index: query terms broadcast so the
         # postings side prunes before any aggregation; stats are one
@@ -273,18 +279,26 @@ CHECKS = {
         [r"HashAggregate"],
         [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
     ),
-    "q98_brace_definitions": (
-        # lexer-exact definitions: Arrow-batched extraction + explode,
-        # shuffle-free (per-row, embarrassingly parallel)
-        [r"ArrowEvalPython", r"Generate"],
-        [r"Exchange", r"CartesianProduct"],
-    ),
-    "q100_brace_chunks": (
-        # lexer-exact recursive chunking: Arrow split + explode,
-        # shuffle-free
-        [r"ArrowEvalPython", r"Generate"],
-        [r"Exchange", r"CartesianProduct"],
-    ),
+    "q98_brace_definitions": _served("defs", "q98"),  # r11: served read
+    "q100_brace_chunks": _served("chunks", "q100"),  # r11: served read
+    # r11: the rest of the served extraction cohort (every re-pointed
+    # read asserted — the r10 verdict's "plan audit extended to every
+    # newly-served read" done-criterion)
+    "q79_ast_definitions": _served("defs", "q79"),
+    "q110_c_preproc_definitions": _served("defs", "q110"),
+    "q111_ruby_definitions": _served("defs", "q111"),
+    "q112_lua_definitions": _served("defs", "q112"),
+    "q122_julia_definitions": _served("defs", "q122"),
+    "q123_r_definitions": _served("defs", "q123"),
+    "q124_sql_definitions": _served("defs", "q124"),
+    "q125_markdown_sections": _served("defs", "q125"),
+    "q128_html_regions": _served("defs", "q128"),
+    "q129_config_sections": _served("defs", "q129"),
+    "q130_css_regions": _served("defs", "q130"),
+    "q131_fortran_json_regions": _served("defs", "q131"),
+    "q132_pascal_definitions": _served("defs", "q132"),
+    "q133_markdown_chunks": _served("chunks", "q133"),
+    "q138_containment_match": _served("caps", "q138"),
     "q101_tfidf_top_terms": (
         # tf/df hash aggs + tok-keyed equi-join + per-source window;
         # the source-count scalar is a broadcast 1-row side (BNLJ ok)
@@ -350,12 +364,7 @@ CHECKS = {
             r"ArrowEvalPython",
         ],
     ),
-    "q108_template_literal_chunks": (
-        # template-literal-exact chunking: Arrow split + explode,
-        # shuffle-free
-        [r"ArrowEvalPython", r"Generate"],
-        [r"Exchange", r"CartesianProduct"],
-    ),
+    "q108_template_literal_chunks": _served("chunks", "q108"),  # r11
     "q113_kmeans_clusters": (
         # assignment = K-row centroid broadcast (BNLJ intended: the
         # centroid side is K rows); update = partial-aggregated hash
@@ -652,10 +661,11 @@ CHECKS = {
          r"BatchEvalPython", r"ArrowEvalPython"],
     ),
     "q151_import_indegree": (
-        # per-language Arrow extraction branches unioned, ONE module
-        # hash agg — no joins, no window, no cross product
-        [r"ArrowEvalPython", r"Generate", r"HashAggregate", r"Union"],
-        [r"CartesianProduct", r"SortMergeJoin", r"BroadcastHashJoin", r"Window"],
+        # r11: served from the imports-family index — ONE index scan
+        # into the module hash agg; the per-language Arrow extraction
+        # branches (and their Union) ran once at sync time
+        [r"imports_idx", r"HashAggregate"],
+        _SERVED_FORBID + [r"Union"],
     ),
     "q152_element_kinds": (
         # r10: served from the build-once code-views index — the read

@@ -59,6 +59,16 @@ PROBE_QUERIES = [
     # r9: the corpus code-views index — sync (extraction + probe-layout
     # write) dominates; the probe read itself is file-pruned
     "q161_code_views_index_probe",
+    # r11: one member per served FAMILY index (defs/chunks/caps/imports)
+    # — the first named query of a family pays that family's one-time
+    # sync in its first iteration (visible in wall clock; the per-tag
+    # cost is also a first-class bench number now, sync_sec), the min
+    # is the steady-state read whose scaling these entries pin
+    "q49_definition_views",
+    "q98_brace_definitions",
+    "q29_ast_chunks",
+    "q48_structural_captures",
+    "q151_import_indegree",
 ]
 
 _SHIFTS = {
